@@ -1,0 +1,146 @@
+"""Loudness-based (non-VAD) silence detection, pure NumPy.
+
+Behavioral counterpart of /root/reference/stable_whisper/stabilization/nonvad.py:
+downsample |waveform| to one unit per Whisper token (20 ms) via linear
+interpolation, normalize by the top-0.1% loudness, smooth with a
+reflect-padded moving average, quantize, and mark quiet runs longer than
+0.1 s as silence. No torch: everything is NumPy array math (cheap host-side
+work; the waveform never needs to touch the accelerator for this).
+"""
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+from .utils import mask2timing, timing2mask
+from ..constants import N_SAMPLES_PER_TOKEN
+
+NONVAD_SAMPLE_RATES = (16000,)
+
+
+def _linear_resample(x: np.ndarray, out_size: int) -> np.ndarray:
+    """1-D linear interpolation matching torch's align_corners=False semantics."""
+    in_size = x.shape[-1]
+    scale = in_size / out_size
+    coords = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    coords = np.clip(coords, 0, in_size - 1)
+    lo = np.floor(coords).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (coords - lo).astype(x.dtype)
+    return x[lo] * (1 - frac) + x[hi] * frac
+
+
+def _moving_average_reflect(x: np.ndarray, k_size: int) -> np.ndarray:
+    """Stride-1 average pool with reflect padding (k_size odd)."""
+    p = k_size // 2
+    padded = np.pad(x, p, mode='reflect')
+    kernel = np.full(k_size, 1.0 / k_size, dtype=np.float64)
+    return np.convolve(padded.astype(np.float64), kernel, mode='valid').astype(x.dtype)
+
+
+def audio2loudness(
+        audio: np.ndarray,
+        samples_per_unit: Optional[int] = None,
+) -> Optional[np.ndarray]:
+    """Normalized per-token loudness curve, or None for too-short audio."""
+    audio = np.asarray(audio, dtype=np.float32)
+    assert audio.ndim == 1, f'waveform must be 1D, but got {audio.ndim}D'
+    loud = np.abs(audio)
+    k = int(loud.size * 0.001)
+    if k:
+        # k-th largest value = top-0.1% threshold.
+        threshold = np.partition(loud, loud.size - k)[loud.size - k]
+    else:
+        threshold = np.quantile(loud, 0.999)
+    if samples_per_unit is None:
+        samples_per_unit = N_SAMPLES_PER_TOKEN
+    token_count = round(loud.shape[-1] / samples_per_unit) + 1
+    if token_count <= 2:
+        return None
+    if threshold < 1e-5:
+        return np.zeros(token_count, dtype=loud.dtype)
+    loud = loud / min(1.0, float(threshold) * 1.75)
+    return _linear_resample(loud, token_count)
+
+
+def wav2mask(
+        audio: np.ndarray,
+        q_levels: int = 20,
+        k_size: int = 5,
+        sr: Optional[int] = None,
+) -> Optional[np.ndarray]:
+    """Bool mask (one unit per token) that is True where audio is silent."""
+    from ..audio.utils import audio_to_numpy_resample
+    audio = audio_to_numpy_resample(audio, sr, NONVAD_SAMPLE_RATES)
+    loudness = audio2loudness(audio)
+    if loudness is None:
+        return None
+    p = k_size // 2 if k_size else 0
+    if p and p < loudness.shape[-1]:
+        assert k_size % 2, f'kernel_size must be odd but got {k_size}'
+        smoothed = _moving_average_reflect(loudness, k_size)
+    else:
+        smoothed = loudness.copy()
+    if q_levels:
+        smoothed = np.round(smoothed * q_levels)
+    loud_mask = smoothed.astype(bool)
+    if not loud_mask.any():  # entirely silent
+        return ~loud_mask
+    # Keep only loud runs longer than 0.1 s; everything else is silence.
+    timings = mask2timing(loud_mask)
+    starts, ends = timings
+    long_enough = (ends - starts) > 0.1
+    starts, ends = starts[long_enough], ends[long_enough]
+    silence_mask = ~timing2mask(starts, ends, loudness.shape[-1])
+    if not silence_mask.any():  # no silence
+        return None
+    return silence_mask
+
+
+def audio2timings(
+        audio: np.ndarray,
+        q_levels: int = 20,
+        k_size: int = 5,
+        sr: Optional[int] = None,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Silent-section (starts, ends) in seconds for ``audio``."""
+    return mask2timing(wav2mask(audio, q_levels=q_levels, k_size=k_size, sr=sr))
+
+
+def visualize_mask(
+        loudness: np.ndarray,
+        silence_mask: Optional[np.ndarray] = None,
+        width: int = 1500,
+        height: int = 200,
+        output: Optional[str] = None,
+):
+    """Render the loudness curve with silent regions in red; save/show a PNG."""
+    no_silence = silence_mask is None or not silence_mask.any()
+    assert no_silence or silence_mask.shape[0] == loudness.shape[0]
+    if loudness.shape[0] < 2:
+        raise NotImplementedError(
+            f'audio size, {loudness.shape[0]}, is too short to visualize')
+    width = loudness.shape[0] if width == -1 else width
+    im = np.zeros((height, width, 3), dtype=np.uint8)
+    mid = round(height / 2)
+    for i, v in enumerate(loudness.tolist()):
+        j = round(abs(v) * mid)
+        if j == 0 or width <= i:
+            continue
+        im[mid - j:mid + 1, i] = 255
+        im[mid + 1:mid + j + 1, i] = 255
+    if not no_silence:
+        im[:, silence_mask[:width], 1:] = 0
+    if output and not output.endswith('.png'):
+        output += '.png'
+    try:
+        from PIL import Image
+    except ModuleNotFoundError as exc:
+        raise ModuleNotFoundError(
+            'Pillow is required to visualize the suppression mask '
+            '("pip install Pillow").') from exc
+    img = Image.fromarray(im)
+    if isinstance(output, str):
+        img.save(output)
+        print(f'Save: {output}')
+    else:
+        img.show()
