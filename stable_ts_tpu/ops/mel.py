@@ -1,0 +1,122 @@
+"""Log-mel spectrogram, TPU-first.
+
+Numerically equivalent to Whisper's ``log_mel_spectrogram`` (the reference
+calls it at whisper_word_level/original_whisper.py:529 via openai-whisper):
+centered STFT (N_FFT=400, hop=160, periodic Hann), power spectrum with the
+final frame dropped, slaney-normalized mel filterbank (80 or 128 bands),
+log10 clamped at 1e-10, dynamic-range compression to [~-1, ~1].
+
+Design: framing is a gather, the DFT is an rFFT, and the mel projection is a
+(201 x n_mels) matmul that XLA places on the MXU; the whole pipeline is one
+jit-compiled fused program. The filterbank is generated analytically
+(librosa-compatible slaney scale) instead of shipping a .npz.
+"""
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import HOP_LENGTH, N_FFT, SAMPLE_RATE
+
+
+def _hz_to_mel_slaney(freq: np.ndarray) -> np.ndarray:
+    """Slaney mel scale: linear below 1 kHz, logarithmic above."""
+    freq = np.asarray(freq, dtype=np.float64)
+    f_min, f_sp = 0.0, 200.0 / 3
+    mels = (freq - f_min) / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_region = freq >= min_log_hz
+    mels = np.where(log_region,
+                    min_log_mel + np.log(np.maximum(freq, min_log_hz) / min_log_hz) / logstep,
+                    mels)
+    return mels
+
+
+def _mel_to_hz_slaney(mels: np.ndarray) -> np.ndarray:
+    mels = np.asarray(mels, dtype=np.float64)
+    f_min, f_sp = 0.0, 200.0 / 3
+    freqs = f_min + f_sp * mels
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_region = mels >= min_log_mel
+    freqs = np.where(log_region,
+                     min_log_hz * np.exp(logstep * (mels - min_log_mel)),
+                     freqs)
+    return freqs
+
+
+@lru_cache(maxsize=4)
+def mel_filterbank(n_mels: int = 80, n_fft: int = N_FFT,
+                   sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """Slaney-scale, slaney-normalized triangular mel filterbank.
+
+    Matches librosa.filters.mel(sr, n_fft, n_mels, htk=False, norm='slaney'),
+    which is what Whisper's precomputed mel_filters.npz contains.
+    Returns float32 (n_mels, n_fft//2 + 1).
+    """
+    fft_freqs = np.linspace(0, sample_rate / 2, n_fft // 2 + 1)
+    mel_min = _hz_to_mel_slaney(np.array(0.0))
+    mel_max = _hz_to_mel_slaney(np.array(sample_rate / 2.0))
+    mel_points = np.linspace(mel_min, mel_max, n_mels + 2)
+    hz_points = _mel_to_hz_slaney(mel_points)
+
+    fdiff = np.diff(hz_points)
+    ramps = hz_points[:, None] - fft_freqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0, np.minimum(lower, upper))
+
+    # Slaney normalization: each filter integrates to ~equal area.
+    enorm = 2.0 / (hz_points[2:n_mels + 2] - hz_points[:n_mels])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+@lru_cache(maxsize=2)
+def _hann_window(n_fft: int) -> np.ndarray:
+    # Periodic Hann (torch.hann_window default), as used by Whisper's STFT.
+    return (0.5 * (1 - np.cos(2 * np.pi * np.arange(n_fft) / n_fft))).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=('n_mels', 'n_fft', 'hop_length'))
+def _log_mel_impl(audio: jnp.ndarray, filters: jnp.ndarray, window: jnp.ndarray,
+                  n_mels: int, n_fft: int, hop_length: int) -> jnp.ndarray:
+    pad = n_fft // 2
+    padded = jnp.pad(audio, ((0, 0), (pad, pad)), mode='reflect')
+    n_frames = 1 + (padded.shape[-1] - n_fft) // hop_length
+    # Frame via gather: (n_frames, n_fft) indices.
+    idx = (jnp.arange(n_frames)[:, None] * hop_length
+           + jnp.arange(n_fft)[None, :])
+    frames = padded[:, idx] * window  # (batch, n_frames, n_fft)
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+    # Drop the final frame (Whisper convention) and take the power spectrum.
+    magnitudes = jnp.abs(spec[:, :-1, :]) ** 2  # (batch, frames, n_fft//2+1)
+    # Mel projection on the MXU: (frames, 201) @ (201, n_mels).
+    mel_spec = jnp.einsum('bfk,mk->bmf', magnitudes, filters,
+                          preferred_element_type=jnp.float32)
+    log_spec = jnp.log10(jnp.clip(mel_spec, min=1e-10))
+    log_spec = jnp.maximum(log_spec,
+                           jnp.max(log_spec, axis=(-2, -1), keepdims=True) - 8.0)
+    return (log_spec + 4.0) / 4.0
+
+
+def log_mel_spectrogram(audio, n_mels: int = 80, padding: int = 0) -> jnp.ndarray:
+    """Compute the Whisper log-mel spectrogram.
+
+    Accepts a 1-D or (batch, samples) waveform (NumPy or JAX array).
+    Returns (n_mels, frames) or (batch, n_mels, frames) float32.
+    """
+    audio = jnp.asarray(audio, dtype=jnp.float32)
+    squeeze = audio.ndim == 1
+    if squeeze:
+        audio = audio[None]
+    if padding > 0:
+        audio = jnp.pad(audio, ((0, 0), (0, padding)))
+    filters = jnp.asarray(mel_filterbank(n_mels))
+    window = jnp.asarray(_hann_window(N_FFT))
+    out = _log_mel_impl(audio, filters, window, n_mels, N_FFT, HOP_LENGTH)
+    return out[0] if squeeze else out
