@@ -1,0 +1,377 @@
+"""Whisper encoder-decoder in pure functional JAX.
+
+Architecture-equivalent to OpenAI Whisper (the reference drives that model
+through torch at e.g. timing.py:58-64 and decode.py:33-65), re-designed for
+XLA/TPU:
+
+- **No modules, no hooks.** A model is (ModelDimensions, params pytree); all
+  applies are pure jit-able functions. Cross-attention QK logits — which the
+  reference harvests with forward hooks (timing.py:50-57) — are returned as
+  explicit aux outputs of the decoder apply.
+- **Layers are scanned.** Per-layer params are stacked along a leading axis
+  and blocks run under ``lax.scan``: one compiled block body regardless of
+  depth, fast compiles, and clean pjit sharding of the stacked leaves.
+- **Static shapes.** Audio is always a (batch, n_mels, 3000) window; the
+  decoder KV cache is fixed (n_text_ctx) with a position index, so the
+  sampling loop is a ``lax.while_loop`` with zero dynamic shapes.
+- Matmuls carry ``preferred_element_type=float32`` so bf16 params still
+  accumulate in f32 on the MXU.
+"""
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class ModelDimensions:
+    n_mels: int
+    n_audio_ctx: int
+    n_audio_state: int
+    n_audio_head: int
+    n_audio_layer: int
+    n_vocab: int
+    n_text_ctx: int
+    n_text_state: int
+    n_text_head: int
+    n_text_layer: int
+
+    @property
+    def is_multilingual(self) -> bool:
+        return self.n_vocab >= 51865
+
+    @property
+    def num_languages(self) -> int:
+        return self.n_vocab - 51765 - int(self.is_multilingual)
+
+
+# -- primitive layers -----------------------------------------------------------------
+
+def layer_norm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
+               eps: float = 1e-5) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (out * g + b).astype(x.dtype)
+
+
+def linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    out = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b
+    return out.astype(x.dtype)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
+    """Whisper's encoder positional embedding (sin/cos halves)."""
+    assert channels % 2 == 0
+    log_timescale_increment = np.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)],
+                          axis=1).astype(np.float32)
+
+
+def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def qkv_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, n_head: int,
+                  mask: Optional[jnp.ndarray] = None,
+                  return_qk: bool = False):
+    """Scaled dot-product attention; optionally returns pre-softmax QK logits.
+
+    q/k/v: (batch, seq, d). Scaling follows Whisper: q and k each scaled by
+    (d_head)^-0.25 so the logit scale matches 1/sqrt(d_head).
+    """
+    d_head = q.shape[-1] // n_head
+    scale = d_head ** -0.25
+    qh = _split_heads(q, n_head) * scale
+    kh = _split_heads(k, n_head) * scale
+    vh = _split_heads(v, n_head)
+    logits = jnp.einsum('bhqd,bhkd->bhqk', qh, kh,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        logits = logits + mask
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum('bhqk,bhkd->bhqd', weights, vh,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    out = _merge_heads(out)
+    return (out, logits) if return_qk else (out, None)
+
+
+def _mha(params: Params, x: jnp.ndarray, xa: Optional[jnp.ndarray], n_head: int,
+         mask: Optional[jnp.ndarray] = None,
+         kv_override: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+         return_qk: bool = False):
+    """One multi-head attention: self (xa=None) or cross (xa=encoder out).
+
+    ``kv_override`` supplies precomputed (k, v) — used for cached
+    cross-attention and for KV-cached self-attention.
+    """
+    q = linear(x, params['q']['w'], params['q']['b'])
+    if kv_override is not None:
+        k, v = kv_override
+    else:
+        src = x if xa is None else xa
+        k = linear(src, params['k']['w'])  # no bias on key (Whisper convention)
+        v = linear(src, params['v']['w'], params['v']['b'])
+    out, qk = qkv_attention(q, k, v, n_head, mask=mask, return_qk=return_qk)
+    return linear(out, params['out']['w'], params['out']['b']), qk, (k, v)
+
+
+def _mlp(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    h = gelu(linear(x, params['fc1']['w'], params['fc1']['b']))
+    return linear(h, params['fc2']['w'], params['fc2']['b'])
+
+
+# -- encoder ----------------------------------------------------------------------------
+
+def _conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """x: (batch, channels, time); w: (width, in, out)."""
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=((1, 1),),
+        dimension_numbers=('NCH', 'HIO', 'NCH'),
+        preferred_element_type=jnp.float32,
+    )
+    return (out + b[None, :, None]).astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=('n_head',))
+def encoder_apply(params: Params, mel: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    """mel: (batch, n_mels, 3000) -> (batch, 1500, n_state)."""
+    x = gelu(_conv1d(mel, params['conv1']['w'], params['conv1']['b'], stride=1))
+    x = gelu(_conv1d(x, params['conv2']['w'], params['conv2']['b'], stride=2))
+    x = x.transpose(0, 2, 1)  # (batch, 1500, d)
+    x = (x + params['pos_emb']).astype(x.dtype)
+
+    def block(carry, layer_params):
+        h = carry
+        attn_out, _, _ = _mha(
+            layer_params['attn'],
+            layer_norm(h, layer_params['attn_ln']['g'], layer_params['attn_ln']['b']),
+            None, n_head)
+        h = h + attn_out
+        h = h + _mlp(layer_params['mlp'],
+                     layer_norm(h, layer_params['mlp_ln']['g'],
+                                layer_params['mlp_ln']['b']))
+        return h, None
+
+    x, _ = jax.lax.scan(block, x, params['blocks'])
+    return layer_norm(x, params['ln_post']['g'], params['ln_post']['b'])
+
+
+# -- decoder ---------------------------------------------------------------------------------
+
+def precompute_cross_kv(params: Params, xa: jnp.ndarray) -> Params:
+    """Project encoder output into per-layer cross-attention K/V once."""
+    def per_layer(layer_params, _):
+        k = linear(xa, layer_params['cross_attn']['k']['w'])
+        v = linear(xa, layer_params['cross_attn']['v']['w'],
+                   layer_params['cross_attn']['v']['b'])
+        return _, (k, v)
+
+    _, (k, v) = jax.lax.scan(lambda c, p: per_layer(p, c), None, params['blocks'])
+    return {'k': k, 'v': v}  # (n_layers, batch, 1500, d)
+
+
+@partial(jax.jit, static_argnames=('n_head', 'capture_qk'))
+def decoder_apply(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
+                  n_head: int, capture_qk: bool = False):
+    """Full (teacher-forced) decoder pass.
+
+    tokens: (batch, n_tok) int32; xa: (batch, 1500, d).
+    Returns (logits (batch, n_tok, n_vocab),
+             cross_qk (n_layers, batch, n_head, n_tok, 1500) f32 or None).
+    """
+    b, n_tok = tokens.shape
+    x = params['token_emb'][tokens] + params['pos_emb'][:n_tok]
+    x = x.astype(params['token_emb'].dtype)
+    causal = jnp.triu(jnp.full((n_tok, n_tok), -jnp.inf, jnp.float32), k=1)
+
+    def block(carry, layer_params):
+        h = carry
+        attn_out, _, _ = _mha(
+            layer_params['attn'],
+            layer_norm(h, layer_params['attn_ln']['g'], layer_params['attn_ln']['b']),
+            None, n_head, mask=causal)
+        h = h + attn_out
+        cross_out, qk, _ = _mha(
+            layer_params['cross_attn'],
+            layer_norm(h, layer_params['cross_attn_ln']['g'],
+                       layer_params['cross_attn_ln']['b']),
+            xa, n_head, return_qk=capture_qk)
+        h = h + cross_out
+        h = h + _mlp(layer_params['mlp'],
+                     layer_norm(h, layer_params['mlp_ln']['g'],
+                                layer_params['mlp_ln']['b']))
+        return h, qk
+
+    x, cross_qks = jax.lax.scan(block, x, params['blocks'])
+    x = layer_norm(x, params['ln']['g'], params['ln']['b'])
+    logits = jnp.dot(x, params['token_emb'].T,
+                     preferred_element_type=jnp.float32)
+    return logits, cross_qks
+
+
+@partial(jax.jit, static_argnames=('n_head',))
+def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
+                 cross_kv: Params, kv_cache: Params, n_head: int):
+    """One incremental decode step with a fixed-size KV cache.
+
+    tokens: (batch, 1) int32 — tokens at position ``pos``.
+    pos: scalar int32 — current position (same across batch).
+    cross_kv: {'k','v'} (n_layers, batch, 1500, d) precomputed.
+    kv_cache: {'k','v'} (n_layers, batch, n_text_ctx, d).
+    Returns (logits (batch, n_vocab), updated kv_cache).
+    """
+    x = params['token_emb'][tokens] + jax.lax.dynamic_slice_in_dim(
+        params['pos_emb'], pos, 1, axis=0)
+    x = x.astype(params['token_emb'].dtype)
+    n_ctx = kv_cache['k'].shape[2]
+    # Mask future positions: position j is valid iff j <= pos.
+    valid = (jnp.arange(n_ctx)[None, :] <= pos)
+    self_mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)[None, :]
+
+    def block(carry, scanned):
+        h = carry
+        layer_params, layer_cross_kv, layer_cache = scanned
+        q_in = layer_norm(h, layer_params['attn_ln']['g'], layer_params['attn_ln']['b'])
+        new_k = linear(q_in, layer_params['attn']['k']['w'])
+        new_v = linear(q_in, layer_params['attn']['v']['w'], layer_params['attn']['v']['b'])
+        k_cache = jax.lax.dynamic_update_slice_in_dim(layer_cache[0], new_k, pos, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(layer_cache[1], new_v, pos, axis=1)
+        attn_out, _, _ = _mha(layer_params['attn'], q_in, None, n_head,
+                              mask=self_mask, kv_override=(k_cache, v_cache))
+        h = h + attn_out
+        cross_out, _, _ = _mha(
+            layer_params['cross_attn'],
+            layer_norm(h, layer_params['cross_attn_ln']['g'],
+                       layer_params['cross_attn_ln']['b']),
+            None, n_head, kv_override=layer_cross_kv)
+        h = h + cross_out
+        h = h + _mlp(layer_params['mlp'],
+                     layer_norm(h, layer_params['mlp_ln']['g'],
+                                layer_params['mlp_ln']['b']))
+        return h, (k_cache, v_cache)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        block, x,
+        (params['blocks'],
+         (cross_kv['k'], cross_kv['v']),
+         (kv_cache['k'], kv_cache['v'])))
+    x = layer_norm(x, params['ln']['g'], params['ln']['b'])
+    logits = jnp.dot(x[:, 0], params['token_emb'].T,
+                     preferred_element_type=jnp.float32)
+    return logits, {'k': new_k, 'v': new_v}
+
+
+def init_kv_cache(dims: ModelDimensions, batch: int, dtype=jnp.float32) -> Params:
+    shape = (dims.n_text_layer, batch, dims.n_text_ctx, dims.n_text_state)
+    return {'k': jnp.zeros(shape, dtype), 'v': jnp.zeros(shape, dtype)}
+
+
+# -- parameter initialization (synthetic checkpoints for tests/bench) ----------------------
+
+def _init_linear(key, d_in, d_out, bias=True, dtype=jnp.float32):
+    k1, _ = jax.random.split(key)
+    w = jax.random.normal(k1, (d_in, d_out), dtype) * (d_in ** -0.5)
+    out = {'w': w}
+    if bias:
+        out['b'] = jnp.zeros((d_out,), dtype)
+    return out
+
+
+def _init_attn(key, d, dtype):
+    ks = jax.random.split(key, 4)
+    return {
+        'q': _init_linear(ks[0], d, d, dtype=dtype),
+        'k': _init_linear(ks[1], d, d, bias=False, dtype=dtype),
+        'v': _init_linear(ks[2], d, d, dtype=dtype),
+        'out': _init_linear(ks[3], d, d, dtype=dtype),
+    }
+
+
+def _init_ln(d, dtype):
+    return {'g': jnp.ones((d,), dtype), 'b': jnp.zeros((d,), dtype)}
+
+
+def _stack_layers(layer_list):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layer_list)
+
+
+def init_params(dims: ModelDimensions, seed: int = 0, dtype=jnp.float32) -> Params:
+    """Random-weight model (for tests and compute benchmarks: the FLOP cost
+    is identical to trained weights)."""
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, 16)
+    d_a, d_t = dims.n_audio_state, dims.n_text_state
+
+    def enc_block(k):
+        k1, k2 = jax.random.split(k)
+        return {
+            'attn_ln': _init_ln(d_a, dtype),
+            'attn': _init_attn(k1, d_a, dtype),
+            'mlp_ln': _init_ln(d_a, dtype),
+            'mlp': {'fc1': _init_linear(k2, d_a, 4 * d_a, dtype=dtype),
+                    'fc2': _init_linear(k2, 4 * d_a, d_a, dtype=dtype)},
+        }
+
+    def dec_block(k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        return {
+            'attn_ln': _init_ln(d_t, dtype),
+            'attn': _init_attn(k1, d_t, dtype),
+            'cross_attn_ln': _init_ln(d_t, dtype),
+            'cross_attn': _init_attn(k2, d_t, dtype),
+            'mlp_ln': _init_ln(d_t, dtype),
+            'mlp': {'fc1': _init_linear(k3, d_t, 4 * d_t, dtype=dtype),
+                    'fc2': _init_linear(k3, 4 * d_t, d_t, dtype=dtype)},
+        }
+
+    enc_keys = jax.random.split(keys[0], dims.n_audio_layer)
+    dec_keys = jax.random.split(keys[1], dims.n_text_layer)
+    encoder = {
+        'conv1': {'w': jax.random.normal(keys[2], (3, dims.n_mels, d_a), dtype) * 0.02,
+                  'b': jnp.zeros((d_a,), dtype)},
+        'conv2': {'w': jax.random.normal(keys[3], (3, d_a, d_a), dtype) * 0.02,
+                  'b': jnp.zeros((d_a,), dtype)},
+        'pos_emb': jnp.asarray(sinusoids(dims.n_audio_ctx, d_a), dtype),
+        'blocks': _stack_layers([enc_block(k) for k in enc_keys]),
+        'ln_post': _init_ln(d_a, dtype),
+    }
+    decoder = {
+        'token_emb': jax.random.normal(keys[4], (dims.n_vocab, d_t), dtype) * 0.02,
+        'pos_emb': jax.random.normal(keys[5], (dims.n_text_ctx, d_t), dtype) * 0.01,
+        'blocks': _stack_layers([dec_block(k) for k in dec_keys]),
+        'ln': _init_ln(d_t, dtype),
+    }
+    return {'encoder': encoder, 'decoder': decoder}
+
+
+def tiny_test_dims(n_vocab: int = 1864) -> ModelDimensions:
+    # 1864 = 256 byte tokens + 1608 specials (2 + 99 langs + 6 + 1501 timestamps),
+    # i.e. the synthetic tokenizer's layout.
+    """A miniature config for fast offline tests (not a real checkpoint size)."""
+    return ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=2, n_vocab=n_vocab, n_text_ctx=448, n_text_state=64,
+        n_text_head=2, n_text_layer=2)
