@@ -1,0 +1,374 @@
+"""Batched Whisper decoding on TPU.
+
+Counterpart of whisper's DecodingTask plus the reference's additions
+(/root/reference/stable_whisper/decode.py): cached audio features across
+temperature retries and per-step timestamp-token suppression from a silence
+mask (decode.py:14,54).
+
+TPU-first design: the whole sampling loop is ONE jitted ``lax.while_loop``
+over a fixed-size token buffer + KV cache — static shapes, early exit when
+every batch row has emitted EOT. All logit filters (suppress lists, blank
+suppression, Whisper's timestamp grammar, the silence timestamp mask) are
+vectorized over the batch inside the loop; the sequence-dependent parts of
+the timestamp grammar are tracked incrementally as (last, penultimate,
+max-timestamp) state vectors instead of re-scanning the sequence, which is
+equivalent because sampled timestamps are non-decreasing by construction.
+Greedy and temperature sampling (+ best_of candidate selection) run in the
+same loop; beam search is not yet implemented.
+"""
+import zlib
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .model import (ModelDimensions, decoder_prefill, decoder_step, encoder_apply,
+                    init_kv_cache, precompute_cross_kv)
+from .tokenizer import WhisperTokenizer
+
+_NEG = jnp.float32(-1e9)
+
+
+@dataclass
+class DecodingOptions:
+    task: str = 'transcribe'
+    language: Optional[str] = None
+    temperature: float = 0.0
+    sample_len: Optional[int] = None
+    best_of: Optional[int] = None
+    beam_size: Optional[int] = None          # not yet implemented
+    patience: Optional[float] = None
+    length_penalty: Optional[float] = None
+    prompt: Optional[Union[str, List[int]]] = None
+    prefix: Optional[Union[str, List[int]]] = None
+    suppress_tokens: Optional[Union[str, Sequence[int]]] = '-1'
+    suppress_blank: bool = True
+    without_timestamps: bool = False
+    max_initial_timestamp: Optional[float] = 1.0
+
+
+@dataclass
+class DecodingResult:
+    audio_features: Optional[jnp.ndarray]
+    language: str
+    language_probs: Optional[dict] = None
+    tokens: List[int] = field(default_factory=list)
+    text: str = ''
+    avg_logprob: float = np.nan
+    no_speech_prob: float = np.nan
+    temperature: float = np.nan
+    compression_ratio: float = np.nan
+
+
+def compression_ratio(text: str) -> float:
+    text_bytes = text.encode('utf-8')
+    if not text_bytes:
+        return 0.0
+    return len(text_bytes) / len(zlib.compress(text_bytes))
+
+
+# -- token preparation (host side, cheap) ------------------------------------------------
+
+
+def build_suppress_list(tokenizer: WhisperTokenizer,
+                        options: DecodingOptions) -> List[int]:
+    suppress = options.suppress_tokens
+    if isinstance(suppress, str):
+        suppress = [int(t) for t in suppress.split(',')] if suppress else []
+    else:
+        suppress = list(suppress) if suppress is not None else []
+    if -1 in suppress:
+        suppress = [t for t in suppress if t >= 0]
+        suppress.extend(tokenizer.non_speech_tokens)
+    suppress.extend([tokenizer.transcribe, tokenizer.translate, tokenizer.sot,
+                     tokenizer.sot_prev, tokenizer.sot_lm])
+    if tokenizer.no_speech is not None:
+        suppress.append(tokenizer.no_speech)
+    return sorted(set(suppress))
+
+
+def build_initial_tokens(tokenizer: WhisperTokenizer, options: DecodingOptions,
+                         n_text_ctx: int) -> Tuple[List[int], int, int]:
+    """Return (initial_tokens, sot_index, sample_begin)."""
+    tokens = list(tokenizer.sot_sequence)
+    if options.without_timestamps:
+        tokens.append(tokenizer.no_timestamps)
+    if options.prefix is not None:
+        prefix = (tokenizer.encode(' ' + options.prefix.strip())
+                  if isinstance(options.prefix, str) else list(options.prefix))
+        if options.sample_len is not None:
+            prefix = prefix[-(n_text_ctx // 2 - options.sample_len):]
+        tokens = tokens + prefix
+    sot_index = 0
+    if options.prompt is not None:
+        prompt = (tokenizer.encode(' ' + options.prompt.strip())
+                  if isinstance(options.prompt, str) else list(options.prompt))
+        prompt_tokens = [tokenizer.sot_prev] + prompt[-(n_text_ctx // 2 - 1):]
+        tokens = prompt_tokens + tokens
+        sot_index = len(prompt_tokens)
+    sot_index = tokens.index(tokenizer.sot)
+    sample_begin = len(tokens)
+    return tokens, sot_index, sample_begin
+
+
+# -- the jitted sampling loop ----------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=(
+    'n_head', 'sample_begin', 'sample_len', 'n_text_ctx', 'eot', 'ts_begin',
+    'n_vocab', 'max_initial_ts_index', 'suppress_blank', 'without_timestamps',
+    'temperature'))
+def _sample_loop(params, cross_kv, kv_cache, init_logits, tokens_init, rng,
+                 suppress_mask, blank_mask, ts_silence_mask,
+                 n_head: int, sample_begin: int, sample_len: int,
+                 n_text_ctx: int, eot: int, ts_begin: int, n_vocab: int,
+                 max_initial_ts_index: int, suppress_blank: bool,
+                 without_timestamps: bool, temperature: float):
+    """Run the sampling loop.
+
+    init_logits: (B, V) logits at the last prefill position.
+    tokens_init: (B, n_text_ctx) buffer containing the initial tokens.
+    suppress_mask: (V,) additive mask (0 or -1e9) applied at every step.
+    blank_mask: (V,) additive mask applied only at the first sampled step.
+    ts_silence_mask: (B, V) additive mask for silence-suppressed timestamp
+        tokens (zeros when unused).
+    Returns (tokens (B, n_text_ctx), sum_logprobs (B,), n_sampled).
+    """
+    batch = init_logits.shape[0]
+    vocab_ids = jnp.arange(n_vocab)
+    is_ts = vocab_ids >= ts_begin
+    is_text = vocab_ids < ts_begin
+
+    def apply_filters(logits, i, last_tok, penult_tok, max_ts):
+        logits = logits + suppress_mask + ts_silence_mask
+        if suppress_blank:
+            logits = jnp.where(i == 0, logits + blank_mask, logits)
+        if without_timestamps:
+            return logits
+        # -- Whisper timestamp grammar, vectorized over the batch --
+        last_was_ts = last_tok >= ts_begin
+        penult_was_ts = (i < 2) | (penult_tok >= ts_begin)
+        # After a lone timestamp: only another timestamp or EOT.
+        text_ban = last_was_ts & ~penult_was_ts
+        # After a timestamp pair: no timestamps until text appears.
+        ts_ban = last_was_ts & penult_was_ts
+        logits = jnp.where(ts_ban[:, None] & is_ts[None, :], _NEG, logits)
+        logits = jnp.where(text_ban[:, None] & (vocab_ids < eot)[None, :], _NEG,
+                           logits)
+        # Timestamps must be non-decreasing (strictly increasing after pairs).
+        has_ts = max_ts >= 0
+        ts_floor = jnp.where(text_ban, max_ts, max_ts + 1)
+        below_floor = vocab_ids[None, :] < (ts_begin + ts_floor)[:, None]
+        logits = jnp.where((has_ts[:, None]) & below_floor & is_ts[None, :],
+                           _NEG, logits)
+        # First sampled token must be a timestamp within max_initial_timestamp.
+        first = i == 0
+        logits = jnp.where(first & is_text[None, :], _NEG, logits)
+        if max_initial_ts_index >= 0:
+            too_late = vocab_ids[None, :] > (ts_begin + max_initial_ts_index)
+            logits = jnp.where(first & too_late, _NEG, logits)
+        # If total timestamp probability beats any text token, force timestamp.
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        ts_logprob = jax.nn.logsumexp(
+            jnp.where(is_ts[None, :], logprobs, _NEG), axis=-1)
+        max_text_logprob = jnp.max(
+            jnp.where(is_text[None, :], logprobs, _NEG), axis=-1)
+        force_ts = ts_logprob > max_text_logprob
+        logits = jnp.where(force_ts[:, None] & is_text[None, :], _NEG, logits)
+        return logits
+
+    def cond(state):
+        i, _, _, _, _, finished, _, _, _, _ = state
+        return (i < sample_len) & ~jnp.all(finished)
+
+    def body(state):
+        (i, tokens, logits, kv, sum_logprobs, finished, last_tok, penult_tok,
+         max_ts, key) = state
+        filtered = apply_filters(logits, i, last_tok, penult_tok, max_ts)
+        logprobs = jax.nn.log_softmax(filtered, axis=-1)
+        if temperature == 0.0:
+            next_tok = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
+        else:
+            key, sub = jax.random.split(key)
+            next_tok = jax.random.categorical(
+                sub, filtered / temperature, axis=-1).astype(jnp.int32)
+        tok_logprob = jnp.take_along_axis(
+            logprobs, next_tok[:, None], axis=-1)[:, 0]
+        sum_logprobs = sum_logprobs + jnp.where(finished, 0.0, tok_logprob)
+        next_tok = jnp.where(finished, eot, next_tok)
+        pos = sample_begin + i
+        tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None],
+                                              (0, pos))
+        new_finished = finished | (next_tok == eot)
+        new_max_ts = jnp.where(
+            ~finished & (next_tok >= ts_begin),
+            jnp.maximum(max_ts, next_tok - ts_begin), max_ts)
+        new_logits, kv = decoder_step(params, next_tok[:, None], pos, cross_kv,
+                                      kv, n_head)
+        return (i + 1, tokens, new_logits, kv, sum_logprobs, new_finished,
+                next_tok, last_tok, new_max_ts, key)
+
+    init_state = (
+        jnp.int32(0), tokens_init, init_logits, kv_cache,
+        jnp.zeros((batch,), jnp.float32),
+        jnp.zeros((batch,), bool),
+        jnp.full((batch,), -1, jnp.int32),
+        jnp.full((batch,), -1, jnp.int32),
+        jnp.full((batch,), -1, jnp.int32),
+        rng,
+    )
+    (n_sampled, tokens, _, _, sum_logprobs, *_rest) = jax.lax.while_loop(
+        cond, body, init_state)
+    return tokens, sum_logprobs, n_sampled
+
+
+# -- public API -----------------------------------------------------------------------------
+
+
+def detect_language(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
+                    mel_or_features: jnp.ndarray):
+    """Return (language_codes, probs_per_row) for a batch of windows."""
+    xa = _audio_features(params, dims, mel_or_features)
+    tokens = jnp.full((xa.shape[0], 1), tokenizer.sot, jnp.int32)
+    from .model import decoder_apply
+    logits, _ = decoder_apply(params['decoder'], tokens, xa, dims.n_text_head)
+    logits = np.asarray(logits[:, 0])  # (B, V)
+    mask = np.full(logits.shape[-1], -np.inf)
+    lang_tokens = np.asarray(tokenizer.all_language_tokens)
+    mask[lang_tokens] = 0.0
+    logits = logits + mask
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    langs, prob_maps = [], []
+    for row in probs:
+        best = lang_tokens[row[lang_tokens].argmax()]
+        code = tokenizer.all_language_codes[list(lang_tokens).index(best)]
+        langs.append(code)
+        prob_maps.append({c: float(row[t]) for c, t in
+                          zip(tokenizer.all_language_codes, lang_tokens)})
+    return langs, prob_maps
+
+
+def _audio_features(params, dims: ModelDimensions, mel_or_features):
+    x = jnp.asarray(mel_or_features)
+    if x.ndim == 2:
+        x = x[None]
+    if x.shape[-2] == dims.n_mels:  # it's a mel, encode it
+        return encoder_apply(params['encoder'], x, dims.n_audio_head)
+    return x
+
+
+def decode(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
+           mel_or_features, options: DecodingOptions = DecodingOptions(),
+           ts_silence_mask: Optional[np.ndarray] = None,
+           rng: Optional[jax.Array] = None) -> List[DecodingResult]:
+    """Decode a batch of 30-s windows. Returns one DecodingResult per row.
+
+    ``ts_silence_mask``: optional bool (B, 1501) — True marks timestamp
+    tokens to suppress (the reference's silence-mask rule, decode.py:54).
+    """
+    if options.beam_size is not None:
+        raise NotImplementedError('beam search is not implemented yet; '
+                                  'use greedy/temperature decoding')
+    xa = _audio_features(params, dims, mel_or_features)
+    batch = xa.shape[0]
+
+    n_group = options.best_of if (options.best_of and options.temperature > 0) else 1
+    if n_group > 1:
+        xa_rep = jnp.repeat(xa, n_group, axis=0)
+    else:
+        xa_rep = xa
+
+    initial_tokens, sot_index, sample_begin = build_initial_tokens(
+        tokenizer, options, dims.n_text_ctx)
+    sample_len = options.sample_len or (dims.n_text_ctx // 2)
+    sample_len = min(sample_len, dims.n_text_ctx - sample_begin - 1)
+
+    suppress = np.zeros(dims.n_vocab, np.float32)
+    suppress[build_suppress_list(tokenizer, options)] = -1e9
+    suppress[tokenizer.no_timestamps] = -1e9
+    blank = np.zeros(dims.n_vocab, np.float32)
+    blank[tokenizer.encode(' ') + [tokenizer.eot]] = -1e9
+
+    full_batch = batch * n_group
+    ts_mask_arr = np.zeros((full_batch, dims.n_vocab), np.float32)
+    if ts_silence_mask is not None:
+        sm = np.asarray(ts_silence_mask, bool)
+        if sm.ndim == 1:
+            sm = sm[None].repeat(batch, 0)
+        sm = np.repeat(sm, n_group, axis=0)
+        width = min(sm.shape[-1], dims.n_vocab - tokenizer.timestamp_begin)
+        ts_mask_arr[:, tokenizer.timestamp_begin:tokenizer.timestamp_begin + width] = \
+            np.where(sm[:, :width], -1e9, 0.0)
+
+    if options.max_initial_timestamp and not options.without_timestamps:
+        max_initial_ts_index = round(options.max_initial_timestamp / 0.02)
+    else:
+        max_initial_ts_index = -1
+
+    # Prefill: forward the initial tokens once, filling the KV cache.
+    tokens0 = jnp.asarray(initial_tokens, jnp.int32)[None].repeat(full_batch, 0)
+    prefill_logits, kv_cache = decoder_prefill(
+        params['decoder'], tokens0, xa_rep, dims.n_text_head, dims.n_text_ctx)
+    cross_kv = precompute_cross_kv(params['decoder'], xa_rep)
+
+    sot_logits = prefill_logits[:, sot_index]
+    no_speech_probs = np.asarray(
+        jax.nn.softmax(sot_logits, axis=-1)[:, tokenizer.no_speech])
+
+    tokens_buf = jnp.zeros((full_batch, dims.n_text_ctx), jnp.int32)
+    tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, tokens0, (0, 0))
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    tokens_out, sum_logprobs, _ = _sample_loop(
+        params['decoder'], cross_kv, kv_cache, prefill_logits[:, -1],
+        tokens_buf, rng,
+        jnp.asarray(suppress), jnp.asarray(blank), jnp.asarray(ts_mask_arr),
+        n_head=dims.n_text_head, sample_begin=sample_begin,
+        sample_len=int(sample_len), n_text_ctx=dims.n_text_ctx,
+        eot=tokenizer.eot, ts_begin=tokenizer.timestamp_begin,
+        n_vocab=dims.n_vocab,
+        max_initial_ts_index=max_initial_ts_index,
+        suppress_blank=options.suppress_blank,
+        without_timestamps=options.without_timestamps,
+        temperature=float(options.temperature))
+
+    tokens_np = np.asarray(tokens_out)
+    sum_logprobs = np.asarray(sum_logprobs)
+
+    # Candidate selection (best_of) by length-normalized logprob.
+    results = []
+    language = tokenizer.language or 'en'
+    for b in range(batch):
+        rows = range(b * n_group, (b + 1) * n_group)
+        best_row, best_score, best_tokens = None, -np.inf, None
+        for r in rows:
+            seq = tokens_np[r, sample_begin:sample_begin + sample_len]
+            eot_pos = np.flatnonzero(seq == tokenizer.eot)
+            seq = seq[:eot_pos[0]] if len(eot_pos) else seq
+            n = len(seq) + 1
+            if options.length_penalty is None:
+                score = sum_logprobs[r] / n
+            else:
+                score = sum_logprobs[r] / (((5 + n) / 6) ** options.length_penalty)
+            if score > best_score:
+                best_row, best_score, best_tokens = r, score, seq
+        text_tokens = [int(t) for t in best_tokens]
+        text = tokenizer.decode([t for t in text_tokens if t < tokenizer.eot]).strip()
+        avg_logprob = sum_logprobs[best_row] / (len(best_tokens) + 1)
+        results.append(DecodingResult(
+            audio_features=xa[b],
+            language=language,
+            tokens=text_tokens,
+            text=text,
+            avg_logprob=float(avg_logprob),
+            no_speech_prob=float(no_speech_probs[best_row]),
+            temperature=options.temperature,
+            compression_ratio=compression_ratio(text),
+        ))
+    return results

@@ -284,6 +284,48 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     return logits, {'k': new_k, 'v': new_v}
 
 
+@partial(jax.jit, static_argnames=('n_head', 'n_text_ctx'))
+def decoder_prefill(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
+                    n_head: int, n_text_ctx: int):
+    """Teacher-forced forward over the initial tokens that also fills the
+    fixed-size KV cache (positions [0, n_tok)) for subsequent decoder_step.
+
+    Returns (logits (batch, n_tok, n_vocab), kv_cache dict).
+    """
+    b, n_tok = tokens.shape
+    x = params['token_emb'][tokens] + params['pos_emb'][:n_tok]
+    x = x.astype(params['token_emb'].dtype)
+    causal = jnp.triu(jnp.full((n_tok, n_tok), -jnp.inf, jnp.float32), k=1)
+    d = params['token_emb'].shape[1]
+
+    def block(carry, layer_params):
+        h = carry
+        q_in = layer_norm(h, layer_params['attn_ln']['g'], layer_params['attn_ln']['b'])
+        k = linear(q_in, layer_params['attn']['k']['w'])
+        v = linear(q_in, layer_params['attn']['v']['w'], layer_params['attn']['v']['b'])
+        attn_out, _, _ = _mha(layer_params['attn'], q_in, None, n_head,
+                              mask=causal, kv_override=(k, v))
+        h = h + attn_out
+        cross_out, _, _ = _mha(
+            layer_params['cross_attn'],
+            layer_norm(h, layer_params['cross_attn_ln']['g'],
+                       layer_params['cross_attn_ln']['b']),
+            xa, n_head)
+        h = h + cross_out
+        h = h + _mlp(layer_params['mlp'],
+                     layer_norm(h, layer_params['mlp_ln']['g'],
+                                layer_params['mlp_ln']['b']))
+        pad = n_text_ctx - n_tok
+        k_full = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        v_full = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+        return h, (k_full, v_full)
+
+    x, (k_cache, v_cache) = jax.lax.scan(block, x, params['blocks'])
+    x = layer_norm(x, params['ln']['g'], params['ln']['b'])
+    logits = jnp.dot(x, params['token_emb'].T, preferred_element_type=jnp.float32)
+    return logits, {'k': k_cache, 'v': v_cache}
+
+
 def init_kv_cache(dims: ModelDimensions, batch: int, dtype=jnp.float32) -> Params:
     shape = (dims.n_text_layer, batch, dims.n_text_ctx, dims.n_text_state)
     return {'k': jnp.zeros(shape, dtype), 'v': jnp.zeros(shape, dtype)}

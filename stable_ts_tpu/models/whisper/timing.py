@@ -1,0 +1,473 @@
+"""Word-level timestamps from cross-attention + DTW.
+
+Behavioral counterpart of /root/reference/stable_whisper/timing.py
+(find_alignment_stable:202, add_word_timestamps_stable:411), redesigned
+hook-free for JAX: ONE teacher-forced decoder pass returns all-layer
+cross-attention QK logits as aux outputs (model.py decoder_apply), the
+alignment matrix is reduced on device, the DTW cost matrix is computed with
+the vectorized scan kernel, and only the small cost matrix crosses back to
+host for the serial traceback.
+
+Three head-selection modes (mirroring the reference):
+- 'legacy' + explicit alignment_heads: softmax the chosen (layer, head) QK
+  rows (timing.py:105-107).
+- 'legacy' + dynamic heads: per-token top-k heads scored by distance of
+  their attention peaks to jump estimates, optionally iterated
+  (timing.py:87-103, 254-265).
+- 'new': head scoring by column/row norms + coverage penalty
+  (arXiv 2509.09987; timing.py:115-163).
+"""
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from itertools import chain
+
+from .model import ModelDimensions, decoder_apply, encoder_apply
+from .tokenizer import WhisperTokenizer
+from ...constants import N_SAMPLES_PER_TOKEN, TOKENS_PER_SECOND
+from ...ops.dtw import dtw_cost_jax, _traceback_from_cost
+from ...ops.median import median_filter
+
+
+@dataclass
+class WordTimingRaw:
+    word: Optional[str]
+    tokens: List[int]
+    start: float
+    end: float
+    probability: float
+
+
+def compute_qks_and_probs(params, dims: ModelDimensions,
+                          tokenizer: WhisperTokenizer,
+                          text_tokens: Sequence[int],
+                          mel: Optional[jnp.ndarray] = None,
+                          audio_features: Optional[jnp.ndarray] = None):
+    """One teacher-forced pass -> (qks (L, H, T, 1500) f32, text_token_probs).
+
+    Replaces the reference's forward hooks (timing.py:50-57) with explicit
+    aux outputs.
+    """
+    if audio_features is None:
+        assert mel is not None, 'need mel or audio_features'
+        mel = jnp.asarray(mel)
+        if mel.ndim == 2:
+            mel = mel[None]
+        audio_features = encoder_apply(params['encoder'], mel, dims.n_audio_head)
+    tokens = [*tokenizer.sot_sequence, tokenizer.no_timestamps,
+              *text_tokens, tokenizer.eot]
+    tokens_arr = jnp.asarray(tokens, jnp.int32)[None]
+    logits, qks = decoder_apply(params['decoder'], tokens_arr, audio_features,
+                                dims.n_text_head, capture_qk=True)
+    sot_len = len(tokenizer.sot_sequence)
+    sampled_logits = logits[0, sot_len:, :tokenizer.eot]
+    token_probs = jax.nn.softmax(sampled_logits, axis=-1)
+    text_token_probs = np.asarray(
+        token_probs[np.arange(len(text_tokens)), np.asarray(text_tokens)])
+    # qks: (L, 1, H, T, 1500) -> (L, H, T, 1500)
+    return qks[:, 0], text_token_probs.tolist(), audio_features
+
+
+@partial(jax.jit, static_argnames=('medfilt_width', 'sot_len'))
+def _legacy_head_weights(qks_sel: jnp.ndarray, max_qk_len: int, sot_len: int,
+                         qk_scale: float, medfilt_width: int) -> jnp.ndarray:
+    """qks_sel: (n_sel_heads, T, 1500) already gathered (layer, head) rows."""
+    w = qks_sel[:, sot_len:-1, :]
+    mask = jnp.arange(w.shape[-1])[None, None, :] < max_qk_len
+    w = jnp.where(mask, w * qk_scale, -jnp.inf)
+    w = jax.nn.softmax(w, axis=-1)
+    w = jnp.where(mask, w, 0.0)
+    std = jnp.std(w, axis=-2, keepdims=True)
+    mean = jnp.mean(w, axis=-2, keepdims=True)
+    w = (w - mean) / std
+    return median_filter(w, medfilt_width)
+
+
+def _dynamic_head_weights(qks: np.ndarray, sot_len: int, max_qk_len: int,
+                          qk_scale: float, medfilt_width: int,
+                          heads_count: int,
+                          jump_indices: Optional[np.ndarray]) -> np.ndarray:
+    """Reference's dynamic head selection (timing.py:87-103), NumPy host-side
+    on the cropped (L*H, T_text, max_qk_len) tensor."""
+    L, H, T, F = qks.shape
+    heads_count = min(heads_count, L * H)
+    w = qks.reshape(L * H, T, F)[:, sot_len:-1, :max_qk_len]
+    w = w * qk_scale
+    w = np.exp(w - w.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    if jump_indices is None:
+        peaks = w.argmax(-1, keepdims=True).astype(np.float64)  # (LH, T', 1)
+    else:
+        ji = np.pad(jump_indices, (0, 1), constant_values=max_qk_len)
+        peaks = (ji[:-1] + (ji[1:] - ji[:-1]) * 0.5)[None, :, None]
+    distances = np.abs(peaks - np.arange(w.shape[-1])[None, None, :]) / 1500
+    scores = (distances * w).sum(-1)  # (LH, T')
+    n_text = w.shape[1]
+    selected = np.empty((heads_count, n_text, w.shape[-1]), dtype=w.dtype)
+    for i in range(n_text):
+        head_idx = np.argsort(scores[:, i])[:heads_count]
+        selected[:, i] = w[head_idx, i]
+    std = selected.std(axis=-2, keepdims=True)
+    mean = selected.mean(axis=-2, keepdims=True)
+    selected = (selected - mean) / std
+    return _np_median_filter(selected, medfilt_width)
+
+
+def _np_median_filter(x: np.ndarray, width: int) -> np.ndarray:
+    if width <= 1 or x.shape[-1] <= width // 2:
+        return x
+    pad = width // 2
+    padded = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode='reflect')
+    windows = np.stack([padded[..., i:i + x.shape[-1]] for i in range(width)],
+                       axis=-1)
+    return np.median(windows, axis=-1)
+
+
+@partial(jax.jit, static_argnames=('medfilt_width', 'sot_len', 'topk',
+                                   'w_colnorm', 'w_rownorm', 'w_coverage'))
+def _new_aligner_matrix(qks: jnp.ndarray, max_qk_len: int, sot_len: int,
+                        qk_scale: float, medfilt_width: int, topk: int,
+                        w_colnorm: float, w_rownorm: float,
+                        w_coverage: float) -> jnp.ndarray:
+    """'new' aligner (arXiv 2509.09987): score all heads by col/row norms,
+    average the top-k col-normalized matrices. qks: (L, H, T, 1500)."""
+    L, H, T, F = qks.shape
+    mask = jnp.arange(F)[None, None, :] < max_qk_len
+    w = qks.reshape(L * H, T, F)
+    w = median_filter(w, medfilt_width)
+    w = jnp.where(mask, w * qk_scale, -jnp.inf)
+    w = jax.nn.softmax(w, axis=-1)
+    w = jnp.where(mask, w, 0.0)
+    scores = jnp.zeros(L * H)
+    if w_colnorm > 0:
+        scores = scores + w_colnorm * jnp.linalg.norm(w, axis=-2).sum(-1)
+    if w_rownorm > 0:
+        scores = scores + w_rownorm * jnp.linalg.norm(w, axis=-1).sum(-1)
+    if w_coverage > 0:
+        coverage = jnp.sum(w, axis=1)  # (LH, F)
+        penalty = jnp.maximum(coverage, 0.5).sum(-1) - coverage.shape[-1] * 0.5
+        scores = scores - w_coverage * penalty
+    top_idxs = jax.lax.top_k(scores, topk)[1]
+    matrix = w[top_idxs]
+    col_norm = jnp.linalg.norm(matrix, axis=-2, keepdims=True)
+    matrix = jnp.mean(matrix / jnp.where(col_norm == 0, 1.0, col_norm), axis=0)
+    return matrix[sot_len:-1]
+
+
+def find_alignment(
+        params,
+        dims: ModelDimensions,
+        tokenizer: WhisperTokenizer,
+        text_tokens: List[int],
+        mel: Optional[jnp.ndarray],
+        num_samples: int,
+        *,
+        medfilt_width: int = 7,
+        qk_scale: float = 1.0,
+        token_split=None,
+        audio_features: Optional[jnp.ndarray] = None,
+        alignment_heads: Optional[Sequence[Tuple[int, int]]] = None,
+        dynamic_heads: Optional[Union[bool, int, str]] = None,
+        aligner: Union[str, dict] = 'legacy',
+) -> List[WordTimingRaw]:
+    """Align ``text_tokens`` to audio; return per-word raw timings.
+
+    Counterpart of find_alignment_stable (reference timing.py:202). When no
+    ``alignment_heads`` are given and ``dynamic_heads`` is unset, dynamic
+    selection with 6 heads is used (the reference's missing-heads fallback,
+    timing.py:85-86).
+    """
+    assert isinstance(aligner, dict) or aligner in ('new', 'legacy'), \
+        f'aligner must be "new"/"legacy", got {aligner!r}'
+
+    if token_split is None:
+        words, word_tokens = tokenizer.split_to_word_tokens(
+            list(text_tokens) + [tokenizer.eot])
+    else:
+        words, word_tokens = token_split
+        words = list(words) + [tokenizer.decode([tokenizer.eot])]
+        word_tokens = list(word_tokens) + [[tokenizer.eot]]
+    word_boundaries = np.pad(np.cumsum([len(t) for t in word_tokens[:-1]]), (1, 0))
+
+    qks, text_token_probs, audio_features = compute_qks_and_probs(
+        params, dims, tokenizer, text_tokens, mel=mel,
+        audio_features=audio_features)
+
+    # Rows kept: [no_timestamps, text...] (T+1 rows) so every word boundary
+    # (including the final end) has a jump time — matches reference
+    # timing.py:90 slicing from len(sot_sequence).
+    sot_len = len(tokenizer.sot_sequence)
+    max_qk_len = round(num_samples / N_SAMPLES_PER_TOKEN)
+
+    # Resolve head-selection mode.
+    use_new = aligner != 'legacy'
+    new_kwargs = dict(topk=20, w_colnorm=1.0, w_rownorm=1.0, w_coverage=0.0)
+    if isinstance(aligner, dict):
+        new_kwargs.update(aligner)
+        use_new = True
+    dynamic_iterations = None
+    if not use_new:
+        if dynamic_heads is None and alignment_heads is None:
+            dynamic_heads = True
+        if dynamic_heads:
+            if dynamic_heads is True:
+                dynamic_count = 6
+            elif isinstance(dynamic_heads, int):
+                dynamic_count = dynamic_heads
+            else:
+                parts = str(dynamic_heads).split(',')
+                dynamic_count = int(parts[0])
+                dynamic_iterations = int(parts[1])
+        else:
+            dynamic_count = None
+
+    if use_new:
+        matrix = np.asarray(_new_aligner_matrix(
+            qks, max_qk_len, sot_len, qk_scale,
+            medfilt_width=medfilt_width,
+            topk=min(int(new_kwargs['topk']),
+                     dims.n_text_layer * dims.n_text_head),
+            w_colnorm=float(new_kwargs['w_colnorm']),
+            w_rownorm=float(new_kwargs['w_rownorm']),
+            w_coverage=float(new_kwargs['w_coverage'])))
+        jump_indices = _matrix_to_jumps(matrix)
+    elif dynamic_count:
+        qks_np = np.asarray(qks, dtype=np.float32)
+        jump_indices = None
+        for _ in range(dynamic_iterations or 1):
+            weights = _dynamic_head_weights(
+                qks_np, sot_len, max_qk_len, qk_scale, medfilt_width,
+                dynamic_count, jump_indices)
+            matrix = weights.mean(axis=0)
+            jump_indices = _matrix_to_jumps(matrix)
+    else:
+        heads = np.asarray(alignment_heads)
+        qks_sel = qks[heads[:, 0], heads[:, 1]]  # (n_heads, T, 1500)
+        weights = np.asarray(_legacy_head_weights(
+            qks_sel, max_qk_len, sot_len, qk_scale, medfilt_width))
+        matrix = weights.mean(axis=0)
+        jump_indices = _matrix_to_jumps(matrix)
+
+    jump_times = jump_indices / TOKENS_PER_SECOND
+    start_times = jump_times[word_boundaries[:-1]]
+    end_times = jump_times[word_boundaries[1:]]
+    word_probabilities = [
+        float(np.mean(text_token_probs[i:j]))
+        for i, j in zip(word_boundaries[:-1], word_boundaries[1:])
+    ]
+    return [
+        WordTimingRaw(word, tokens, float(start), float(end), probability)
+        for word, tokens, start, end, probability in zip(
+            words, word_tokens, start_times, end_times, word_probabilities)
+    ]
+
+
+def _matrix_to_jumps(matrix: np.ndarray) -> np.ndarray:
+    """DTW over -matrix (device DP + host traceback) -> per-token jump frames."""
+    cost = np.asarray(dtw_cost_jax(jnp.asarray(-matrix, jnp.float32)),
+                      dtype=np.float64)
+    text_indices, time_indices = _traceback_from_cost(cost)
+    jumps = np.pad(np.diff(text_indices), (1, 0), constant_values=1).astype(bool)
+    return time_indices[jumps].clip(min=0)
+
+
+# -- word splitting across segments (gap padding) ---------------------------------------
+
+
+def _split_tokens(tokens: List[int], tokenizer: WhisperTokenizer):
+    """Split a token list into display words (reference timing.py:309-341)."""
+    import string
+    split_by_space = (tokenizer.language or 'en') not in {'zh', 'ja', 'th',
+                                                          'lo', 'my', 'yue'}
+    text = tokenizer.decode_with_timestamps(tokens)
+    words: List[str] = []
+    word_tokens: List[List[int]] = []
+    curr_tokens: List[int] = []
+    curr_text = ''
+    is_append = False
+    for token in tokens:
+        curr_tokens.append(token)
+        curr_text = tokenizer.decode(curr_tokens)
+        is_whole = token >= tokenizer.eot
+        if not is_whole:
+            is_whole = text[:len(curr_text)] == curr_text
+            if is_whole and split_by_space:
+                is_append = not (curr_text.startswith(' ')
+                                 or curr_text.strip() in string.punctuation)
+        if is_whole:
+            if is_append and len(words) != 0:
+                words[-1] += curr_text
+                word_tokens[-1].extend(curr_tokens)
+            else:
+                words.append(curr_text)
+                word_tokens.append(curr_tokens)
+            text = text[len(curr_text):]
+            curr_tokens = []
+    if len(curr_tokens) != 0:
+        words.append(curr_text if len(text) == 0 else text)
+        word_tokens.append(curr_tokens)
+    elif len(text) != 0:
+        words[-1] += text
+    return words, word_tokens
+
+
+def split_word_tokens(segments: List[dict], tokenizer: WhisperTokenizer, *,
+                      padding: Union[str, int, None] = None,
+                      split_callback: Optional[Callable] = None,
+                      pad_first_seg: bool = True):
+    """Flatten segments into (tokens, (words, word_tokens), seg_indices),
+    inserting ``padding`` tokens between segments (reference timing.py:344)."""
+    if padding is not None:
+        padding = tokenizer.encode(padding) if isinstance(padding, str) else [padding]
+    tokens: List[int] = []
+    seg_indices: List[int] = []
+    words: List[Optional[str]] = []
+    word_tokens: List[List[int]] = []
+    for i, s in enumerate(segments):
+        seg_tokens = [t for t in s['tokens']
+                      if not isinstance(t, int) or t < tokenizer.eot]
+        if split_callback is None:
+            curr_words, curr_word_tokens = _split_tokens(seg_tokens, tokenizer)
+        else:
+            curr_words, curr_word_tokens = split_callback(seg_tokens, tokenizer)
+        assert len(curr_words) == len(curr_word_tokens), \
+            'word count and token group count do not match'
+        if (padding is not None and curr_word_tokens
+                and curr_word_tokens[0][0] != padding
+                and (len(tokens) == 0 or tokens[-1] != padding)
+                and (pad_first_seg or i != 0)):
+            tokens.extend(padding)
+            words.append(None)
+            word_tokens.append(padding)
+        seg_indices.extend([i] * len(curr_words))
+        tokens.extend(chain.from_iterable(curr_word_tokens))
+        words.extend(curr_words)
+        word_tokens.extend(curr_word_tokens)
+    return tokens, (words, word_tokens), seg_indices
+
+
+def pop_empty_alignment(alignment: List[WordTimingRaw],
+                        seg_indices: Optional[List[int]] = None):
+    """Remove gap-padding entries; map them to the segment they precede."""
+    if seg_indices is not None:
+        seg_idx_pos = len(seg_indices)
+        empties = {}
+        for i in reversed(range(len(alignment))):
+            if alignment[i].word is None:
+                empties[seg_indices[min(seg_idx_pos, len(seg_indices) - 1)]] = \
+                    alignment.pop(i)
+            else:
+                seg_idx_pos -= 1
+        return empties
+    return list(reversed([alignment.pop(i)
+                          for i in reversed(range(len(alignment)))
+                          if alignment[i].word is None]))
+
+
+def merge_punctuations(alignment: List[WordTimingRaw],
+                       prepended: str = "\"'“¿([{-",
+                       appended: str = "\"'.。,，!！?？:：”)]}、"):
+    """Merge leading/trailing punctuation into neighboring words (whisper's
+    merge_punctuations semantics; called by reference timing.py:468)."""
+    # prepended: merge right
+    i = len(alignment) - 2
+    j = len(alignment) - 1
+    while i >= 0:
+        previous = alignment[i]
+        following = alignment[j]
+        if previous.word.startswith(' ') and previous.word.strip() in prepended:
+            following.word = previous.word + following.word
+            following.tokens = previous.tokens + following.tokens
+            previous.word = ''
+            previous.tokens = []
+        else:
+            j = i
+        i -= 1
+    # appended: merge left
+    i = 0
+    j = 1
+    while j < len(alignment):
+        previous = alignment[i]
+        following = alignment[j]
+        if not previous.word.endswith(' ') and following.word in appended:
+            previous.word = previous.word + following.word
+            previous.tokens = previous.tokens + following.tokens
+            following.word = ''
+            following.tokens = []
+        else:
+            i = j
+        j += 1
+
+
+def add_word_timestamps(
+        *,
+        segments: List[dict],
+        params,
+        dims: ModelDimensions,
+        tokenizer: WhisperTokenizer,
+        mel: Optional[jnp.ndarray],
+        num_samples: int,
+        prepend_punctuations: str = "\"'“¿([{-",
+        append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+        audio_features: Optional[jnp.ndarray] = None,
+        min_word_dur: float = 0.1,
+        split_callback: Optional[Callable] = None,
+        gap_padding: Optional[str] = ' ...',
+        pad_first_seg: bool = True,
+        **kwargs,
+):
+    """Attach word dicts to each segment in place (counterpart of
+    add_word_timestamps_stable, reference timing.py:411-500)."""
+    if len(segments) == 0:
+        return
+    if min_word_dur is None:
+        min_word_dur = 0
+    if prepend_punctuations is None:
+        prepend_punctuations = "\"'“¿([{-"
+    if append_punctuations is None:
+        append_punctuations = "\"'.。,，!！?？:：”)]}、"
+
+    for seg in segments:
+        seg['words'] = []
+
+    text_tokens, token_split, seg_indices = split_word_tokens(
+        segments, tokenizer, padding=gap_padding,
+        split_callback=split_callback, pad_first_seg=pad_first_seg)
+    if not text_tokens:
+        return
+
+    alignment = find_alignment(
+        params, dims, tokenizer, text_tokens, mel, num_samples,
+        token_split=token_split, audio_features=audio_features, **kwargs)
+    alt_beginning_alignment = pop_empty_alignment(alignment, seg_indices)
+
+    merge_punctuations(alignment, prepend_punctuations, append_punctuations)
+
+    time_offset = segments[0]['seek']
+    assert len(alignment) == len(seg_indices)
+    for i, timing in zip(seg_indices, alignment):
+        if len(timing.tokens) != 0:
+            start = timing.start
+            end = timing.end
+            if (len(segments[i]['words']) == 0
+                    and (end - start) < min_word_dur
+                    and i in alt_beginning_alignment):
+                start = alt_beginning_alignment[i].start
+            segments[i]['words'].append(dict(
+                word=timing.word,
+                start=round(time_offset + start, 3),
+                end=round(time_offset + end, 3),
+                probability=timing.probability,
+                tokens=timing.tokens,
+            ))
+
+    for segment in segments:
+        words = segment['words']
+        if len(words) > 0:
+            segment['start'] = words[0]['start']
+            segment['end'] = words[-1]['end']

@@ -1,0 +1,132 @@
+"""End-to-end transcription pipeline tests on the synthetic tiny model.
+
+Random weights mean the transcript is gibberish; these tests assert the
+*mechanics* the reference's golden tests check structurally
+(test/test_transcribe.py): word timestamps exist and are ordered, silence is
+detected and suppressed, options plumb through, outputs serialize.
+"""
+import numpy as np
+import pytest
+
+from stable_ts_tpu.constants import SAMPLE_RATE
+from stable_ts_tpu.loaders import load_test_model
+from stable_ts_tpu.result import WhisperResult
+
+
+@pytest.fixture(scope='module')
+def model():
+    return load_test_model()
+
+
+@pytest.fixture(scope='module')
+def audio():
+    t = np.arange(SAMPLE_RATE * 2) / SAMPLE_RATE
+    tone = (np.sin(2 * np.pi * 440 * t) * 0.4).astype(np.float32)
+    return np.concatenate([tone, np.zeros(SAMPLE_RATE, np.float32), tone * 0.8])
+
+
+@pytest.fixture(scope='module')
+def base_result(model, audio):
+    return model.transcribe(audio, verbose=None, temperature=0.0)
+
+
+class TestTranscribe:
+    def test_returns_result_with_words(self, base_result):
+        assert isinstance(base_result, WhisperResult)
+        assert len(base_result) > 0
+        assert base_result.has_words
+
+    def test_words_ordered(self, base_result):
+        words = base_result.all_words()
+        for w in words:
+            assert w.start <= w.end
+        for a, b in zip(words[:-1], words[1:]):
+            assert a.end <= b.start + 1e-6
+
+    def test_nonspeech_sections_found(self, base_result):
+        # The 1-s silence between the tones must appear as a nonspeech section.
+        sections = base_result.nonspeech_sections
+        assert any(1.8 < s['start'] < 2.6 and 2.6 < s['end'] < 3.4
+                   for s in sections), sections
+
+    def test_regroup_history_recorded(self, base_result):
+        assert base_result.regroup_history  # default regroup ran
+
+    def test_language_set(self, base_result):
+        assert base_result.language == 'en'
+
+    def test_srt_output(self, base_result):
+        srt = base_result.to_srt_vtt()
+        assert ' --> ' in srt
+
+    def test_word_probabilities(self, base_result):
+        for w in base_result.all_words():
+            assert w.probability is None or 0 <= w.probability <= 1
+            assert w.tokens
+
+    def test_silent_audio_gives_empty_result(self, model):
+        with pytest.warns(UserWarning):
+            result = model.transcribe(np.zeros(SAMPLE_RATE * 2, np.float32),
+                                      verbose=None)
+        assert len(result) == 0
+        assert result.text == ''
+
+    def test_without_word_timestamps(self, model, audio):
+        result = model.transcribe(audio, verbose=None, word_timestamps=False)
+        assert not result.has_words or len(result) == 0
+
+    def test_regroup_false(self, model, audio):
+        result = model.transcribe(audio, verbose=None, regroup=False)
+        assert result.regroup_history == ''
+
+    def test_new_aligner(self, model, audio):
+        result = model.transcribe(audio, verbose=None, aligner='new')
+        assert result.has_words or len(result) == 0
+
+    def test_suppress_ts_tokens(self, model, audio):
+        result = model.transcribe(audio, verbose=None, suppress_ts_tokens=True)
+        assert isinstance(result, WhisperResult)
+
+    def test_clip_timestamps(self, model, audio):
+        result = model.transcribe(audio, verbose=None, clip_timestamps='0,2')
+        # only content from the first 2 s (first tone) can appear
+        if len(result):
+            assert result[-1].end <= 2.5
+
+    def test_transcribe_minimal(self, model, audio):
+        result = model.transcribe_minimal(audio, verbose=None)
+        assert isinstance(result, WhisperResult)
+
+    def test_progress_callback(self, model, audio):
+        calls = []
+        model.transcribe(audio, verbose=None,
+                         progress_callback=lambda cur, total: calls.append((cur, total)))
+        assert calls
+        assert calls[-1][1] == pytest.approx(5.0, abs=0.1)
+
+    def test_wav_file_input(self, model, audio, tmp_path):
+        from stable_ts_tpu.audio.output import save_audio
+        path = save_audio(audio, str(tmp_path / 'test.wav'))
+        result = model.transcribe(path, verbose=None)
+        assert isinstance(result, WhisperResult)
+
+    def test_resume(self, model, audio, base_result, tmp_path):
+        path = str(tmp_path / 'partial.json')
+        base_result.save_as_json(path)
+        resumed = model.transcribe(audio, verbose=None, resume=path)
+        assert isinstance(resumed, WhisperResult)
+        # resumed result keeps the prior content
+        assert resumed.text.startswith(base_result.text[:10])
+
+
+class TestJsonRoundTripAfterTranscribe:
+    def test_save_load_regroup_replay(self, base_result, tmp_path):
+        path = str(tmp_path / 'result.json')
+        base_result.save_as_json(path)
+        restored = WhisperResult(path)
+        assert restored.text == base_result.text
+        history = restored.regroup_history
+        restored.reset()
+        restored.regroup(history)
+        assert [s.text for s in restored.segments] == \
+               [s.text for s in base_result.segments]
