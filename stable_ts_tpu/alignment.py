@@ -1,0 +1,500 @@
+"""Whisper-backend glue for align / align_words / refine / locate.
+
+Counterpart of /root/reference/stable_whisper/alignment.py: thin drivers that
+construct the engine-agnostic :class:`Aligner`/:class:`Refiner` with
+inference functions built on the JAX Whisper (mel -> encoder -> timing /
+teacher-forced probability passes), plus ``locate`` — finding words in audio
+without full transcription via cross-attention end estimates and a
+kv-cached confirmation decode.
+"""
+import warnings
+from typing import Callable, List, Optional, Tuple, Union
+
+import numpy as np
+
+from .constants import (CHUNK_LENGTH, FRAMES_PER_SECOND, N_FRAMES, N_SAMPLES,
+                        SAMPLE_RATE, TOKENS_PER_SECOND)
+from .non_whisper.alignment import Aligner, WordToken
+from .non_whisper.refinement import Refiner
+from .options import AllOptions
+from .ops.mel import log_mel_spectrogram
+from .result import Segment, WhisperResult
+from .utils import format_timestamp, safe_print
+
+__all__ = ['align', 'align_words', 'refine', 'locate']
+
+
+def _pad_mel(mel: np.ndarray) -> np.ndarray:
+    """Pad/trim mel frames to exactly N_FRAMES."""
+    if mel.shape[-1] >= N_FRAMES:
+        return mel[..., :N_FRAMES]
+    pad = N_FRAMES - mel.shape[-1]
+    return np.pad(mel, [(0, 0)] * (mel.ndim - 1) + [(0, pad)])
+
+
+def _resolve_tokenizer(model, text, language: Optional[str]):
+    if language is None:
+        language = getattr(text, 'language', None)
+    if language is None:
+        if model.is_multilingual:
+            raise TypeError('expected argument for language')
+        language = 'en'
+    return model.get_tokenizer(language=language, task='transcribe')
+
+
+def _whisper_alignment_func(model, tokenizer, options: AllOptions) -> Callable:
+    """(audio_segment, word_tokens) -> word timing dicts, via the JAX model."""
+    from .models.whisper.timing import add_word_timestamps
+
+    def compute_timestamps(audio_segment: np.ndarray,
+                           word_tokens: List[WordToken]) -> List[dict]:
+        curr_words = [wt.word for wt in word_tokens]
+        curr_word_tokens = [wt.tokens for wt in word_tokens]
+        temp_segments = [dict(seek=0, tokens=(curr_words, curr_word_tokens))]
+        segment_samples = int(audio_segment.shape[-1])
+        sample_padding = max(N_SAMPLES - segment_samples, 0)
+        mel_segment = np.asarray(log_mel_spectrogram(
+            audio_segment, model.dims.n_mels, padding=sample_padding))
+        mel_segment = _pad_mel(mel_segment)
+        add_word_timestamps(
+            segments=temp_segments,
+            params=model.params,
+            dims=model.dims,
+            tokenizer=tokenizer,
+            mel=mel_segment,
+            num_samples=segment_samples,
+            split_callback=(lambda x, _: x),
+            prepend_punctuations='',
+            append_punctuations='',
+            gap_padding=None,
+            alignment_heads=model.alignment_heads,
+            dynamic_heads=options.align.dynamic_heads,
+            aligner=options.align.aligner,
+        )
+        return [w for seg in temp_segments for w in seg['words']]
+
+    return compute_timestamps
+
+
+def align(
+        model,
+        audio,
+        text: Union[str, List[int], WhisperResult],
+        language: Optional[str] = None,
+        *,
+        tokenizer=None,
+        ignore_compatibility: bool = False,
+        remove_instant_words: bool = False,
+        token_step: int = 100,
+        original_split: bool = False,
+        word_dur_factor: Optional[float] = 2.0,
+        max_word_dur: Optional[float] = 3.0,
+        nonspeech_skip: Optional[float] = 5.0,
+        fast_mode: bool = False,
+        failure_threshold: Optional[float] = None,
+        **options,
+) -> Optional[WhisperResult]:
+    """Align plain text (or a prior result) to audio at word level."""
+    if tokenizer is None:
+        tokenizer = _resolve_tokenizer(model, text, language)
+    all_options = AllOptions(options, vanilla_align=True)
+    max_token_step = model.dims.n_text_ctx - 6
+    if token_step < 1:
+        token_step = max_token_step
+    elif token_step > max_token_step:
+        raise ValueError(f'The max value for [token_step] is {max_token_step} '
+                         f'but got {token_step}.')
+
+    aligner = Aligner(
+        inference_func=_whisper_alignment_func(model, tokenizer, all_options),
+        decode=tokenizer.decode,
+        encode=tokenizer.encode,
+        split_words_by_space=(getattr(tokenizer, 'language', 'en')
+                              not in {'zh', 'ja', 'th', 'lo', 'my', 'yue'}),
+        sample_rate=SAMPLE_RATE,
+        max_segment_length=N_SAMPLES,
+        remove_instant_words=remove_instant_words,
+        token_step=token_step,
+        original_split=original_split,
+        word_dur_factor=word_dur_factor,
+        max_word_dur=max_word_dur,
+        nonspeech_skip=nonspeech_skip,
+        fast_mode=fast_mode,
+        failure_threshold=failure_threshold,
+        all_options=all_options,
+    )
+    result = aligner.align(audio, text)
+    if result is not None:
+        result.language = getattr(tokenizer, 'language', language)
+    return result
+
+
+def align_words(
+        model,
+        audio,
+        result: Union[WhisperResult, List[dict]],
+        language: Optional[str] = None,
+        *,
+        tokenizer=None,
+        inplace: bool = True,
+        normalize_text: bool = True,
+        **options,
+) -> WhisperResult:
+    """Confined per-segment alignment using each segment's start/end."""
+    if tokenizer is None:
+        tokenizer = _resolve_tokenizer(model, result, language)
+    all_options = AllOptions(options, vanilla_align=True)
+    aligner = Aligner(
+        inference_func=_whisper_alignment_func(model, tokenizer, all_options),
+        decode=tokenizer.decode,
+        encode=tokenizer.encode,
+        split_words_by_space=(getattr(tokenizer, 'language', 'en')
+                              not in {'zh', 'ja', 'th', 'lo', 'my', 'yue'}),
+        sample_rate=SAMPLE_RATE,
+        max_segment_length=N_SAMPLES,
+        all_options=all_options,
+    )
+    new_result = aligner.align_words(audio, result, normalize_text, inplace)
+    new_result.language = getattr(tokenizer, 'language', language)
+    return new_result
+
+
+def _whisper_refinement_func(model, tokenizer) -> Callable:
+    """(audio[2, T], tokens) -> token probs (2, n_tokens, vocab<eot)."""
+    import jax
+    import jax.numpy as jnp
+    from .models.whisper.model import decoder_apply, encoder_apply
+
+    def inference_func(audio_segment: np.ndarray, tokens: List[int]) -> np.ndarray:
+        input_tokens = [*tokenizer.sot_sequence, tokenizer.no_timestamps,
+                        *tokens, tokenizer.eot]
+        mel = np.asarray(log_mel_spectrogram(np.asarray(audio_segment),
+                                             model.dims.n_mels))
+        mel = _pad_mel(mel)
+        xa = encoder_apply(model.params['encoder'], jnp.asarray(mel),
+                           model.dims.n_audio_head)
+        tok_arr = jnp.asarray(input_tokens, jnp.int32)[None].repeat(mel.shape[0], 0)
+        logits, _ = decoder_apply(model.params['decoder'], tok_arr, xa,
+                                  model.dims.n_text_head)
+        sot_len = len(tokenizer.sot_sequence)
+        sampled = logits[:, sot_len:sot_len + len(tokens), :tokenizer.eot]
+        return np.asarray(jax.nn.softmax(sampled, axis=-1))
+
+    return inference_func
+
+
+def refine(
+        model,
+        audio,
+        result: WhisperResult,
+        *,
+        steps: Optional[str] = None,
+        rel_prob_decrease: float = .03,
+        abs_prob_decrease: float = .05,
+        rel_rel_prob_decrease: Optional[float] = None,
+        prob_threshold: float = .5,
+        rel_dur_change: Optional[float] = .5,
+        abs_dur_change: Optional[float] = None,
+        word_level: bool = True,
+        precision: Optional[float] = None,
+        single_batch: bool = False,
+        inplace: bool = True,
+        **options,
+) -> WhisperResult:
+    """Sharpen ``result``'s timestamps by iterative mute-and-bisect probing."""
+    if result and (not result.has_words
+                   or any(w.probability is None for w in result.all_words())):
+        if not result.language:
+            raise RuntimeError('cannot align words with result missing language')
+        align_words(model, audio, result)
+    tokenizer = model.get_tokenizer(language=result.language, task='transcribe')
+    if result and not all(w.tokens for w in result.all_words()):
+        for word in result.all_words():
+            word.tokens = tokenizer.encode(word.word)
+
+    all_options = AllOptions(options, post=False, silence=False, align=False)
+    refiner = Refiner(
+        inference_func=_whisper_refinement_func(model, tokenizer),
+        sample_rate=SAMPLE_RATE,
+        steps=steps,
+        rel_prob_decrease=rel_prob_decrease,
+        abs_prob_decrease=abs_prob_decrease,
+        rel_rel_prob_decrease=rel_rel_prob_decrease,
+        prob_threshold=prob_threshold,
+        rel_dur_change=rel_dur_change,
+        abs_dur_change=abs_dur_change,
+        word_level=word_level,
+        precision=precision,
+        max_inference_tokens=model.dims.n_text_ctx - 6,
+        all_options=all_options,
+    )
+    return refiner.refine(audio, result, inplace)
+
+
+def locate(
+        model,
+        audio,
+        text: Union[str, List[int]],
+        language: str,
+        count: int = 1,
+        duration_window: Union[float, Tuple[float, float]] = 3.0,
+        *,
+        mode: int = 0,
+        start: Optional[float] = None,
+        end: Optional[float] = None,
+        probability_threshold: float = 0.5,
+        eots: int = 1,
+        max_token_per_seg: int = 20,
+        exact_token: bool = False,
+        case_sensitive: bool = False,
+        verbose: Optional[bool] = False,
+        initial_prompt: Optional[str] = None,
+        suppress_tokens: Union[str, List[int]] = '-1',
+        denoiser: Optional[str] = None,
+        denoiser_options: Optional[dict] = None,
+        only_voice_freq: bool = False,
+) -> Union[List[Segment], List[dict]]:
+    """Find when ``text`` is spoken without transcribing everything.
+
+    mode 2: end-time estimate only (argmax of the last text token's
+    cross-attention row). mode 1: + confirmation decode around the estimate.
+    mode 0: + word timestamps on the confirmed match.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .audio import prep_audio
+    from .models.whisper.decoding import DecodingOptions, build_suppress_list, \
+        build_initial_tokens
+    from .models.whisper.model import (decoder_apply, decoder_step, encoder_apply,
+                                       init_kv_cache, precompute_cross_kv,
+                                       decoder_prefill)
+    from .models.whisper.timing import add_word_timestamps
+    from .ops.median import median_filter
+
+    tokenizer = model.get_tokenizer(language=language, task='transcribe')
+    sec_per_emb = model.dims.n_audio_ctx / CHUNK_LENGTH
+    chunk_samples = round(CHUNK_LENGTH * SAMPLE_RATE)
+    if isinstance(duration_window, (float, int)):
+        duration_window = [duration_window] * 2
+    window_sum = sum(duration_window)
+    assert chunk_samples > window_sum, \
+        f'Sum of [duration_window] must be less than {chunk_samples}, got {window_sum}'
+    adjusted_chunk_size = chunk_samples - round(duration_window[0] * SAMPLE_RATE)
+    if initial_prompt:
+        initial_prompt = ' ' + initial_prompt.strip()
+    d_options = DecodingOptions(language=language, prompt=initial_prompt,
+                                suppress_tokens=suppress_tokens,
+                                without_timestamps=True)
+    initial_tokens, _, _ = build_initial_tokens(tokenizer, d_options,
+                                                model.dims.n_text_ctx)
+    if isinstance(text, str):
+        text_tokens, text_str = tokenizer.encode(text), text
+    else:
+        text_tokens, text_str = list(text), tokenizer.decode(text)
+    if not exact_token and not case_sensitive:
+        text_str = text_str.lower()
+    suppress_ids = [i for i in build_suppress_list(tokenizer, d_options)
+                    if i < tokenizer.eot]
+
+    audio = prep_audio(audio, denoiser=denoiser,
+                       denoiser_options=denoiser_options,
+                       only_voice_freq=only_voice_freq)
+    if end:
+        audio = audio[:round(end * SAMPLE_RATE)]
+    seek_sample = round(start * SAMPLE_RATE) if start else 0
+    total_samples = audio.shape[-1]
+    prev_target_end = None
+    found = 0
+
+    def attention_end_estimate(mel_segment: np.ndarray) -> float:
+        """Seconds (within chunk) where the last text token attends most."""
+        tokens = jnp.asarray([initial_tokens + text_tokens], jnp.int32)
+        xa = encoder_apply(model.params['encoder'], jnp.asarray(mel_segment)[None],
+                           model.dims.n_audio_head)
+        _, qks = decoder_apply(model.params['decoder'], tokens, xa,
+                               model.dims.n_text_head, capture_qk=True)
+        qks = qks[:, 0]  # (L, H, T, 1500)
+        if model.alignment_heads is not None:
+            heads = np.asarray(model.alignment_heads)
+            weights = qks[heads[:, 0], heads[:, 1]]
+        else:
+            L, H, T, F = qks.shape
+            weights = qks.reshape(L * H, T, F)
+        weights = jax.nn.softmax(weights, axis=-1)
+        std = jnp.std(weights, axis=-2, keepdims=True)
+        mean = jnp.mean(weights, axis=-2, keepdims=True)
+        weights = median_filter((weights - mean) / std, 7)
+        matrix = np.asarray(weights.mean(axis=0))
+        return round(float(matrix[-1].argmax() / sec_per_emb), 3), xa
+
+    def greedy_confirm(mel_section: np.ndarray):
+        """KV-cached greedy decode with target-token forcing and rollback."""
+        xa = encoder_apply(model.params['encoder'],
+                           jnp.asarray(mel_section)[None], model.dims.n_audio_head)
+        cross_kv = precompute_cross_kv(model.params['decoder'], xa)
+
+        def logits_at(tokens_so_far: List[int]):
+            # Re-prefill on rollback (cache restart), else step.
+            toks = jnp.asarray([tokens_so_far], jnp.int32)
+            logits, _ = decoder_prefill(model.params['decoder'], toks, xa,
+                                        model.dims.n_text_head,
+                                        model.dims.n_text_ctx)
+            return np.array(logits[0, -1, :tokenizer.eot + 1])
+
+        infer_tokens = list(initial_tokens)
+        predictions = []
+        target_token_idx = 0
+        not_end = True
+        found_target = False
+        curr_eots = 0
+        tokens_to_decode: List[int] = []
+        replace_found_tokens: List[int] = []
+        while not_end:
+            logits = logits_at(infer_tokens)
+            logits[suppress_ids] = -np.inf
+            order = np.argsort(logits)
+            best_token = int(order[-1])
+            best_non_eot = int(order[-2]) if best_token == tokenizer.eot else best_token
+            probs = logits[:tokenizer.eot]
+            probs = np.exp(probs - probs.max())
+            probs /= probs.sum()
+            if found_target:
+                target_word_prob = is_match = None
+            else:
+                if exact_token:
+                    is_match = False
+                else:
+                    tokens_to_decode.append(best_non_eot)
+                    temp_text = tokenizer.decode(tokens_to_decode)
+                    if not case_sensitive:
+                        temp_text = temp_text.lower()
+                    if is_match := temp_text.endswith(text_str):
+                        tokens_to_decode = []
+                target_word_prob = float(probs[text_tokens[target_token_idx]])
+            if (target_word_prob is not None
+                    and (target_word_prob >= probability_threshold
+                         or best_non_eot == text_tokens[target_token_idx]
+                         or is_match)):
+                if is_match:
+                    best_token = best_non_eot
+                    token_prob = float(probs[best_token])
+                    found_target = True
+                else:
+                    if replace_found_tokens or best_non_eot != text_tokens[target_token_idx]:
+                        replace_found_tokens.append(best_non_eot)
+                    best_token = text_tokens[target_token_idx]
+                    target_token_idx += 1
+                    if target_token_idx == len(text_tokens):
+                        found_target = True
+                    token_prob = target_word_prob
+                curr_eots = 0
+            else:
+                if not found_target:
+                    if replace_found_tokens:
+                        n = len(replace_found_tokens)
+                        infer_tokens = infer_tokens[:-n] + replace_found_tokens
+                        replace_found_tokens = []
+                    target_token_idx = 0
+                if best_token == tokenizer.eot:
+                    if curr_eots >= eots or found_target:
+                        not_end = False
+                    else:
+                        curr_eots += 1
+                        best_token = best_non_eot
+                else:
+                    curr_eots = 0
+                token_prob = (None if best_token == tokenizer.eot
+                              else float(probs[best_token]))
+            predictions.append(dict(token=best_token, prob=token_prob))
+            if len(predictions) > max_token_per_seg:
+                not_end = False
+            if not_end:
+                infer_tokens.append(best_token)
+        return found_target, predictions
+
+    def _locate():
+        nonlocal seek_sample, found, prev_target_end
+        seek = round(seek_sample / SAMPLE_RATE, 3)
+        audio_segment = audio[seek_sample:seek_sample + chunk_samples]
+        sample_padding = max(N_SAMPLES - audio_segment.shape[-1], 0)
+        mel_segment = np.asarray(log_mel_spectrogram(
+            audio_segment, model.dims.n_mels, padding=sample_padding))
+        mel_segment = _pad_mel(mel_segment)
+
+        target_end, _ = attention_end_estimate(mel_segment)
+        found_msg = (f'"{text_str}" ending at ~{format_timestamp(target_end + seek)}'
+                     if verbose else '')
+
+        if mode == 2:
+            if found_msg:
+                safe_print('Unconfirmed: ' + found_msg)
+            found += 1
+            if ((seek_sample + chunk_samples >= total_samples)
+                    or (count and found >= count)
+                    or (prev_target_end == target_end)):
+                seek_sample = total_samples
+            else:
+                seek_sample += round(target_end * SAMPLE_RATE)
+            prev_target_end = target_end
+            return dict(tokens=[], target_end=target_end + seek)
+
+        curr_start = round(max(target_end - duration_window[0], 0.), 3)
+        curr_end = round(target_end + duration_window[1], 3)
+        start_frame = round(curr_start * FRAMES_PER_SECOND)
+        end_frame = round(curr_end * FRAMES_PER_SECOND)
+        mel_section = _pad_mel(mel_segment[..., start_frame:end_frame])
+
+        found_target, predictions = greedy_confirm(mel_section)
+        segment = None
+        if found_target:
+            if found_msg:
+                safe_print('Confirmed: ' + found_msg)
+            final_tokens = [p['token'] for p in predictions]
+            if mode == 1:
+                from .models.whisper.timing import split_word_tokens
+                _, (ws, wts), _ = split_word_tokens(
+                    [dict(tokens=final_tokens)], tokenizer)
+                final_token_probs = [p['prob'] for p in predictions]
+                wps = [float(np.mean([final_token_probs.pop(0) or 0.0
+                                      for _ in wt])) for wt in wts]
+                words = [dict(word=w, tokens=wt, probability=wp)
+                         for w, wt, wp in zip(ws, wts, wps)]
+                segment = dict(end=target_end + seek, text=text_str,
+                               duration_window_text=''.join(ws),
+                               duration_window_word=words)
+                if verbose:
+                    safe_print(f'Duration Window: "{"".join(ws)}"\n')
+                seek_sample += round(curr_end * SAMPLE_RATE)
+            else:
+                segment = dict(seek=0, tokens=final_tokens)
+                add_word_timestamps(
+                    segments=[segment],
+                    params=model.params,
+                    dims=model.dims,
+                    tokenizer=tokenizer,
+                    mel=mel_segment,
+                    num_samples=round(curr_end * SAMPLE_RATE),
+                    gap_padding=None,
+                    alignment_heads=model.alignment_heads,
+                )
+                segment = Segment(words=segment['words'])
+                seek_sample += round(segment.words[-1].end * SAMPLE_RATE)
+                segment.offset_time(seek)
+                segment.seek = curr_start
+                if verbose:
+                    safe_print(segment.to_display_str())
+            found += 1
+        else:
+            seek_sample += (adjusted_chunk_size
+                            if audio_segment.shape[-1] == chunk_samples
+                            else audio_segment.shape[-1])
+        return segment
+
+    matches = []
+    while seek_sample < total_samples and (not count or found < count):
+        match = _locate()
+        if match:
+            matches.append(match)
+    if verbose and not matches:
+        safe_print(f'Failed to locate "{text_str}".')
+    return matches

@@ -1,0 +1,370 @@
+"""Engine-agnostic timestamp refinement by mute-and-bisect.
+
+Behavioral counterpart of /root/reference/stable_whisper/non_whisper/refinement.py
+(Refiner:13): sharpen word start/end timestamps by muting audio around each
+boundary and bisecting on the token-probability response. Words are packed
+into <=30-s / <=max_inference_tokens batches; even words are muted in row 0
+and odd words in row 1 so one batch-of-2 forward refines every word in the
+span simultaneously; acceptance tests use absolute/relative/relative-change
+probability drops, a probability floor, and best-token-rank changes.
+
+``inference_func(audio[2, T], tokens) -> probs[2, n_tokens(, vocab)]``.
+"""
+import copy
+from typing import Callable, List, Optional, Union
+
+import numpy as np
+
+from ..audio import prep_audio
+from ..options import AllOptions
+from ..result import WhisperResult, WordTiming
+
+
+class Refiner:
+
+    def __init__(
+            self,
+            inference_func: Callable,
+            sample_rate: int = 16000,
+            max_segment_length: Union[int, str] = '30s',
+            max_inference_tokens: int = 100,
+            *,
+            steps: str = 'se',
+            rel_prob_decrease: float = .03,
+            abs_prob_decrease: float = .05,
+            rel_rel_prob_decrease: Optional[float] = None,
+            prob_threshold: float = .5,
+            rel_dur_change: Optional[float] = .5,
+            abs_dur_change: Optional[float] = None,
+            word_level: bool = True,
+            precision: Optional[float] = None,
+            **options,
+    ):
+        if not steps:
+            steps = 'se'
+        invalid_steps = steps.replace('s', '').replace('e', '')
+        if invalid_steps:
+            raise ValueError(f'Invalid step(s): {", ".join(invalid_steps)}')
+        if precision is None:
+            precision = 0.1
+        if isinstance(max_segment_length, str):
+            if not max_segment_length.endswith('s'):
+                raise ValueError('string ``max_segment_length`` must end with "s"')
+            self.max_segment_seconds = float(max_segment_length[:-1])
+        else:
+            self.max_segment_seconds = max_segment_length / sample_rate
+
+        self.options = AllOptions(options, silence=False, align=False)
+        self.steps = steps
+        self.precision = precision
+        self.sample_rate = sample_rate
+        self.max_inference_tokens = max_inference_tokens
+        self.sample_precision = max(round(self.precision * self.sample_rate), 2)
+        self.inference_func = inference_func
+        self.rel_prob_decrease = rel_prob_decrease
+        self.abs_prob_decrease = abs_prob_decrease
+        self.rel_rel_prob_decrease = rel_rel_prob_decrease
+        self.prob_threshold = prob_threshold
+        self.rel_dur_change = rel_dur_change
+        self.abs_dur_change = abs_dur_change
+        self.word_level = word_level
+        self._audio = np.zeros(0, np.float32)
+
+    # -- entry point ------------------------------------------------------------------
+
+    def refine(self, audio, result: WhisperResult, inplace: bool = True,
+               encode: Optional[Callable] = None, **options) -> WhisperResult:
+        """Refine ``result``'s timestamps against ``audio``."""
+        if result:
+            if not result.has_words:
+                raise RuntimeError('cannot refine result with missing word-timestamps')
+            if not all(word.tokens for word in result.all_words()):
+                if encode is None:
+                    raise RuntimeError('result must have tokens or provide '
+                                       'tokenization function to ``encode``')
+                for word in result.all_words():
+                    word.tokens = encode(word.word)
+        if not inplace:
+            result = copy.deepcopy(result)
+
+        self._audio = prep_audio(
+            audio,
+            denoiser=self.options.pre.denoiser,
+            denoiser_options=self.options.pre.denoiser_options,
+            only_voice_freq=self.options.pre.only_voice_freq,
+        )
+        for k in list(options.keys()):
+            if hasattr(self, k):
+                setattr(self, k, options.pop(k))
+        self.options.update(options)
+
+        for step in self.steps:
+            self._refine(result, step)
+        result.reassign_ids()
+        return result
+
+    # -- batching -----------------------------------------------------------------------
+
+    def curr_segments(self, result: WhisperResult, total_duration: float):
+        """Yield (words, min_starts, max_ends, edge_mask) batches.
+
+        Bounds: each word may move at most ``abs_dur_change`` /
+        ``rel_dur_change`` x duration, never across its neighbors, and at
+        most +-14.5 s (half a window) from its current span.
+        """
+        all_words = result.all_words()
+        seg_edge_mask = np.array([
+            1 if i == 0 else (2 if i == len(seg.words) - 1 else 0)
+            for seg in result.segments
+            for i, _ in enumerate(seg.words)
+        ])
+        start_times = [
+            max(
+                0 if self.abs_dur_change is None else w.start - self.abs_dur_change,
+                0 if self.rel_dur_change is None
+                else w.start - w.duration * self.rel_dur_change,
+                0 if i == 0 else max(all_words[i - 1].end, w.end - 14.5, 0),
+            )
+            for i, w in enumerate(all_words)
+        ]
+        end_times = [
+            min(
+                total_duration if self.abs_dur_change is None
+                else w.end + self.abs_dur_change,
+                total_duration if self.rel_dur_change is None
+                else w.end + w.duration * self.rel_dur_change,
+                total_duration if i == len(all_words)
+                else min(all_words[i].start, w.start + 14.5, total_duration),
+            )
+            for i, w in enumerate(all_words, 1)
+        ]
+        start = start_times[0]
+        prev_i = 0
+        curr_words, curr_starts, curr_ends = [], [], []
+        curr_token_count = 0
+        for i, w in enumerate(all_words, 1):
+            if (end_times[0] - start > self.max_segment_seconds
+                    or curr_token_count + len(w.tokens) > self.max_inference_tokens):
+                if curr_words:
+                    yield (curr_words, curr_starts, curr_ends,
+                           seg_edge_mask[prev_i:prev_i + len(curr_words)])
+                    curr_words, curr_starts, curr_ends = [], [], []
+                start = start_times[0]
+                prev_i = i - 1
+                curr_token_count = 0
+            curr_words.append(w)
+            curr_starts.append(start_times.pop(0))
+            curr_ends.append(end_times.pop(0))
+            curr_token_count += len(w.tokens)
+            if i == len(all_words):
+                yield (curr_words, curr_starts, curr_ends,
+                       seg_edge_mask[prev_i:prev_i + len(curr_words)])
+
+    def second_to_sample(self, timestamps, offset: Optional[float] = None
+                         ) -> np.ndarray:
+        timestamps = np.asarray(timestamps)
+        return ((timestamps - offset) * self.sample_rate).round().astype(np.int32)
+
+    # -- probability probing ---------------------------------------------------------------
+
+    def get_prob(self, audio_segment: np.ndarray, text_tokens: List[int],
+                 word_tokens: List[List[int]], prob_indices: List[int],
+                 is_end_ts: bool):
+        """One batched forward -> (per-word probs, per-word best-token ranks)."""
+        token_probs = np.asarray(self.inference_func(audio_segment, text_tokens))
+        if token_probs.shape[0] != 2:
+            raise RuntimeError(
+                f'expected dim 0 to be length of 2 but got {token_probs.shape[0]}')
+        if token_probs.shape[1] != len(text_tokens):
+            raise RuntimeError(
+                f'expected dim 1 to be length of {len(text_tokens)} '
+                f'but got {token_probs.shape[1]}')
+        if token_probs.ndim not in (2, 3):
+            raise RuntimeError('expected inference_func output to have 2 or 3 '
+                               f'dimensions but got {token_probs.ndim}')
+        tokens = np.asarray(text_tokens)
+        word_idxs = np.arange(len(text_tokens))
+        if token_probs.ndim == 2:
+            text_token_probs = token_probs
+            token_positions = None
+        else:
+            text_token_probs = token_probs[:, word_idxs, tokens]
+            token_positions = token_probs[:, word_idxs]  # (2, n_tok, vocab)
+
+        word_boundaries = np.pad(np.cumsum([len(t) for t in word_tokens]), (1, 0))
+        text_token_probs = text_token_probs[prob_indices, word_idxs].tolist()
+        word_probabilities = np.array([
+            text_token_probs[j - 1] if is_end_ts else text_token_probs[i]
+            for i, j in zip(word_boundaries[:-1], word_boundaries[1:])
+        ])
+
+        if token_positions is None:
+            token_positions = [0] * len(word_tokens)
+        else:
+            per_token = token_positions[prob_indices, word_idxs]  # (n_tok, vocab)
+            order = np.argsort(per_token, axis=-1)
+            ranks = [int(np.flatnonzero(order[i] == tokens[i])[0])
+                     for i in range(len(tokens))]
+            token_positions = [
+                ranks[j - 1] if is_end_ts else ranks[i]
+                for i, j in zip(word_boundaries[:-1], word_boundaries[1:])
+            ]
+        return word_probabilities, token_positions
+
+    # -- timestamp updates --------------------------------------------------------------------
+
+    def update_ts(self, idx: int, is_finish: np.ndarray, changes: np.ndarray,
+                  is_end_ts: bool, time_offset: float, words: List[WordTiming]):
+        if not is_finish[idx] or changes[idx, -1] == -1:
+            return
+        new_ts = round(time_offset + float(changes[idx, -1]) / self.sample_rate, 3)
+        if changes[idx, 0] and not changes[idx, 1]:
+            # Only ever failed: accept the change only if it tightens the span.
+            if is_end_ts:
+                if new_ts <= words[idx].end:
+                    return
+            elif new_ts >= words[idx].start:
+                return
+        if is_end_ts:
+            old_ts = words[idx].end
+            words[idx].end = new_ts
+        else:
+            old_ts = words[idx].start
+            words[idx].start = new_ts
+        if self.options.progress.verbose and old_ts != new_ts:
+            info = (f'[Word="{words[idx].word}"] '
+                    f'[Segment ID: {words[idx].segment_id}] '
+                    f'[Word ID: {words[idx].id}]')
+            print(f'{"End" if is_end_ts else "Start"}: {old_ts} -> {new_ts}  {info}')
+
+    # -- the bisection loop -----------------------------------------------------------------------
+
+    def _refine(self, result: WhisperResult, step: str):
+        total_duration = round(self._audio.shape[-1] / self.sample_rate, 3)
+
+        for words, min_starts, max_ends, edge_mask in self.curr_segments(
+                result, total_duration):
+            time_offset = min_starts[0]
+            start_sample = round(time_offset * self.sample_rate)
+            end_sample = round(max_ends[-1] * self.sample_rate)
+            orig_audio_segment = self._audio[start_sample:end_sample + 1][None]
+
+            max_starts = self.second_to_sample([w.end for w in words], time_offset)
+            min_ends = self.second_to_sample([w.start for w in words], time_offset)
+            min_starts = self.second_to_sample(min_starts, time_offset)
+            max_ends = self.second_to_sample(max_ends, time_offset)
+            mid_starts = min_starts + ((max_starts - min_starts) / 2).round().astype(np.int32)
+            mid_ends = min_ends + ((max_ends - min_ends) / 2).round().astype(np.int32)
+
+            text_tokens = [t for w in words for t in w.tokens]
+            word_tokens = [list(w.tokens) for w in words]
+
+            audio_segment = np.repeat(orig_audio_segment.copy(), 2, axis=0)
+            is_end_ts = step == 'e'
+
+            prob_indices: List[int] = []
+            is_finish = np.less([w.probability for w in words], self.prob_threshold)
+            is_finish = np.logical_or(is_finish, [w.duration == 0 for w in words])
+            if not self.word_level:
+                is_finish[edge_mask != (2 if is_end_ts else 1)] = True
+            for idx, boundary in enumerate(max_starts if is_end_ts else min_ends):
+                row = idx % 2
+                prob_indices.extend([row] * len(words[idx].tokens))
+                if is_finish[idx]:
+                    continue
+                if is_end_ts:
+                    stop = (audio_segment.shape[-1] if idx == len(words) - 1
+                            else mid_ends[idx + 1])
+                    audio_segment[row, boundary:stop] = 0
+                else:
+                    start_p = 0 if idx == 0 else mid_starts[idx - 1]
+                    audio_segment[row, start_p:boundary] = 0
+
+            orig_probs, orig_tk_poss = self.get_prob(
+                audio_segment, text_tokens, word_tokens, prob_indices, is_end_ts)
+            changes = np.zeros((orig_probs.shape[-1], 3), dtype=np.int32)
+            changes[:, -1] = -1
+            frame_indices = (mid_ends, max_starts) if is_end_ts else (min_ends, mid_starts)
+            for idx, (s, e) in enumerate(zip(*frame_indices)):
+                row = idx % 2
+                if is_finish[idx]:
+                    continue
+                audio_segment[row, s:e] = 0
+
+            new_probs = prev_probs = orig_probs
+            while not np.all(is_finish):
+                probs, tk_poss = self.get_prob(
+                    audio_segment, text_tokens, word_tokens, prob_indices, is_end_ts)
+                abs_diffs = orig_probs - probs
+                rel_diffs = abs_diffs / orig_probs
+                rel_change_diffs = (prev_probs - probs) / prev_probs
+                prev_probs = probs
+                for idx, (abs_diff, rel_diff, rel_change_diff, prob) in enumerate(
+                        zip(abs_diffs, rel_diffs, rel_change_diffs, probs)):
+                    if is_finish[idx]:
+                        continue
+                    if is_end_ts:
+                        curr_min, curr_max, curr_mid = (min_ends[idx],
+                                                        max_ends[idx], mid_ends[idx])
+                    else:
+                        curr_min, curr_max, curr_mid = (min_starts[idx],
+                                                        max_starts[idx],
+                                                        mid_starts[idx])
+                    row = prob_indices[idx]
+                    best_tks_changed = orig_tk_poss[idx] > tk_poss[idx]
+                    failed_requirements = (
+                        abs_diff > self.abs_prob_decrease
+                        or rel_diff > self.rel_prob_decrease
+                        or (self.rel_rel_prob_decrease is not None
+                            and rel_change_diff > self.rel_rel_prob_decrease)
+                        or prob < self.prob_threshold
+                        or best_tks_changed
+                    )
+                    if failed_requirements:
+                        changes[idx][0] = 1
+                        if is_end_ts:
+                            curr_min = curr_mid
+                        else:
+                            curr_max = curr_mid
+                    else:
+                        changes[idx][1] = 1
+                        if is_end_ts:
+                            curr_max = curr_mid
+                        else:
+                            curr_min = curr_mid
+
+                    new_mid_change = round((curr_max - curr_min) / 2)
+                    if new_mid_change < self.sample_precision:
+                        is_finish[idx] = True
+                        self.update_ts(idx, is_finish, changes, is_end_ts,
+                                       time_offset, words)
+                        continue
+
+                    new_mid = curr_min + new_mid_change
+                    if failed_requirements:
+                        # Un-mute the span we went too far on.
+                        if is_end_ts:
+                            audio_segment[row, curr_min:new_mid] = \
+                                orig_audio_segment[0, curr_min:new_mid]
+                        else:
+                            audio_segment[row, new_mid:curr_max] = \
+                                orig_audio_segment[0, new_mid:curr_max]
+                    else:
+                        if is_end_ts:
+                            audio_segment[row, new_mid:curr_max] = 0
+                        else:
+                            audio_segment[row, curr_min:new_mid] = 0
+
+                    if is_end_ts:
+                        min_ends[idx], max_ends[idx], mid_ends[idx] = \
+                            curr_min, curr_max, new_mid
+                    else:
+                        min_starts[idx], max_starts[idx], mid_starts[idx] = \
+                            curr_min, curr_max, new_mid
+                    if not best_tks_changed:
+                        changes[idx][-1] = new_mid
+                    new_probs[idx] = prob
+
+            if self.options.progress.progress_callback is not None:
+                self.options.progress.progress_callback(
+                    min(words[-1].end, total_duration), total_duration)
