@@ -1,0 +1,104 @@
+"""Denoiser plugin registry + built-in spectral-gating denoiser.
+
+Counterpart of the reference's denoiser registry
+(audio/__init__.py:19-23 with demucs/dfnet/noisereduce backends). Those are
+external torch/rust packages; here the built-in is a self-contained
+noisereduce-style spectral gate (STFT -> per-band noise floor -> soft mask),
+and any external denoiser plugs in by registering load/run callables.
+"""
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from ..constants import SAMPLE_RATE
+from ..defaults import cached_model_instances
+
+
+def spectral_gate(
+        audio: np.ndarray,
+        sr: int = SAMPLE_RATE,
+        n_fft: int = 1024,
+        hop_length: int = 256,
+        n_std_thresh: float = 1.5,
+        noise_quantile: float = 0.1,
+        prop_decrease: float = 1.0,
+        freq_smooth_bins: int = 3,
+        time_smooth_frames: int = 5,
+        **_unused,
+) -> np.ndarray:
+    """Stationary spectral gating (noisereduce-style).
+
+    The noise floor per frequency band is estimated from the quietest
+    ``noise_quantile`` of frames; bins below floor + n_std * std are
+    attenuated by ``prop_decrease`` with a smoothed soft mask.
+    """
+    from scipy.signal import stft, istft
+    audio = np.asarray(audio, np.float32)
+    if audio.size < n_fft:
+        return audio
+    _, _, spec = stft(audio, fs=sr, nperseg=n_fft, noverlap=n_fft - hop_length,
+                      padded=True)
+    mag = np.abs(spec)
+    log_mag = np.log10(mag + 1e-10)
+
+    frame_energy = log_mag.mean(axis=0)
+    quiet_cut = np.quantile(frame_energy, noise_quantile)
+    quiet = log_mag[:, frame_energy <= quiet_cut]
+    if quiet.shape[1] < 2:
+        quiet = log_mag
+    noise_mean = quiet.mean(axis=1, keepdims=True)
+    noise_std = quiet.std(axis=1, keepdims=True)
+    threshold = noise_mean + n_std_thresh * noise_std
+
+    mask = (log_mag > threshold).astype(np.float32)
+    # Smooth the mask over frequency and time (separable box filters).
+    if freq_smooth_bins > 1:
+        kernel = np.ones(freq_smooth_bins) / freq_smooth_bins
+        mask = np.apply_along_axis(
+            lambda m: np.convolve(m, kernel, mode='same'), 0, mask)
+    if time_smooth_frames > 1:
+        kernel = np.ones(time_smooth_frames) / time_smooth_frames
+        mask = np.apply_along_axis(
+            lambda m: np.convolve(m, kernel, mode='same'), 1, mask)
+    gain = 1.0 - prop_decrease * (1.0 - mask)
+    _, out = istft(spec * gain, fs=sr, nperseg=n_fft,
+                   noverlap=n_fft - hop_length)
+    out = out[:audio.size].astype(np.float32)
+    if out.size < audio.size:
+        out = np.pad(out, (0, audio.size - out.size))
+    return out
+
+
+# Registry: name -> {'load': () -> model_or_None, 'run': (audio, model=..., **opts) -> audio}
+SUPPORTED_DENOISERS: Dict[str, Dict[str, Callable]] = {
+    'spectral_gate': {
+        'load': lambda **kw: None,  # stateless
+        'run': lambda audio, model=None, **kw: spectral_gate(audio, **kw),
+    },
+    # alias matching the reference's default plugin naming
+    'noisereduce': {
+        'load': lambda **kw: None,
+        'run': lambda audio, model=None, **kw: spectral_gate(audio, **kw),
+    },
+}
+
+
+def register_denoiser(name: str, run: Callable, load: Optional[Callable] = None):
+    """Register an external denoiser (e.g. a demucs wrapper)."""
+    SUPPORTED_DENOISERS[name] = {
+        'load': load or (lambda **kw: None),
+        'run': run,
+    }
+
+
+def apply_denoiser(name: str, audio: np.ndarray, **options) -> np.ndarray:
+    if name not in SUPPORTED_DENOISERS:
+        raise NotImplementedError(
+            f'unsupported denoiser: {name!r}; supported: '
+            f'{tuple(SUPPORTED_DENOISERS)} (register more with '
+            f'stable_ts_tpu.audio.denoiser.register_denoiser)')
+    entry = SUPPORTED_DENOISERS[name]
+    cache = cached_model_instances.setdefault('denoisers', {})
+    if name not in cache:
+        cache[name] = entry['load'](**options.pop('load_options', {}))
+    return entry['run'](audio, model=cache[name], **options)

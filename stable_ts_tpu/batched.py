@@ -1,0 +1,422 @@
+"""Batched (window-data-parallel) transcription: the TPU throughput path.
+
+The reference's only batching is in alternative backends (HF pipeline
+batch_size=24, faster-whisper BatchedInferencePipeline — SURVEY §2.3); its
+own loop decodes one 30-s window at a time. Here the window axis IS the
+batch axis (SURVEY §5.7's TPU-native plan):
+
+- fixed-stride 30-s windows (no seek feedback -> windows are independent,
+  like the reference's batched pipelines; prompt conditioning is off)
+- ONE batched encoder + sampling-loop call per batch of windows
+- temperature fallback re-decodes only the failed windows, batched
+- the word-timing teacher-forced pass runs batched with right-padded token
+  rows (exact under the causal mask) and a vmapped DTW cost kernel
+
+On multi-chip meshes, shard the window axis with
+``stable_ts_tpu.parallel.data_sharding`` — the batch here is the dp axis.
+"""
+import warnings
+from typing import Callable, List, Optional, Union
+
+import numpy as np
+
+from .constants import (N_FRAMES, N_SAMPLES, N_SAMPLES_PER_TOKEN, SAMPLE_RATE,
+                        TOKENS_PER_SECOND)
+from .defaults import (get_append_punctuations, get_min_word_dur,
+                       get_prepend_punctuations)
+from .models.whisper.decoding import DecodingOptions, decode
+from .ops.mel import log_mel_spectrogram
+from .result import Segment, WhisperResult
+from .stabilization import NonSpeechPredictor
+
+
+def _bucket(n: int, step: int = 64) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
+def transcribe_batched(
+        model,
+        audio,
+        *,
+        batch_size: int = 8,
+        language: Optional[str] = None,
+        task: str = 'transcribe',
+        temperature=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+        compression_ratio_threshold: Optional[float] = 2.4,
+        logprob_threshold: Optional[float] = -1.0,
+        no_speech_threshold: Optional[float] = 0.6,
+        word_timestamps: bool = True,
+        regroup: Union[bool, str] = True,
+        suppress_silence: bool = True,
+        suppress_word_ts: bool = True,
+        use_word_position: bool = True,
+        vad: Union[bool, dict, str] = False,
+        vad_threshold: float = 0.35,
+        q_levels: int = 20,
+        k_size: int = 5,
+        denoiser: Optional[str] = None,
+        denoiser_options: Optional[dict] = None,
+        only_voice_freq: bool = False,
+        min_word_dur: Optional[float] = None,
+        min_silence_dur: Optional[float] = None,
+        nonspeech_error: float = 0.1,
+        prepend_punctuations: Optional[str] = None,
+        append_punctuations: Optional[str] = None,
+        verbose: Optional[bool] = False,
+        progress_callback: Optional[Callable] = None,
+        dynamic_heads: Optional[Union[bool, int, str]] = None,
+        aligner: Union[str, dict] = 'legacy',
+        **decode_options,
+) -> WhisperResult:
+    """Transcribe with all 30-s windows batched (throughput-optimized).
+
+    Semantics match :func:`transcribe_stable` with
+    ``condition_on_previous_text=False`` and fixed-stride windows.
+    """
+    from .audio import prep_audio
+    min_word_dur = get_min_word_dur(min_word_dur)
+    prepend_punctuations = get_prepend_punctuations(prepend_punctuations)
+    append_punctuations = get_append_punctuations(append_punctuations)
+    punctuations = prepend_punctuations + append_punctuations
+
+    audio = prep_audio(audio, denoiser=denoiser,
+                       denoiser_options=denoiser_options,
+                       only_voice_freq=only_voice_freq)
+    total_samples = int(audio.shape[-1])
+    total_duration = total_samples / SAMPLE_RATE
+    n_windows = max(1, int(np.ceil(total_samples / N_SAMPLES)))
+
+    # -- silence prediction per window (host) ------------------------------------
+    predictor = NonSpeechPredictor(
+        vad=vad if suppress_silence else None,
+        min_word_dur=min_word_dur,
+        q_levels=q_levels, k_size=k_size,
+        vad_threshold=vad_threshold,
+        sampling_rate=SAMPLE_RATE,
+        verbose=None,
+        store_timings=True,
+        min_silence_dur=min_silence_dur,
+    )
+    windows = []
+    window_meta = []
+    for w in range(n_windows):
+        seek = w * N_SAMPLES
+        seg = audio[seek:seek + N_SAMPLES]
+        preds = predictor.predict(seg, offset=seek / SAMPLE_RATE)
+        window_meta.append(dict(
+            seek=seek,
+            samples=int(seg.shape[-1]),
+            silence_timings=preds['timings'] if suppress_silence else None,
+            is_silent=preds['is_silent'],
+        ))
+        if seg.shape[-1] < N_SAMPLES:
+            seg = np.pad(seg, (0, N_SAMPLES - seg.shape[-1]))
+        windows.append(seg)
+    windows = np.stack(windows)  # (W, N_SAMPLES)
+
+    active = [w for w in range(n_windows) if not window_meta[w]['is_silent']]
+    if not active:
+        result = WhisperResult(dict(text='', segments=[], language=language))
+        predictor.finalize_timings()
+        if predictor.nonspeech_timings:
+            result.update_nonspeech_sections(*predictor.nonspeech_timings)
+        warnings.warn(f'Failed to {task} audio. Result contains no text.')
+        return result
+
+    # -- batched mel + language detection -------------------------------------------
+    mels = np.asarray(log_mel_spectrogram(windows[active], model.dims.n_mels))
+    mels = mels[..., :N_FRAMES]
+
+    if language is None:
+        if model.is_multilingual:
+            langs, _ = model.detect_language(mels[:1])
+            language = langs[0]
+            if verbose is not None:
+                print(f'Detected language: {language}')
+        else:
+            language = 'en'
+    tokenizer = model.get_tokenizer(language=language, task=task)
+
+    # -- batched decode with per-window temperature fallback --------------------------
+    temperatures = ([temperature] if isinstance(temperature, (int, float))
+                    else list(temperature))
+    results: List = [None] * len(active)
+    pending = list(range(len(active)))
+    for t in temperatures:
+        if not pending:
+            break
+        kwargs = dict(decode_options)
+        if t > 0:
+            kwargs.pop('beam_size', None)
+            kwargs.pop('patience', None)
+        else:
+            kwargs.pop('best_of', None)
+        options = DecodingOptions(task=task, language=language,
+                                  temperature=t, **kwargs)
+        still_pending = []
+        for chunk_start in range(0, len(pending), batch_size):
+            chunk = pending[chunk_start:chunk_start + batch_size]
+            chunk_results = model.decode(mels[chunk], options)
+            for local, res in zip(chunk, chunk_results):
+                needs_fallback = False
+                if (compression_ratio_threshold is not None
+                        and res.compression_ratio > compression_ratio_threshold):
+                    needs_fallback = True
+                if (logprob_threshold is not None
+                        and res.avg_logprob < logprob_threshold):
+                    needs_fallback = True
+                if (no_speech_threshold is not None
+                        and res.no_speech_prob > no_speech_threshold):
+                    needs_fallback = False
+                results[local] = res
+                if needs_fallback:
+                    still_pending.append(local)
+        pending = still_pending
+        if progress_callback is not None:
+            progress_callback(min(total_duration, total_duration), total_duration)
+
+    # -- split tokens into segments per window (host) ----------------------------------
+    all_segments: List[dict] = []
+    per_window_segments: List[List[dict]] = []
+    time_precision = 1.0 / TOKENS_PER_SECOND
+    for local, w in enumerate(active):
+        res = results[local]
+        meta = window_meta[w]
+        time_offset = meta['seek'] / SAMPLE_RATE
+        segment_duration = meta['samples'] / SAMPLE_RATE
+        tokens = np.array(res.tokens)
+        ts_begin = tokenizer.timestamp_begin
+
+        if no_speech_threshold is not None:
+            should_skip = res.no_speech_prob > no_speech_threshold
+            if (logprob_threshold is not None
+                    and res.avg_logprob > logprob_threshold):
+                should_skip = False
+            if should_skip:
+                per_window_segments.append([])
+                continue
+
+        current_segments: List[dict] = []
+
+        def new_segment(start, end, seg_tokens):
+            seg_tokens = [int(x) for x in seg_tokens]
+            return {
+                'seek': round(time_offset, 3),
+                'start': start, 'end': end,
+                'text': tokenizer.decode([x for x in seg_tokens
+                                          if x < tokenizer.eot]),
+                'tokens': seg_tokens,
+                'temperature': res.temperature,
+                'avg_logprob': res.avg_logprob,
+                'compression_ratio': res.compression_ratio,
+                'no_speech_prob': res.no_speech_prob,
+            }
+
+        if len(tokens):
+            ts_mask = tokens >= ts_begin
+            consecutive = np.flatnonzero(ts_mask[:-1] & ts_mask[1:]) + 1
+            single_ts_ending = (len(tokens) >= 2
+                                and ts_mask[-2:].tolist() == [False, True])
+            if len(consecutive):
+                slices = consecutive.tolist()
+                if single_ts_ending:
+                    slices.append(len(tokens))
+                last_slice = 0
+                for cs in slices:
+                    st = tokens[last_slice:cs]
+                    current_segments.append(new_segment(
+                        round(time_offset + (int(st[0]) - ts_begin)
+                              * time_precision, 3),
+                        round(time_offset + min((int(st[-1]) - ts_begin)
+                                                * time_precision,
+                                                segment_duration), 3),
+                        st))
+                    last_slice = cs
+            else:
+                duration = segment_duration
+                stamps = tokens[ts_mask]
+                if len(stamps) > 0 and int(stamps[-1]) != ts_begin:
+                    duration = min((int(stamps[-1]) - ts_begin) * time_precision,
+                                   segment_duration)
+                current_segments.append(new_segment(
+                    round(time_offset, 3),
+                    round(time_offset + duration, 3), tokens))
+
+        for i in reversed(range(len(current_segments))):
+            seg = current_segments[i]
+            if seg['text'].strip() in punctuations or \
+                    (word_timestamps and seg['start'] == seg['end']):
+                del current_segments[i]
+        per_window_segments.append(current_segments)
+
+    # -- batched word timing --------------------------------------------------------------
+    if word_timestamps:
+        _batched_word_timestamps(
+            model, tokenizer, mels, active, window_meta, per_window_segments,
+            prepend_punctuations, append_punctuations, min_word_dur,
+            dynamic_heads, aligner)
+
+    # -- assemble + suppress + regroup -------------------------------------------------------
+    for local, w in enumerate(active):
+        meta = window_meta[w]
+        segs = per_window_segments[local]
+        if word_timestamps:
+            segs = [s for s in segs if s.get('words')]
+        if meta['silence_timings'] is not None and segs:
+            for i, seg in enumerate(segs):
+                seg_obj = Segment(**seg, ignore_unused_args=True).suppress_silence(
+                    *meta['silence_timings'],
+                    min_word_dur=min_word_dur,
+                    word_level=suppress_word_ts,
+                    nonspeech_error=nonspeech_error,
+                    use_word_position=use_word_position)
+                segs[i] = seg_obj.to_dict()
+        all_segments.extend({'id': len(all_segments) + i, **s}
+                            for i, s in enumerate(segs))
+
+    text = ''.join(s['text'] for s in all_segments)
+    final_result = WhisperResult(
+        dict(text=text, segments=all_segments, language=language),
+        force_order=not word_timestamps)
+
+    predictor.finalize_timings()
+    if suppress_silence and predictor.nonspeech_timings is not None:
+        final_result.update_nonspeech_sections(*predictor.nonspeech_timings)
+    if word_timestamps and regroup:
+        final_result.regroup(regroup)
+    if len(final_result.text) == 0:
+        warnings.warn(f'Failed to {task} audio. Result contains no text.')
+    return final_result
+
+
+def _batched_word_timestamps(model, tokenizer, mels, active, window_meta,
+                             per_window_segments, prepend_punctuations,
+                             append_punctuations, min_word_dur,
+                             dynamic_heads, aligner):
+    """One padded teacher-forced QK pass for many windows + vmapped DTW.
+
+    Right-padding the token rows is exact: under the causal mask, padding
+    appended AFTER a window's real tokens cannot affect those tokens'
+    logits or attention rows.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .models.whisper.model import decoder_apply, encoder_apply
+    from .models.whisper.timing import (WordTimingRaw, _matrix_to_jumps,
+                                        merge_punctuations, pop_empty_alignment,
+                                        split_word_tokens, _dynamic_head_weights,
+                                        _legacy_head_weights, _new_aligner_matrix,
+                                        find_alignment)
+    from .ops.dtw import dtw_cost_jax, _traceback_from_cost
+
+    # Collect per-window flattened tokens.
+    prep = []
+    for local, segs in enumerate(per_window_segments):
+        if not segs:
+            prep.append(None)
+            continue
+        for seg in segs:
+            seg['words'] = []
+        text_tokens, token_split, seg_indices = split_word_tokens(
+            segs, tokenizer, padding=' ...')
+        if not text_tokens:
+            prep.append(None)
+            continue
+        prep.append((text_tokens, token_split, seg_indices))
+
+    todo = [i for i, p in enumerate(prep) if p is not None]
+    if not todo:
+        return
+    sot_seq = list(tokenizer.sot_sequence)
+    max_len = max(len(prep[i][0]) for i in todo)
+    padded_len = _bucket(len(sot_seq) + 1 + max_len + 1, 64)
+
+    rows = []
+    for i in todo:
+        text_tokens = prep[i][0]
+        row = sot_seq + [tokenizer.no_timestamps] + list(text_tokens) + [tokenizer.eot]
+        row = row + [tokenizer.eot] * (padded_len - len(row))
+        rows.append(row)
+    tokens_arr = jnp.asarray(rows, jnp.int32)
+
+    xa = encoder_apply(model.params['encoder'], jnp.asarray(mels[todo]),
+                       model.dims.n_audio_head)
+    logits, qks = decoder_apply(model.params['decoder'], tokens_arr, xa,
+                                model.dims.n_text_head, capture_qk=True)
+    # qks: (L, B, H, T, 1500); per-window processing below slices real lengths.
+    sot_len = len(sot_seq)
+    probs_all = np.asarray(jax.nn.softmax(
+        logits[:, :, :tokenizer.eot].astype(jnp.float32), axis=-1))
+    qks_np = np.asarray(qks, np.float32)
+
+    for bi, i in enumerate(todo):
+        text_tokens, token_split, seg_indices = prep[i]
+        meta = window_meta[active[i]]
+        n_text = len(text_tokens)
+        token_probs = probs_all[bi, sot_len:sot_len + n_text]
+        text_token_probs = token_probs[np.arange(n_text),
+                                       np.asarray(text_tokens)].tolist()
+
+        words, word_tokens = token_split
+        words = list(words) + [tokenizer.decode([tokenizer.eot])]
+        word_tokens = list(word_tokens) + [[tokenizer.eot]]
+        word_boundaries = np.pad(np.cumsum([len(t) for t in word_tokens[:-1]]),
+                                 (1, 0))
+
+        qk = qks_np[:, bi, :, :sot_len + 1 + n_text + 1]  # crop padding rows
+        max_qk_len = round(meta['samples'] / N_SAMPLES_PER_TOKEN)
+        # Head selection: same modes as find_alignment, per window.
+        if aligner != 'legacy' or isinstance(aligner, dict):
+            kwargs = dict(topk=20, w_colnorm=1.0, w_rownorm=1.0, w_coverage=0.0)
+            if isinstance(aligner, dict):
+                kwargs.update(aligner)
+            matrix = np.asarray(_new_aligner_matrix(
+                jnp.asarray(qk), max_qk_len, sot_len, 1.0,
+                medfilt_width=7,
+                topk=min(int(kwargs['topk']),
+                         model.dims.n_text_layer * model.dims.n_text_head),
+                w_colnorm=float(kwargs['w_colnorm']),
+                w_rownorm=float(kwargs['w_rownorm']),
+                w_coverage=float(kwargs['w_coverage'])))
+        elif model.alignment_heads is not None and not dynamic_heads:
+            heads = np.asarray(model.alignment_heads)
+            sel = jnp.asarray(qk[heads[:, 0], heads[:, 1]])
+            weights = np.asarray(_legacy_head_weights(sel, max_qk_len, sot_len,
+                                                      1.0, 7))
+            matrix = weights.mean(axis=0)
+        else:
+            count = 6 if dynamic_heads in (None, True) else int(dynamic_heads)
+            weights = _dynamic_head_weights(qk, sot_len, max_qk_len, 1.0, 7,
+                                            count, None)
+            matrix = weights.mean(axis=0)
+
+        jump_indices = _matrix_to_jumps(matrix)
+        jump_times = jump_indices / TOKENS_PER_SECOND
+        start_times = jump_times[word_boundaries[:-1]]
+        end_times = jump_times[word_boundaries[1:]]
+        word_probs = [float(np.mean(text_token_probs[a:b]))
+                      for a, b in zip(word_boundaries[:-1], word_boundaries[1:])]
+        alignment = [WordTimingRaw(wd, tk, float(s), float(e), p)
+                     for wd, tk, s, e, p in zip(words, word_tokens, start_times,
+                                                end_times, word_probs)]
+        segs = per_window_segments[i]
+        alt_begin = pop_empty_alignment(alignment, seg_indices)
+        merge_punctuations(alignment, prepend_punctuations, append_punctuations)
+        time_offset = meta['seek'] / SAMPLE_RATE
+        for si, timing in zip(seg_indices, alignment):
+            if len(timing.tokens) == 0:
+                continue
+            start, end = timing.start, timing.end
+            if (len(segs[si]['words']) == 0 and (end - start) < min_word_dur
+                    and si in alt_begin):
+                start = alt_begin[si].start
+            segs[si]['words'].append(dict(
+                word=timing.word,
+                start=round(time_offset + start, 3),
+                end=round(time_offset + end, 3),
+                probability=timing.probability,
+                tokens=timing.tokens))
+        for seg in segs:
+            if seg['words']:
+                seg['start'] = seg['words'][0]['start']
+                seg['end'] = seg['words'][-1]['end']

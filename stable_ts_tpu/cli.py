@@ -106,7 +106,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--refine', '-r', action='store_true',
                         help='refine timestamps of the result')
     parser.add_argument('--transcribe_method', default='transcribe',
-                        choices=('transcribe', 'transcribe_minimal'))
+                        choices=('transcribe', 'transcribe_minimal', 'transcribe_batched'))
 
     # decoding
     parser.add_argument('--temperature', type=float, default=0)

@@ -124,6 +124,10 @@ class WhisperTPU:
         from .transcribe import transcribe_minimal
         return transcribe_minimal(self, audio, **kwargs)
 
+    def transcribe_batched(self, audio, **kwargs):
+        from .batched import transcribe_batched
+        return transcribe_batched(self, audio, **kwargs)
+
     def align(self, audio, text, **kwargs):
         from .alignment import align
         return align(self, audio, text, **kwargs)

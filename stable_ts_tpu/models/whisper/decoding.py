@@ -225,6 +225,148 @@ def _sample_loop(params, cross_kv, kv_cache, init_logits, tokens_init, rng,
     return tokens, sum_logprobs, n_sampled
 
 
+@partial(jax.jit, static_argnames=(
+    'n_head', 'sample_begin', 'sample_len', 'n_text_ctx', 'eot', 'ts_begin',
+    'n_vocab', 'max_initial_ts_index', 'suppress_blank', 'without_timestamps',
+    'beam_size', 'max_candidates'))
+def _beam_loop(params, cross_kv, kv_cache, init_logits, tokens_init,
+               suppress_mask, blank_mask, ts_silence_mask,
+               n_head: int, sample_begin: int, sample_len: int,
+               n_text_ctx: int, eot: int, ts_begin: int, n_vocab: int,
+               max_initial_ts_index: int, suppress_blank: bool,
+               without_timestamps: bool, beam_size: int, max_candidates: int):
+    """Beam search over ``n_groups`` windows with ``beam_size`` beams each.
+
+    All rows (= n_groups * beam_size) advance in lockstep; the KV cache is
+    re-gathered along the batch axis after each beam reshuffle. Finished
+    (EOT-ended) hypotheses accumulate in a fixed-size per-group pool of
+    ``max_candidates`` (= ceil(beam_size * patience)); a group stops
+    contributing once its pool is full, and the loop exits when every pool
+    is full or ``sample_len`` is exhausted.
+
+    Returns (tokens (rows, ctx), cum_logprobs (rows,),
+             finished_tokens (groups, max_candidates, ctx),
+             finished_scores (groups, max_candidates) — -inf where empty).
+    """
+    rows = init_logits.shape[0]
+    n_groups = rows // beam_size
+    vocab_ids = jnp.arange(n_vocab)
+    is_ts = vocab_ids >= ts_begin
+    is_text = vocab_ids < ts_begin
+    NEG = jnp.float32(-1e30)
+
+    def apply_filters(logits, i, last_tok, penult_tok, max_ts):
+        logits = logits + suppress_mask + ts_silence_mask
+        if suppress_blank:
+            logits = jnp.where(i == 0, logits + blank_mask, logits)
+        if without_timestamps:
+            return logits
+        last_was_ts = last_tok >= ts_begin
+        penult_was_ts = (i < 2) | (penult_tok >= ts_begin)
+        text_ban = last_was_ts & ~penult_was_ts
+        ts_ban = last_was_ts & penult_was_ts
+        logits = jnp.where(ts_ban[:, None] & is_ts[None, :], _NEG, logits)
+        logits = jnp.where(text_ban[:, None] & (vocab_ids < eot)[None, :], _NEG,
+                           logits)
+        has_ts = max_ts >= 0
+        ts_floor = jnp.where(text_ban, max_ts, max_ts + 1)
+        below = vocab_ids[None, :] < (ts_begin + ts_floor)[:, None]
+        logits = jnp.where(has_ts[:, None] & below & is_ts[None, :], _NEG, logits)
+        first = i == 0
+        logits = jnp.where(first & is_text[None, :], _NEG, logits)
+        if max_initial_ts_index >= 0:
+            too_late = vocab_ids[None, :] > (ts_begin + max_initial_ts_index)
+            logits = jnp.where(first & too_late, _NEG, logits)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        ts_lp = jax.nn.logsumexp(jnp.where(is_ts[None, :], logprobs, _NEG), -1)
+        max_text_lp = jnp.max(jnp.where(is_text[None, :], logprobs, _NEG), -1)
+        logits = jnp.where((ts_lp > max_text_lp)[:, None] & is_text[None, :],
+                           _NEG, logits)
+        return logits
+
+    def cond(state):
+        i = state[0]
+        fin_scores = state[10]
+        pool_full = jnp.all(fin_scores > NEG / 2, axis=1)  # (groups, cand)
+        return (i < sample_len) & ~jnp.all(pool_full)
+
+    def body(state):
+        (i, tokens, logits, kv, cum_lp, last_tok, penult_tok, max_ts,
+         group_done, fin_tokens, fin_scores) = state
+        filtered = apply_filters(logits, i, last_tok, penult_tok, max_ts)
+        logprobs = jax.nn.log_softmax(filtered, axis=-1)  # (rows, V)
+        cand = (cum_lp[:, None] + logprobs).reshape(n_groups,
+                                                    beam_size * n_vocab)
+        # Rows of finished groups contribute nothing new.
+        cand = jnp.where(group_done[:, None], NEG, cand)
+        k = 2 * beam_size
+        top_scores, top_idx = jax.lax.top_k(cand, k)  # (groups, 2*beam)
+        src_beam = top_idx // n_vocab                 # within-group beam id
+        tok = (top_idx % n_vocab).astype(jnp.int32)
+        is_eot = tok == eot
+
+        # Push EOT candidates into the finished pool (keep best max_candidates).
+        eot_scores = jnp.where(is_eot, top_scores, NEG)  # (groups, k)
+        src_rows = (src_beam
+                    + jnp.arange(n_groups)[:, None] * beam_size)  # (groups, k)
+        cand_tokens = tokens[src_rows]  # (groups, k, ctx)
+        cand_tokens = cand_tokens.at[:, :, sample_begin + i].set(eot)
+        all_scores = jnp.concatenate([fin_scores, eot_scores], axis=1)
+        all_tokens = jnp.concatenate([fin_tokens, cand_tokens], axis=1)
+        order = jnp.argsort(-all_scores, axis=1)[:, :max_candidates]
+        fin_scores = jnp.take_along_axis(all_scores, order, axis=1)
+        fin_tokens = jnp.take_along_axis(all_tokens, order[:, :, None], axis=1)
+
+        # Select the next active beams from non-EOT candidates.
+        live_scores = jnp.where(is_eot, NEG, top_scores)
+        live_order = jnp.argsort(-live_scores, axis=1)[:, :beam_size]
+        new_cum = jnp.take_along_axis(live_scores, live_order, axis=1)
+        new_tok = jnp.take_along_axis(tok, live_order, axis=1)
+        new_src_rows = jnp.take_along_axis(src_rows, live_order, axis=1)
+        # Finished groups keep their state frozen (scores unchanged).
+        keep_rows = (jnp.arange(beam_size)[None, :]
+                     + jnp.arange(n_groups)[:, None] * beam_size)
+        new_group_done = jnp.all(fin_scores > NEG / 2, axis=1)
+        new_src_rows = jnp.where(group_done[:, None], keep_rows, new_src_rows)
+        new_cum = jnp.where(group_done[:, None],
+                            cum_lp.reshape(n_groups, beam_size), new_cum)
+        flat_src = new_src_rows.reshape(-1)
+        new_tok_flat = jnp.where(group_done[:, None], eot, new_tok).reshape(-1)
+
+        # Reorder sequence state to the chosen source beams.
+        tokens = tokens[flat_src]
+        pos = sample_begin + i
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, new_tok_flat[:, None].astype(jnp.int32), (0, pos))
+        kv = {'k': kv['k'][:, flat_src], 'v': kv['v'][:, flat_src]}
+        new_last = new_tok_flat.astype(jnp.int32)
+        new_penult = last_tok[flat_src]
+        new_max_ts = jnp.where(
+            new_last >= ts_begin,
+            jnp.maximum(max_ts[flat_src], new_last - ts_begin),
+            max_ts[flat_src])
+
+        new_logits, kv = decoder_step(params, new_last[:, None], pos, cross_kv,
+                                      kv, n_head)
+        return (i + 1, tokens, new_logits, kv, new_cum.reshape(-1), new_last,
+                new_penult, new_max_ts, new_group_done, fin_tokens, fin_scores)
+
+    # Only beam 0 of each group starts live so step 0 diversifies the beams.
+    init_cum = jnp.where(jnp.arange(rows) % beam_size == 0, 0.0, NEG)
+    init_state = (
+        jnp.int32(0), tokens_init, init_logits, kv_cache, init_cum,
+        jnp.full((rows,), -1, jnp.int32),
+        jnp.full((rows,), -1, jnp.int32),
+        jnp.full((rows,), -1, jnp.int32),
+        jnp.zeros((n_groups,), bool),
+        jnp.zeros((n_groups, max_candidates, n_text_ctx), jnp.int32),
+        jnp.full((n_groups, max_candidates), NEG),
+    )
+    final = jax.lax.while_loop(cond, body, init_state)
+    (_, tokens, _, _, cum_lp, *_rest, fin_tokens, fin_scores) = final
+    return tokens, cum_lp, fin_tokens, fin_scores
+
+
 # -- public API -----------------------------------------------------------------------------
 
 
@@ -261,6 +403,58 @@ def _audio_features(params, dims: ModelDimensions, mel_or_features):
     return x
 
 
+def _finalize_beam(tokens_act, cum_lp, fin_tokens, fin_scores, batch,
+                   options, tokenizer, xa, no_speech_probs,
+                   sample_begin: int, sample_len: int) -> List['DecodingResult']:
+    """Pick the best finished hypothesis per group (fallback: best live beam)."""
+    NEG_HALF = -5e29
+    beam = options.beam_size
+    results = []
+    language = tokenizer.language or 'en'
+    for b in range(batch):
+        candidates = []  # (score_sum, token_list)
+        for c in range(fin_scores.shape[1]):
+            if fin_scores[b, c] > NEG_HALF:
+                seq = fin_tokens[b, c, sample_begin:sample_begin + sample_len]
+                eot_pos = np.flatnonzero(seq == tokenizer.eot)
+                seq = seq[:eot_pos[0]] if len(eot_pos) else seq
+                candidates.append((float(fin_scores[b, c]), seq))
+        if not candidates:
+            for r in range(b * beam, (b + 1) * beam):
+                if cum_lp[r] > NEG_HALF:
+                    seq = tokens_act[r, sample_begin:sample_begin + sample_len]
+                    eot_pos = np.flatnonzero(seq == tokenizer.eot)
+                    seq = seq[:eot_pos[0]] if len(eot_pos) else seq
+                    candidates.append((float(cum_lp[r]), seq))
+        best_score, best_seq = -np.inf, np.zeros(0, np.int64)
+        for score_sum, seq in candidates:
+            n = len(seq) + 1
+            if options.length_penalty is None:
+                score = score_sum / n
+            else:
+                score = score_sum / (((5 + n) / 6) ** options.length_penalty)
+            if score > best_score:
+                best_score, best_seq = score, seq
+        text_tokens = [int(t) for t in best_seq]
+        text = tokenizer.decode([t for t in text_tokens
+                                 if t < tokenizer.eot]).strip()
+        # avg_logprob from the raw cumulative score of the chosen hypothesis.
+        chosen_sum = next((s for s, seq in candidates
+                           if len(seq) == len(best_seq)
+                           and np.array_equal(seq, best_seq)), -np.inf)
+        results.append(DecodingResult(
+            audio_features=xa[b],
+            language=language,
+            tokens=text_tokens,
+            text=text,
+            avg_logprob=float(chosen_sum / (len(best_seq) + 1)),
+            no_speech_prob=float(no_speech_probs[b * beam]),
+            temperature=options.temperature,
+            compression_ratio=compression_ratio(text),
+        ))
+    return results
+
+
 def decode(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
            mel_or_features, options: DecodingOptions = DecodingOptions(),
            ts_silence_mask: Optional[np.ndarray] = None,
@@ -270,13 +464,14 @@ def decode(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
     ``ts_silence_mask``: optional bool (B, 1501) — True marks timestamp
     tokens to suppress (the reference's silence-mask rule, decode.py:54).
     """
-    if options.beam_size is not None:
-        raise NotImplementedError('beam search is not implemented yet; '
-                                  'use greedy/temperature decoding')
     xa = _audio_features(params, dims, mel_or_features)
     batch = xa.shape[0]
 
-    n_group = options.best_of if (options.best_of and options.temperature > 0) else 1
+    use_beam = options.beam_size is not None and options.temperature == 0
+    if use_beam:
+        n_group = options.beam_size
+    else:
+        n_group = options.best_of if (options.best_of and options.temperature > 0) else 1
     if n_group > 1:
         xa_rep = jnp.repeat(xa, n_group, axis=0)
     else:
@@ -324,6 +519,28 @@ def decode(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
+
+    if use_beam:
+        import math
+        max_candidates = int(math.ceil(options.beam_size
+                                       * (options.patience or 1.0)))
+        tokens_act, cum_lp, fin_tokens, fin_scores = _beam_loop(
+            params['decoder'], cross_kv, kv_cache, prefill_logits[:, -1],
+            tokens_buf,
+            jnp.asarray(suppress), jnp.asarray(blank), jnp.asarray(ts_mask_arr),
+            n_head=dims.n_text_head, sample_begin=sample_begin,
+            sample_len=int(sample_len), n_text_ctx=dims.n_text_ctx,
+            eot=tokenizer.eot, ts_begin=tokenizer.timestamp_begin,
+            n_vocab=dims.n_vocab,
+            max_initial_ts_index=max_initial_ts_index,
+            suppress_blank=options.suppress_blank,
+            without_timestamps=options.without_timestamps,
+            beam_size=int(options.beam_size), max_candidates=max_candidates)
+        return _finalize_beam(
+            np.asarray(tokens_act), np.asarray(cum_lp),
+            np.asarray(fin_tokens), np.asarray(fin_scores),
+            batch, options, tokenizer, xa, np.asarray(no_speech_probs),
+            sample_begin, int(sample_len))
 
     tokens_out, sum_logprobs, _ = _sample_loop(
         params['decoder'], cross_kv, kv_cache, prefill_logits[:, -1],

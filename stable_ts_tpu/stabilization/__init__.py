@@ -52,6 +52,12 @@ class NonSpeechPredictor:
     ):
         min_word_dur = get_min_word_dur(min_word_dur)
         self.min_silence_dur = min_silence_dur
+        if isinstance(vad, str):
+            if vad != 'energy':
+                raise ValueError(f"unknown VAD name: {vad!r}; use 'energy', "
+                                 f"True (Silero), a dict, False, or None")
+            from .energy_vad import EnergyVAD
+            vad = {'model': EnergyVAD()}
         vad_options = onnx_param_update(vad, vad_onnx)
         self.vad = None if vad is None else (vad_options is not False)
         self._vad_options = vad_options if self.vad and isinstance(vad_options, dict) else {}

@@ -130,3 +130,73 @@ class TestJsonRoundTripAfterTranscribe:
         restored.regroup(history)
         assert [s.text for s in restored.segments] == \
                [s.text for s in base_result.segments]
+
+
+class TestBeamSearch:
+    def test_beam_decode_mechanics(self, model, audio):
+        from stable_ts_tpu.models.whisper.decoding import decode, DecodingOptions
+        from stable_ts_tpu.ops import log_mel_spectrogram
+        import numpy as np
+        tok = model.get_tokenizer(language='en', task='transcribe')
+        mel = log_mel_spectrogram(audio[:32000], padding=16000 * 28)[None]
+        res = decode(model.params, model.dims, tok, mel,
+                     DecodingOptions(beam_size=3, sample_len=16))
+        assert len(res) == 1
+        r = res[0]
+        ts = [t for t in r.tokens if t >= tok.timestamp_begin]
+        if r.tokens:
+            assert r.tokens[0] >= tok.timestamp_begin
+        assert ts == sorted(ts)
+        assert np.isfinite(r.avg_logprob)
+
+    def test_transcribe_with_beam(self, model, audio):
+        result = model.transcribe(audio, verbose=None, beam_size=2,
+                                  temperature=0.0)
+        assert result is not None
+
+    def test_beam_batched_windows(self, model, audio):
+        from stable_ts_tpu.models.whisper.decoding import decode, DecodingOptions
+        from stable_ts_tpu.ops import log_mel_spectrogram
+        import numpy as np
+        tok = model.get_tokenizer(language='en', task='transcribe')
+        mel1 = np.asarray(log_mel_spectrogram(audio[:32000], padding=16000 * 28))
+        mel2 = np.asarray(log_mel_spectrogram(audio[16000:48000], padding=16000 * 28))
+        res = decode(model.params, model.dims, tok, np.stack([mel1, mel2]),
+                     DecodingOptions(beam_size=2, sample_len=12))
+        assert len(res) == 2
+
+
+class TestBatchedTranscribe:
+    @pytest.fixture(scope='class')
+    def long_audio(self):
+        t = np.arange(SAMPLE_RATE * 8) / SAMPLE_RATE
+        tone = (np.sin(2 * np.pi * 440 * t) * 0.4).astype(np.float32)
+        return np.concatenate(
+            [tone, np.zeros(SAMPLE_RATE * 4, np.float32)] * 6)[:SAMPLE_RATE * 70]
+
+    def test_multi_window(self, model, long_audio):
+        result = model.transcribe_batched(long_audio, verbose=None)
+        assert isinstance(result, WhisperResult)
+        assert len(result) > 0
+        words = result.all_words()
+        assert all(a.end <= b.start + 1e-6 for a, b in zip(words[:-1], words[1:]))
+        assert result[-1].end <= 70.5
+        # windows beyond the first contributed (offsets applied)
+        assert result[-1].start > 30.0
+
+    def test_nonspeech_accumulated_across_windows(self, model, long_audio):
+        result = model.transcribe_batched(long_audio, verbose=None)
+        assert len(result.nonspeech_sections) >= 3
+
+    def test_silent_audio(self, model):
+        with pytest.warns(UserWarning):
+            result = model.transcribe_batched(
+                np.zeros(SAMPLE_RATE * 40, np.float32), verbose=None)
+        assert len(result) == 0
+
+    def test_matches_result_schema(self, model, long_audio, tmp_path):
+        result = model.transcribe_batched(long_audio, verbose=None)
+        path = str(tmp_path / 'b.json')
+        result.save_as_json(path)
+        restored = WhisperResult(path)
+        assert restored.text == result.text
