@@ -93,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--language', '-l', default=None)
     parser.add_argument('--dtype', default=None, choices=(None, 'float32', 'bfloat16'),
                         help='parameter dtype on device')
+    parser.add_argument('--dynamic_quantization', '-dq', action='store_true',
+                        help='int8 weight-only quantization of the linear '
+                             'projections (halves weight HBM traffic)')
 
     # task modes
     parser.add_argument('--align', '-a', default=None,
@@ -285,6 +288,7 @@ def _run_once(args, cache: dict):
     save_options = _parse_extra_options(args.save_option)
 
     model_key = (args.model, args.model_dir, args.dtype,
+                 args.dynamic_quantization,
                  tuple(sorted(model_options.items())))
     if cache.get('model_key') != model_key:
         import jax.numpy as jnp
@@ -292,7 +296,8 @@ def _run_once(args, cache: dict):
                  'bfloat16': jnp.bfloat16}[args.dtype]
         cache['model'] = _call(load_model, dict(
             name_or_path=args.model, download_root=args.model_dir,
-            vocab_path=args.vocab, dtype=dtype, **model_options), args.debug)
+            vocab_path=args.vocab, dtype=dtype,
+            dq=args.dynamic_quantization, **model_options), args.debug)
         cache['model_key'] = model_key
     model = cache['model']
 

@@ -29,13 +29,20 @@ class WhisperTPU:
                  vocab_path: Optional[str] = None,
                  ranks: Optional[dict] = None,
                  alignment_heads: Optional[Sequence[Tuple[int, int]]] = None,
-                 dtype=None):
+                 dtype=None, dq: bool = False):
         import jax
         import jax.numpy as jnp
         if dtype is not None:
             params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
         else:
             params = jax.tree.map(jnp.asarray, params)
+        if dq:
+            # int8 weight-only quantization of the linear projections
+            # (TPU-native counterpart of the reference's ptdq_linear,
+            # quantization.py:35). compute dtype = requested dtype or bf16.
+            from .models.whisper.quantization import quantize_params
+            params = quantize_params(params, compute_dtype=dtype or jnp.bfloat16)
+        self.quantized = dq
         self.dims = dims
         self.params = params
         self.name = name
@@ -163,6 +170,7 @@ def load_model(name_or_path: str,
                dtype=None,
                alignment_heads: Optional[Sequence[Tuple[int, int]]] = None,
                download_root: Optional[str] = None,
+               dq: bool = False,
                **_ignored) -> WhisperTPU:
     """Load a Whisper model from an OpenAI .pt file, an HF directory, or a
     model name resolved inside ``download_root``/$STABLE_TS_TPU_MODELS/
@@ -198,7 +206,7 @@ def load_model(name_or_path: str,
             '$STABLE_TS_TPU_VOCAB_DIR, or pass vocab_path=.')
     return WhisperTPU(dims, params, name=os.path.basename(path),
                       vocab_path=vocab_path, dtype=dtype,
-                      alignment_heads=alignment_heads)
+                      alignment_heads=alignment_heads, dq=dq)
 
 
 def load_hf_whisper(name_or_path: str, **kwargs) -> WhisperTPU:

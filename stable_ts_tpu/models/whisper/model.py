@@ -61,7 +61,9 @@ def layer_norm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
     return (out * g + b).astype(x.dtype)
 
 
-def linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    if hasattr(w, 'dequantize'):  # int8 QuantizedArray (quantization.py)
+        w = w.dequantize()
     out = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if b is not None:
         out = out + b
