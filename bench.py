@@ -4,8 +4,10 @@ Workload per 30-second window (the real per-window cost of stabilized
 transcription):
   - encoder forward (1500 positions)
   - KV-cached greedy decode of TOKENS_PER_WINDOW tokens (prefill + steps)
-  - one teacher-forced timing pass (the cross-attention/DTW word-timestamp
+  - one teacher-forced timing pass (the cross-attention word-timestamp
     forward) over the decoded tokens
+  - the batched DTW DP (Pallas lockstep kernel) over every window's
+    attention matrix + the host traceback of each path
 
 Random weights: identical FLOPs/memory traffic to trained weights; the token
 count is fixed (not data-dependent) so the number is workload-honest rather
@@ -66,16 +68,30 @@ def main():
         # word-timing pass: teacher-forced with cross-attention capture
         t_logits, qks = decoder_apply(params['decoder'], timing_tokens, xa,
                                       dims.n_text_head, capture_qk=True)
-        return logits.sum() + t_logits.sum() + qks.sum()
+        # mean over layers/heads stands in for head selection; the DTW input
+        # has the real (B, n_tokens, 1500) shape
+        matrix = qks.mean(axis=(0, 2)).astype(jnp.float32)
+        cost = dtw_cost_pallas(-matrix)
+        return logits.sum() + t_logits.sum(), cost
 
-    # warmup/compile. NOTE: time via host materialization (float()) —
-    # block_until_ready does not synchronize under the axon remote backend.
-    float(window_step(params, mel, sot, timing_tokens))
+    import numpy as np
+    from stable_ts_tpu.ops.dtw import dtw_cost_pallas, _traceback_from_cost
+
+    def full_step():
+        # NOTE: time via host materialization — block_until_ready does not
+        # synchronize under the axon remote backend.
+        s, cost = window_step(params, mel, sot, timing_tokens)
+        float(s)
+        cost_np = np.asarray(cost, dtype=np.float64)
+        for b in range(cost_np.shape[0]):
+            _traceback_from_cost(cost_np[b])
+
+    full_step()  # warmup/compile
 
     times = []
     for _ in range(ITERS):
         t0 = time.perf_counter()
-        float(window_step(params, mel, sot, timing_tokens))
+        full_step()
         times.append(time.perf_counter() - t0)
 
     best = min(times)

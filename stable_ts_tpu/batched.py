@@ -302,12 +302,11 @@ def _batched_word_timestamps(model, tokenizer, mels, active, window_meta,
     import jax
     import jax.numpy as jnp
     from .models.whisper.model import decoder_apply, encoder_apply
-    from .models.whisper.timing import (WordTimingRaw, _matrix_to_jumps,
+    from .models.whisper.timing import (WordTimingRaw, _matrices_to_jumps,
                                         merge_punctuations, pop_empty_alignment,
                                         split_word_tokens, _dynamic_head_weights,
                                         _legacy_head_weights, _new_aligner_matrix,
                                         find_alignment)
-    from .ops.dtw import dtw_cost_jax, _traceback_from_cost
 
     # Collect per-window flattened tokens.
     prep = []
@@ -349,20 +348,12 @@ def _batched_word_timestamps(model, tokenizer, mels, active, window_meta,
         logits[:, :, :tokenizer.eot].astype(jnp.float32), axis=-1))
     qks_np = np.asarray(qks, np.float32)
 
+    # Phase A: per-window attention matrices (head selection is per-window).
+    matrices = []
     for bi, i in enumerate(todo):
         text_tokens, token_split, seg_indices = prep[i]
         meta = window_meta[active[i]]
         n_text = len(text_tokens)
-        token_probs = probs_all[bi, sot_len:sot_len + n_text]
-        text_token_probs = token_probs[np.arange(n_text),
-                                       np.asarray(text_tokens)].tolist()
-
-        words, word_tokens = token_split
-        words = list(words) + [tokenizer.decode([tokenizer.eot])]
-        word_tokens = list(word_tokens) + [[tokenizer.eot]]
-        word_boundaries = np.pad(np.cumsum([len(t) for t in word_tokens[:-1]]),
-                                 (1, 0))
-
         qk = qks_np[:, bi, :, :sot_len + 1 + n_text + 1]  # crop padding rows
         max_qk_len = round(meta['samples'] / N_SAMPLES_PER_TOKEN)
         # Head selection: same modes as find_alignment, per window.
@@ -389,8 +380,27 @@ def _batched_word_timestamps(model, tokenizer, mels, active, window_meta,
             weights = _dynamic_head_weights(qk, sot_len, max_qk_len, 1.0, 7,
                                             count, None)
             matrix = weights.mean(axis=0)
+        matrices.append(matrix)
 
-        jump_indices = _matrix_to_jumps(matrix)
+    # One batched DTW DP for every window (lockstep Pallas kernel on TPU).
+    all_jumps = _matrices_to_jumps(matrices)
+
+    # Phase B: per-window word assembly from the jump times.
+    for bi, i in enumerate(todo):
+        text_tokens, token_split, seg_indices = prep[i]
+        meta = window_meta[active[i]]
+        n_text = len(text_tokens)
+        token_probs = probs_all[bi, sot_len:sot_len + n_text]
+        text_token_probs = token_probs[np.arange(n_text),
+                                       np.asarray(text_tokens)].tolist()
+
+        words, word_tokens = token_split
+        words = list(words) + [tokenizer.decode([tokenizer.eot])]
+        word_tokens = list(word_tokens) + [[tokenizer.eot]]
+        word_boundaries = np.pad(np.cumsum([len(t) for t in word_tokens[:-1]]),
+                                 (1, 0))
+
+        jump_indices = all_jumps[bi]
         jump_times = jump_indices / TOKENS_PER_SECOND
         start_times = jump_times[word_boundaries[:-1]]
         end_times = jump_times[word_boundaries[1:]]

@@ -155,8 +155,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--dynamic_heads', type=str, default=None)
     parser.add_argument('--aligner', type=str, default='legacy')
     parser.add_argument('--clip_timestamps', type=str, default=None)
-    parser.add_argument('--resume', type=str, default=None,
+    parser.add_argument('--resume', '--resume_input', '-ri', type=str, default=None,
                         help='path of unfinished JSON result to resume from')
+    parser.add_argument('--save_unfinished', '-su', action='store_true',
+                        help='save an -UNFINISHED.json when transcription is '
+                             'interrupted (implied by --resume)')
+    parser.add_argument('--delete_resume', '-dr', action='store_true',
+                        help='delete the --resume file once transcription '
+                             'finishes successfully')
 
     # output rendering
     parser.add_argument('--segment_level', type=_str2bool, default=True)
@@ -178,6 +184,55 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--refine_option', action='extend', nargs='+', type=str)
     parser.add_argument('--locate_option', action='extend', nargs='+', type=str)
     parser.add_argument('--save_option', action='extend', nargs='+', type=str)
+
+    # reference-CLI compatibility surface (accepted everywhere; flags that
+    # have no TPU equivalent warn instead of erroring)
+    parser.add_argument('--device', default=None,
+                        help="compute platform ('tpu' or 'cpu'); default auto")
+    parser.add_argument('--fp16', type=_str2bool, default=None,
+                        help='half-precision parameters (mapped to bfloat16 — '
+                             'the TPU-native 16-bit format)')
+    parser.add_argument('--cpu_preload', type=_str2bool, default=True,
+                        help='accepted for compatibility; JAX always stages '
+                             'checkpoints host-side before device transfer')
+    parser.add_argument('--threads', type=_optional_int, default=None,
+                        help='accepted for compatibility; XLA manages '
+                             'threading')
+    parser.add_argument('--demucs', type=_str2bool, default=False,
+                        help='deprecated alias for --denoiser demucs')
+    parser.add_argument('--demucs_option', action='extend', nargs='+', type=str,
+                        help='deprecated alias for --denoiser_option')
+    parser.add_argument('--denoiser_option', action='extend', nargs='+', type=str,
+                        help='k=v option(s) for the denoiser')
+    parser.add_argument('--denoiser_output', '--demucs_output', type=str,
+                        default=None, help='path to save the denoised audio')
+    parser.add_argument('--only_ffmpeg', action='store_true',
+                        help='use ffmpeg for audio decode even for WAV/FLAC '
+                             '(skips the native decoder)')
+    parser.add_argument('--mel_first', action='store_true',
+                        help='process the full audio into mel features before '
+                             'decoding (higher memory, fewer host syncs)')
+    parser.add_argument('--no_stream', action='store_true',
+                        help='load the full audio into memory instead of '
+                             'streaming chunks')
+    parser.add_argument('--reverse_text', type=_str2bool, default=False,
+                        help='reverse word order per segment for RTL players')
+    parser.add_argument('--vad_onnx', type=_str2bool, default=False,
+                        help='accepted for compatibility (Silero ONNX is not '
+                             'used; VAD backends: energy/nonvad/silero)')
+    parser.add_argument('--time_scale', type=_optional_float, default=None,
+                        help='deprecated (accepted for compatibility)')
+    parser.add_argument('--ts_num', type=_optional_int, default=None,
+                        help='deprecated (accepted for compatibility)')
+    parser.add_argument('--ts_noise', type=_optional_float, default=None,
+                        help='deprecated (accepted for compatibility)')
+    parser.add_argument('--faster_whisper', '-fw', action='store_true',
+                        help='not available in this framework; plug '
+                             'CTranslate2 in through transcribe_any instead')
+    parser.add_argument('--huggingface_whisper', '-hw', action='store_true',
+                        help='load the model as an HF Whisper directory')
+    parser.add_argument('--mlx_whisper', '-mlx', action='store_true',
+                        help='not available in this framework (Apple-only)')
 
     parser.add_argument('--overwrite', '-y', action='store_true',
                         help='overwrite outputs without prompting')
@@ -287,6 +342,35 @@ def _run_once(args, cache: dict):
     locate_options = _parse_extra_options(args.locate_option)
     save_options = _parse_extra_options(args.save_option)
 
+    # reference-compat flags
+    if args.faster_whisper or args.mlx_whisper:
+        raise NotImplementedError(
+            'CTranslate2/MLX backends are not bundled; the JAX/XLA engine is '
+            'the fast backend here. External engines plug in through '
+            'transcribe_any / Aligner(inference_func=...).')
+    for dep_flag in ('time_scale', 'ts_num', 'ts_noise'):
+        if getattr(args, dep_flag) is not None:
+            warnings.warn(f'--{dep_flag} is deprecated and has no effect '
+                          '(same as the reference CLI).')
+    if args.vad_onnx:
+        warnings.warn('--vad_onnx has no effect; available VAD backends: '
+                      'energy, nonvad, silero (torch.hub).')
+    if args.device:
+        import jax
+        if args.device.lower() in ('cpu', 'tpu'):
+            jax.config.update('jax_platforms', args.device.lower())
+        else:
+            raise ValueError(f'unknown device {args.device!r}; '
+                             "expected 'tpu' or 'cpu'")
+    if args.fp16 is not None and args.dtype is None:
+        args.dtype = 'bfloat16' if args.fp16 else 'float32'
+    if args.demucs and not args.denoiser:
+        args.denoiser = 'demucs'
+    denoiser_options = _parse_extra_options(
+        (args.demucs_option or []) + (args.denoiser_option or []))
+    if args.denoiser_output:
+        denoiser_options['save_path'] = args.denoiser_output
+
     model_key = (args.model, args.model_dir, args.dtype,
                  args.dynamic_quantization,
                  tuple(sorted(model_options.items())))
@@ -367,7 +451,11 @@ def _run_once(args, cache: dict):
                     avg_prob_threshold=args.avg_prob_threshold,
                     nonspeech_skip=args.nonspeech_skip,
                     denoiser=args.denoiser,
+                    denoiser_options=denoiser_options or None,
                     only_voice_freq=args.only_voice_freq,
+                    stream=False if args.no_stream else None,
+                    mel_first=args.mel_first or None,
+                    only_ffmpeg=args.only_ffmpeg,
                     prepend_punctuations=args.prepend_punctuations,
                     append_punctuations=args.append_punctuations,
                     dynamic_heads=args.dynamic_heads,
@@ -381,10 +469,14 @@ def _run_once(args, cache: dict):
             except KeyboardInterrupt:
                 result = None
             if result is not None and result.unfinished_start >= 0:
-                unfinished = splitext(out_paths[0])[0] + '-UNFINISHED.json'
-                result.save_as_json(unfinished)
-                print(f'Saved unfinished result: {unfinished}')
+                if args.save_unfinished or args.resume:
+                    unfinished = splitext(out_paths[0])[0] + '-UNFINISHED.json'
+                    result.save_as_json(unfinished)
+                    print(f'Saved unfinished result: {unfinished}')
                 continue
+            if (result is not None and args.delete_resume and args.resume
+                    and os.path.isfile(args.resume)):
+                os.remove(args.resume)
 
         if result is None:
             continue

@@ -267,13 +267,46 @@ def find_alignment(
     ]
 
 
-def _matrix_to_jumps(matrix: np.ndarray) -> np.ndarray:
-    """DTW over -matrix (device DP + host traceback) -> per-token jump frames."""
-    cost = np.asarray(dtw_cost_jax(jnp.asarray(-matrix, jnp.float32)),
-                      dtype=np.float64)
+def _jumps_from_cost(cost: np.ndarray) -> np.ndarray:
     text_indices, time_indices = _traceback_from_cost(cost)
     jumps = np.pad(np.diff(text_indices), (1, 0), constant_values=1).astype(bool)
     return time_indices[jumps].clip(min=0)
+
+
+def _dtw_cost_fn():
+    from ...ops.dtw import _use_pallas, dtw_cost_pallas
+    return dtw_cost_pallas if _use_pallas() else dtw_cost_jax
+
+
+def _matrix_to_jumps(matrix: np.ndarray) -> np.ndarray:
+    """DTW over -matrix (device DP + host traceback) -> per-token jump frames."""
+    cost = np.asarray(_dtw_cost_fn()(jnp.asarray(-matrix, jnp.float32)),
+                      dtype=np.float64)
+    return _jumps_from_cost(cost)
+
+
+def _matrices_to_jumps(matrices) -> list:
+    """Batched variant: one device DP for many windows' attention matrices.
+
+    Matrices are zero-padded to a common (N, M); padding is exact because
+    C[i, j] depends only on rows <= i and columns <= j, so each window's
+    (N_w+1, M_w+1) sub-matrix is identical to its stand-alone DP. On TPU the
+    Pallas kernel advances all windows in lockstep (batch on sublanes), so
+    the whole batch costs ~one matrix's latency.
+    """
+    if len(matrices) == 1:
+        return [_matrix_to_jumps(matrices[0])]
+    n_max = max(m.shape[0] for m in matrices)
+    m_max = max(m.shape[1] for m in matrices)
+    batch = np.zeros((len(matrices), n_max, m_max), np.float32)
+    for b, m in enumerate(matrices):
+        batch[b, :m.shape[0], :m.shape[1]] = -m
+    fn = _dtw_cost_fn()
+    if fn is dtw_cost_jax:
+        fn = jax.jit(jax.vmap(dtw_cost_jax))
+    cost = np.asarray(fn(jnp.asarray(batch)), np.float64)
+    return [_jumps_from_cost(cost[b, :m.shape[0] + 1, :m.shape[1] + 1])
+            for b, m in enumerate(matrices)]
 
 
 # -- word splitting across segments (gap padding) ---------------------------------------

@@ -93,6 +93,107 @@ def dtw_cost_jax(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([first_row[None], rows], axis=0)
 
 
+# -- Pallas TPU kernel -----------------------------------------------------------------
+#
+# Same row recurrence as dtw_cost_jax, but the whole DP state lives in VMEM
+# for the kernel's lifetime: the carried row never round-trips to HBM between
+# row steps, and the prefix-sum / cumulative-min scans are unrolled
+# log-doubling shifts (11 VPU passes each at M=1536) instead of XLA scan
+# plumbing. One grid program per batch element.
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _dtw_row_kernel(xp_ref, cost_ref, prev_ref):
+    """One grid step = one DP row, all batch elements in lockstep.
+
+    xp_ref: (1, B, W) — row i-1 of the zero-padded cost inputs (clamped at 0);
+    cost_ref: (1, B, W) — row i of the DP matrix to produce;
+    prev_ref: (B, W) scratch — carries row i-1 across grid steps (TPU grid
+    iterations run sequentially on one core, so scratch persists).
+
+    Batch rides the sublane axis: the per-row vector work is identical for
+    every matrix, so B matrices cost the same instruction stream as one.
+    """
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    width = prev_ref.shape[-1]
+    col = lax.broadcasted_iota(jnp.int32, prev_ref.shape, 1)  # (B, W)
+
+    def shift_right(vec, amount, fill):
+        rolled = pltpu.roll(vec, shift=amount, axis=1)
+        return jnp.where(col < amount, fill, rolled)
+
+    @pl.when(i == 0)
+    def _():
+        first = jnp.where(col == 0, 0.0, _INF)
+        cost_ref[0, :, :] = first
+        prev_ref[:, :] = first
+
+    @pl.when(i > 0)
+    def _():
+        prev = prev_ref[:, :]
+        xrow = xp_ref[0, :, :]
+        a = jnp.minimum(shift_right(prev, 1, _INF), prev)  # min(C[i-1,j-1], C[i-1,j])
+        s = xrow                                            # → S[j] = sum x[i, 1..j]
+        dist = 1
+        while dist < width:
+            s = s + shift_right(s, dist, 0.0)
+            dist *= 2
+        s_prev = shift_right(s, 1, 0.0)
+        g = jnp.where(col == 0, _INF, a - s_prev)
+        dist = 1
+        while dist < width:                                 # cummin_{k<=j} g[k]
+            g = jnp.minimum(g, shift_right(g, dist, _INF))
+            dist *= 2
+        row = jnp.minimum(s + g, _INF)
+        row = jnp.where(col == 0, _INF, row)
+        cost_ref[0, :, :] = row
+        prev_ref[:, :] = row
+
+
+@partial(jax.jit, static_argnames=('interpret',))
+def dtw_cost_pallas(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """DTW cost matrices on TPU via Pallas. x: (N, M) or (B, N, M) → full
+    (…, N+1, M+1) cost matrix (same contents as :func:`dtw_cost_jax`).
+
+    Grid = rows; Pallas pipelines the per-row HBM↔VMEM transfers behind the
+    row computation, and the whole batch advances in lockstep on the sublane
+    axis, so batched window timing pays ~one matrix's latency total.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    batch, n_rows, m_cols = x.shape
+    width = _round_up(m_cols + 1, 128)
+    # leading zero column (cost col 0) + lane padding; padded cells cost 0
+    # and can never win a cummin for j <= M, so the slice below is exact.
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (1, width - m_cols - 1)))
+    xp = jnp.moveaxis(xp, 0, 1).reshape(n_rows, batch, width)  # row-major rows
+
+    cost = pl.pallas_call(
+        _dtw_row_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rows + 1, batch, width), jnp.float32),
+        grid=(n_rows + 1,),
+        in_specs=[pl.BlockSpec((1, batch, width),
+                               lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, batch, width), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((batch, width), jnp.float32)],
+        interpret=interpret,
+    )(xp)
+    cost = jnp.moveaxis(cost, 1, 0)[:, :, :m_cols + 1]
+    return cost[0] if squeeze else cost
+
+
 def _traceback_from_cost(cost: np.ndarray):
     """Host traceback over the final cost matrix; diag-first tie-breaking."""
     N, M = cost.shape[0] - 1, cost.shape[1] - 1
@@ -119,9 +220,25 @@ def _traceback_from_cost(cost: np.ndarray):
     return (np.array(text_indices)[::-1], np.array(time_indices)[::-1])
 
 
+def _use_pallas() -> bool:
+    import os
+    pref = os.environ.get('STABLE_TS_TPU_DTW', 'auto')
+    if pref == 'pallas':
+        return True
+    if pref in ('scan', 'numpy'):
+        return False
+    return jax.default_backend() == 'tpu'
+
+
 def dtw(x, device: bool = True):
-    """DTW path for cost matrix ``x``; device DP + host traceback by default."""
+    """DTW path for cost matrix ``x``; device DP + host traceback by default.
+
+    On a TPU backend the cost matrix comes from the Pallas kernel (VMEM-
+    resident DP); elsewhere from the portable scan formulation. Override with
+    STABLE_TS_TPU_DTW=pallas|scan|numpy."""
     if device:
-        cost = np.asarray(dtw_cost_jax(jnp.asarray(x)), dtype=np.float64)
+        xj = jnp.asarray(x)
+        fn = dtw_cost_pallas if _use_pallas() else dtw_cost_jax
+        cost = np.asarray(fn(xj), dtype=np.float64)
         return _traceback_from_cost(cost)
     return dtw_numpy(np.asarray(x))

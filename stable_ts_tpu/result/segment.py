@@ -552,7 +552,32 @@ class Segment:
 
     # -- serialization ----------------------------------------------------------------
 
-    def to_dict(self) -> dict:
+    def _reversed_words(self, prepend_punctuations: Optional[str] = None,
+                        append_punctuations: Optional[str] = None):
+        """Word dicts in reverse order with per-word punctuation swapped for
+        RTL rendering (reference result.py:562-607 ``_to_reverse_text``)."""
+        from ..defaults import get_append_punctuations, get_prepend_punctuations
+        prepend = get_prepend_punctuations(prepend_punctuations)
+        if prepend and ' ' not in prepend:
+            prepend += ' '
+        append = get_append_punctuations(append_punctuations)
+        out = []
+        for word in (self.words or []):
+            text = word.word
+            new_append = ''
+            while text and text[0] in prepend:
+                new_append += text[0]
+                text = text[1:]
+            new_prepend = ''
+            while text and text[-1] in append:
+                new_prepend += text[-1]
+                text = text[:-1]
+            d = word.to_dict()
+            d['word'] = f'{new_prepend}{text}{new_append[::-1]}'
+            out.append(d)
+        return out[::-1]
+
+    def to_dict(self, reverse_text: Union[bool, tuple] = False) -> dict:
         seg_dict = dict(
             start=self.start,
             end=self.end,
@@ -564,6 +589,13 @@ class Segment:
             compression_ratio=self.compression_ratio,
             no_speech_prob=self.no_speech_prob,
         )
+        if reverse_text:
+            args = reverse_text if isinstance(reverse_text, tuple) else ()
+            if self.has_words:
+                seg_dict['words'] = self._reversed_words(*args)
+                seg_dict['text'] = ''.join(w['word'] for w in seg_dict['words'])
+            seg_dict['reversed_text'] = True
+            return seg_dict
         if self.has_words:
             seg_dict['words'] = [w.to_dict() for w in self.words]
         elif self.ori_has_words:

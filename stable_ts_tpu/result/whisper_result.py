@@ -1364,9 +1364,13 @@ class WhisperResult:
 
     def segments_to_dicts(self, reverse_text: Union[bool, tuple] = False) -> List[dict]:
         if reverse_text:
-            warnings.warn('``reverse_text`` is deprecated and has no effect.',
+            # deprecated upstream too, but still honored for RTL rendering
+            # (reference result.py:609-636)
+            warnings.warn('``reverse_text=True`` is deprecated. RTL playback '
+                          'issues are usually caused by the player '
+                          'mis-parsing word-level tags.',
                           DeprecationWarning, stacklevel=2)
-        return [s.to_dict() for s in self.segments]
+        return [s.to_dict(reverse_text=reverse_text) for s in self.segments]
 
     def set_current_as_orig(self, keep_orig: bool = False):
         """Overwrite ``ori_dict`` with the current state."""

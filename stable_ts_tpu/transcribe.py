@@ -97,15 +97,19 @@ def transcribe_stable(
         pairs = list(clip_timestamps) + ([None] if len(clip_timestamps) % 2 else [])
         load_sections = [(pairs[i], pairs[i + 1]) for i in range(0, len(pairs), 2)]
 
+    denoiser_options = dict(denoiser_options or {})
+    denoised_save_path = denoiser_options.pop('save_path', None)
     loader = audio if isinstance(audio, AudioLoader) else AudioLoader(
         audio,
         stream=stream,
         denoiser=denoiser,
         denoiser_options=denoiser_options,
         only_voice_freq=only_voice_freq,
+        only_ffmpeg=only_ffmpeg,
         verbose=verbose,
         new_chunk_divisor=512 if vad else None,
         load_sections=load_sections,
+        save_path=denoised_save_path,
     )
 
     task = decode_options.get('task', 'transcribe')

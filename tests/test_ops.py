@@ -151,3 +151,54 @@ class TestDTW:
         ref_t, ref_f = dtw_numpy(x)
         np.testing.assert_array_equal(ti, ref_t)
         np.testing.assert_array_equal(fi, ref_f)
+
+
+class TestDTWPallas:
+    """Pallas kernel parity (interpret mode on CPU; compiled on real TPU)."""
+
+    @pytest.mark.parametrize('shape', [(5, 7), (20, 33), (48, 150)])
+    def test_path_matches_numpy(self, shape):
+        from stable_ts_tpu.ops.dtw import (dtw_cost_pallas, dtw_numpy,
+                                           _traceback_from_cost)
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal(shape).astype(np.float32) ** 2
+        cost = np.asarray(dtw_cost_pallas(jnp.asarray(x), interpret=True),
+                          dtype=np.float64)
+        got = _traceback_from_cost(cost)
+        want = dtw_numpy(x)
+        assert (got[0] == want[0]).all() and (got[1] == want[1]).all()
+
+    def test_batched_matches_single(self):
+        from stable_ts_tpu.ops.dtw import dtw_cost_jax, dtw_cost_pallas
+        rng = np.random.default_rng(12)
+        xb = rng.standard_normal((4, 30, 41)).astype(np.float32) ** 2
+        cb = np.asarray(dtw_cost_pallas(jnp.asarray(xb), interpret=True))
+        for b in range(4):
+            cs = np.asarray(dtw_cost_jax(jnp.asarray(xb[b])))
+            finite = np.isfinite(cs)
+            assert np.allclose(np.where(finite, cb[b] - cs, 0), 0, atol=1e-3)
+
+    def test_zero_padded_submatrix_exact(self):
+        """Padding rows/cols with zeros must not change the sub-DP (the
+        batched timing pass relies on this)."""
+        from stable_ts_tpu.ops.dtw import dtw_cost_pallas
+        rng = np.random.default_rng(13)
+        x = rng.standard_normal((12, 19)).astype(np.float32) ** 2
+        xp = np.zeros((20, 40), np.float32)
+        xp[:12, :19] = x
+        c_pad = np.asarray(dtw_cost_pallas(jnp.asarray(xp), interpret=True))
+        c = np.asarray(dtw_cost_pallas(jnp.asarray(x), interpret=True))
+        finite = np.isfinite(c)
+        assert np.allclose(np.where(finite, c_pad[:13, :20] - c, 0), 0,
+                           atol=1e-4)
+
+    def test_matrices_to_jumps_batched_matches_loop(self):
+        from stable_ts_tpu.models.whisper.timing import (_matrices_to_jumps,
+                                                         _matrix_to_jumps)
+        rng = np.random.default_rng(14)
+        mats = [rng.random((n, m)).astype(np.float32)
+                for n, m in [(9, 50), (14, 72), (6, 31)]]
+        batched = _matrices_to_jumps(mats)
+        single = [_matrix_to_jumps(m) for m in mats]
+        for got, want in zip(batched, single):
+            assert (got == want).all()

@@ -128,3 +128,28 @@ class TestMinDur:
         assert '00:00:00,000 --> 00:00:01,000' in srt
         # original untouched
         assert result[0].word_count() == 2
+
+
+class TestReverseText:
+    def test_reversed_word_order_and_punctuation_swap(self):
+        r = make_result()
+        segs = r.segments_to_dicts(reverse_text=True)
+        words = segs[0]['words']
+        # leading spaces count as prepend-punctuation and flip to the end
+        assert [w['word'] for w in words] == ['.world ', 'Hello ']
+        assert segs[0]['reversed_text'] is True
+        # timestamps keep their original (chronological) values per word
+        assert words[0]['start'] == 0.6 and words[1]['start'] == 0.0
+
+    def test_srt_render_with_reverse_text(self):
+        r = make_result()
+        srt = r.to_srt_vtt(reverse_text=True, word_level=True,
+                           segment_level=True)
+        assert '-->' in srt  # renders without crashing, tags present
+        assert '<font' in srt
+
+    def test_plain_to_dict_unchanged(self):
+        r = make_result()
+        segs = r.segments_to_dicts()
+        assert [w['word'] for w in segs[0]['words']] == [' Hello', ' world.']
+        assert 'reversed_text' not in segs[0]
