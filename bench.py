@@ -47,12 +47,20 @@ def main():
     sot = jnp.ones((BATCH, 4), jnp.int32)
     timing_tokens = jnp.ones((BATCH, TOKENS_PER_WINDOW), jnp.int32)
 
-    @partial(jax.jit, static_argnames=())
-    def window_step(params, mel, sot, timing_tokens):
+    # KV cache bucketed like the real decode path (decoding.py): the sampler
+    # never writes past sot+TOKENS_PER_WINDOW, so no 448-slot cache.
+    cache_len = min(dims.n_text_ctx, ((4 + TOKENS_PER_WINDOW + 64) // 64) * 64)
+
+    # Two jits on purpose: the decode phase holds the (L, B, 1500, d)
+    # cross-KV; the timing phase holds the (L, B, H, T, 1500) QK capture.
+    # Keeping them in one program makes both live at the peak and OOMs
+    # large batches.
+    @jax.jit
+    def decode_phase(params, mel, sot):
         xa = encoder_apply(params['encoder'], mel, dims.n_audio_head)
         cross_kv = precompute_cross_kv(params['decoder'], xa)
         logits, kv = decoder_prefill(params['decoder'], sot, xa,
-                                     dims.n_text_head, dims.n_text_ctx)
+                                     dims.n_text_head, cache_len)
 
         def body(i, carry):
             logits, kv = carry
@@ -65,14 +73,18 @@ def main():
 
         logits, kv = jax.lax.fori_loop(
             0, TOKENS_PER_WINDOW, body, (logits[:, -1], kv))
-        # word-timing pass: teacher-forced with cross-attention capture
+        return logits.sum(), xa
+
+    @jax.jit
+    def timing_phase(params, timing_tokens, xa):
+        # teacher-forced with cross-attention capture; mean over layers/heads
+        # stands in for head selection; the DTW input has the real
+        # (B, n_tokens, 1500) shape
         t_logits, qks = decoder_apply(params['decoder'], timing_tokens, xa,
                                       dims.n_text_head, capture_qk=True)
-        # mean over layers/heads stands in for head selection; the DTW input
-        # has the real (B, n_tokens, 1500) shape
-        matrix = qks.mean(axis=(0, 2)).astype(jnp.float32)
+        matrix = qks.astype(jnp.float32).mean(axis=(0, 2))
         cost = dtw_cost_pallas(-matrix)
-        return logits.sum() + t_logits.sum(), cost
+        return t_logits.sum(), cost
 
     import numpy as np
     from stable_ts_tpu.ops.dtw import dtw_cost_pallas, _traceback_from_cost
@@ -80,8 +92,9 @@ def main():
     def full_step():
         # NOTE: time via host materialization — block_until_ready does not
         # synchronize under the axon remote backend.
-        s, cost = window_step(params, mel, sot, timing_tokens)
-        float(s)
+        s, xa = decode_phase(params, mel, sot)
+        t, cost = timing_phase(params, timing_tokens, xa)
+        float(s); float(t)
         cost_np = np.asarray(cost, dtype=np.float64)
         for b in range(cost_np.shape[0]):
             _traceback_from_cost(cost_np[b])

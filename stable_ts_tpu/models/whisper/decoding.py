@@ -505,9 +505,15 @@ def decode(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
         max_initial_ts_index = -1
 
     # Prefill: forward the initial tokens once, filling the KV cache.
+    # The cache is bucketed to the largest position the sampler can write
+    # (sample_begin + sample_len, rounded up to 64) instead of the full
+    # n_text_ctx — the per-step self-attention streams the whole cache from
+    # HBM, so a 256-slot cache reads ~43% less than a 448-slot one.
+    cache_len = min(dims.n_text_ctx,
+                    ((sample_begin + int(sample_len) + 64) // 64) * 64)
     tokens0 = jnp.asarray(initial_tokens, jnp.int32)[None].repeat(full_batch, 0)
     prefill_logits, kv_cache = decoder_prefill(
-        params['decoder'], tokens0, xa_rep, dims.n_text_head, dims.n_text_ctx)
+        params['decoder'], tokens0, xa_rep, dims.n_text_head, cache_len)
     cross_kv = precompute_cross_kv(params['decoder'], xa_rep)
 
     sot_logits = prefill_logits[:, sot_index]

@@ -202,7 +202,7 @@ def decoder_apply(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
 
     tokens: (batch, n_tok) int32; xa: (batch, 1500, d).
     Returns (logits (batch, n_tok, n_vocab),
-             cross_qk (n_layers, batch, n_head, n_tok, 1500) f32 or None).
+             cross_qk (n_layers, batch, n_head, n_tok, 1500) bf16 or None).
     """
     b, n_tok = tokens.shape
     x = params['token_emb'][tokens] + params['pos_emb'][:n_tok]
@@ -225,6 +225,10 @@ def decoder_apply(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
         h = h + _mlp(layer_params['mlp'],
                      layer_norm(h, layer_params['mlp_ln']['g'],
                                 layer_params['mlp_ln']['b']))
+        if qk is not None:
+            # bf16 capture halves the (L, B, H, T, 1500) QK footprint — the
+            # head-selection/softmax math downstream runs in f32 anyway.
+            qk = qk.astype(jnp.bfloat16)
         return h, qk
 
     x, cross_qks = jax.lax.scan(block, x, params['blocks'])
@@ -248,19 +252,31 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     x = params['token_emb'][tokens] + jax.lax.dynamic_slice_in_dim(
         params['pos_emb'], pos, 1, axis=0)
     x = x.astype(params['token_emb'].dtype)
-    n_ctx = kv_cache['k'].shape[2]
+    n_layers, batch, n_ctx, d = kv_cache['k'].shape
     # Mask future positions: position j is valid iff j <= pos.
     valid = (jnp.arange(n_ctx)[None, :] <= pos)
     self_mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)[None, :]
 
+    # The KV cache rides the scan CARRY (not xs/ys): each layer writes only
+    # its (1, batch, 1, d) slot via dynamic_update_slice, which XLA performs
+    # in place on the donated loop state. Threading the cache through scan
+    # outputs instead would rewrite (and double-buffer) the entire
+    # (n_layers, batch, n_ctx, d) stack every token step — that copy traffic
+    # dominated the step cost and OOM'd large batches.
     def block(carry, scanned):
-        h = carry
-        layer_params, layer_cross_kv, layer_cache = scanned
+        h, kc, vc = carry
+        layer_params, layer_cross_kv, layer_idx = scanned
         q_in = layer_norm(h, layer_params['attn_ln']['g'], layer_params['attn_ln']['b'])
         new_k = linear(q_in, layer_params['attn']['k']['w'])
         new_v = linear(q_in, layer_params['attn']['v']['w'], layer_params['attn']['v']['b'])
-        k_cache = jax.lax.dynamic_update_slice_in_dim(layer_cache[0], new_k, pos, axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(layer_cache[1], new_v, pos, axis=1)
+        kc = jax.lax.dynamic_update_slice(kc, new_k[None].astype(kc.dtype),
+                                          (layer_idx, 0, pos, 0))
+        vc = jax.lax.dynamic_update_slice(vc, new_v[None].astype(vc.dtype),
+                                          (layer_idx, 0, pos, 0))
+        k_cache = jax.lax.dynamic_slice(kc, (layer_idx, 0, 0, 0),
+                                        (1, batch, n_ctx, d))[0]
+        v_cache = jax.lax.dynamic_slice(vc, (layer_idx, 0, 0, 0),
+                                        (1, batch, n_ctx, d))[0]
         attn_out, _, _ = _mha(layer_params['attn'], q_in, None, n_head,
                               mask=self_mask, kv_override=(k_cache, v_cache))
         h = h + attn_out
@@ -273,13 +289,13 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
         h = h + _mlp(layer_params['mlp'],
                      layer_norm(h, layer_params['mlp_ln']['g'],
                                 layer_params['mlp_ln']['b']))
-        return h, (k_cache, v_cache)
+        return (h, kc, vc), None
 
-    x, (new_k, new_v) = jax.lax.scan(
-        block, x,
+    (x, new_k, new_v), _ = jax.lax.scan(
+        block, (x, kv_cache['k'], kv_cache['v']),
         (params['blocks'],
          (cross_kv['k'], cross_kv['v']),
-         (kv_cache['k'], kv_cache['v'])))
+         jnp.arange(n_layers)))
     x = layer_norm(x, params['ln']['g'], params['ln']['b'])
     logits = jnp.dot(x[:, 0], params['token_emb'].T,
                      preferred_element_type=jnp.float32)
