@@ -20,6 +20,7 @@ from .options import AllOptions
 from .ops.mel import log_mel_spectrogram
 from .result import Segment, WhisperResult
 from .utils import format_timestamp, safe_print
+from .profiling import traced
 
 __all__ = ['align', 'align_words', 'refine', 'locate']
 
@@ -76,6 +77,7 @@ def _whisper_alignment_func(model, tokenizer, options: AllOptions) -> Callable:
     return compute_timestamps
 
 
+@traced('align')
 def align(
         model,
         audio,
@@ -129,6 +131,7 @@ def align(
     return result
 
 
+@traced('align_words')
 def align_words(
         model,
         audio,
@@ -183,6 +186,7 @@ def _whisper_refinement_func(model, tokenizer) -> Callable:
     return inference_func
 
 
+@traced('refine')
 def refine(
         model,
         audio,
@@ -231,6 +235,7 @@ def refine(
     return refiner.refine(audio, result, inplace)
 
 
+@traced('locate')
 def locate(
         model,
         audio,

@@ -69,6 +69,65 @@ def spectral_gate(
     return out
 
 
+def _load_demucs(**kw):
+    """Vocals-isolation via Demucs (optional external plugin, torch).
+
+    Counterpart of the reference's demucs wrapper (audio/demucs.py:20-31);
+    raises with guidance when the package is absent.
+    """
+    try:
+        from demucs.pretrained import get_model
+    except ImportError as exc:
+        raise ModuleNotFoundError(
+            "denoiser 'demucs' needs the demucs package (pip install demucs); "
+            "the built-in 'spectral_gate' denoiser has no dependencies") from exc
+    model = get_model(kw.pop('model_name', 'htdemucs'))
+    model.eval()
+    return model
+
+
+def _run_demucs(audio: np.ndarray, model=None, device=None, **kw):
+    import torch
+    from demucs.apply import apply_model
+    wav = torch.as_tensor(np.asarray(audio, np.float32))
+    if wav.ndim == 1:
+        wav = wav[None]
+    # demucs expects (channels, T) at its own sample rate; stable-ts feeds
+    # 16 kHz mono, so resample in and out (reference audio/demucs.py:153-211).
+    from .utils import resample
+    in_sr = kw.pop('sr', SAMPLE_RATE)
+    wav = torch.as_tensor(resample(wav.numpy(), in_sr, model.samplerate))
+    wav = wav.repeat(model.audio_channels, 1) if wav.shape[0] == 1 else wav
+    with torch.no_grad():
+        stems = apply_model(model, wav[None], device=device or 'cpu',
+                            split=True, overlap=0.25)[0]
+    vocals = stems[model.sources.index('vocals')].mean(0).numpy()
+    return resample(vocals, model.samplerate, in_sr).astype(np.float32)
+
+
+def _load_dfnet(**kw):
+    """DeepFilterNet enhancement (optional external plugin)."""
+    try:
+        from df import init_df
+    except ImportError as exc:
+        raise ModuleNotFoundError(
+            "denoiser 'dfnet' needs the deepfilternet package; the built-in "
+            "'spectral_gate' denoiser has no dependencies") from exc
+    model, df_state, _ = init_df()
+    return (model, df_state)
+
+
+def _run_dfnet(audio: np.ndarray, model=None, **kw):
+    import torch
+    from df import enhance
+    net, df_state = model
+    from .utils import resample
+    in_sr = kw.pop('sr', SAMPLE_RATE)
+    wav = resample(np.asarray(audio, np.float32), in_sr, df_state.sr())
+    out = enhance(net, df_state, torch.as_tensor(wav)[None])[0].numpy()
+    return resample(out, df_state.sr(), in_sr).astype(np.float32)
+
+
 # Registry: name -> {'load': () -> model_or_None, 'run': (audio, model=..., **opts) -> audio}
 SUPPORTED_DENOISERS: Dict[str, Dict[str, Callable]] = {
     'spectral_gate': {
@@ -80,6 +139,10 @@ SUPPORTED_DENOISERS: Dict[str, Dict[str, Callable]] = {
         'load': lambda **kw: None,
         'run': lambda audio, model=None, **kw: spectral_gate(audio, **kw),
     },
+    # optional external plugins (gated imports, reference audio/demucs.py
+    # and audio/dfnet.py)
+    'demucs': {'load': _load_demucs, 'run': _run_demucs},
+    'dfnet': {'load': _load_dfnet, 'run': _run_dfnet},
 }
 
 

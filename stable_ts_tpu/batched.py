@@ -28,12 +28,14 @@ from .models.whisper.decoding import DecodingOptions, decode
 from .ops.mel import log_mel_spectrogram
 from .result import Segment, WhisperResult
 from .stabilization import NonSpeechPredictor
+from .profiling import traced
 
 
 def _bucket(n: int, step: int = 64) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
+@traced('transcribe_batched')
 def transcribe_batched(
         model,
         audio,

@@ -24,6 +24,7 @@ from .ops.mel import log_mel_spectrogram
 from .result import Segment, WhisperResult
 from .stabilization import NonSpeechPredictor
 from .utils import format_timestamp, safe_print
+from .profiling import traced
 
 
 def _pad_or_trim_mask(mask: np.ndarray, length: int) -> np.ndarray:
@@ -32,6 +33,7 @@ def _pad_or_trim_mask(mask: np.ndarray, length: int) -> np.ndarray:
     return np.pad(mask, (0, length - mask.shape[-1]))
 
 
+@traced('transcribe')
 def transcribe_stable(
         model,
         audio,
