@@ -158,7 +158,10 @@ def transcribe_batched(
         still_pending = []
         for chunk_start in range(0, len(pending), batch_size):
             chunk = pending[chunk_start:chunk_start + batch_size]
-            chunk_results = model.decode(mels[chunk], options)
+            # On a mesh, the window batch is dp-sharded (padded to an even
+            # split); slice the per-window results back to the real count.
+            chunk_mels, n_real = model.shard_batch(mels[chunk])
+            chunk_results = model.decode(chunk_mels, options)[:n_real]
             for local, res in zip(chunk, chunk_results):
                 needs_fallback = False
                 if (compression_ratio_threshold is not None
@@ -340,10 +343,13 @@ def _batched_word_timestamps(model, tokenizer, mels, active, window_meta,
         rows.append(row)
     tokens_arr = jnp.asarray(rows, jnp.int32)
 
-    xa = encoder_apply(model.params['encoder'], jnp.asarray(mels[todo]),
+    mels_in, n_real = model.shard_batch(mels[todo])
+    tokens_in, _ = model.shard_batch(tokens_arr)
+    xa = encoder_apply(model.params['encoder'], mels_in,
                        model.dims.n_audio_head)
-    logits, qks = decoder_apply(model.params['decoder'], tokens_arr, xa,
+    logits, qks = decoder_apply(model.params['decoder'], tokens_in, xa,
                                 model.dims.n_text_head, capture_qk=True)
+    logits, qks = logits[:n_real], qks[:, :n_real]
     # qks: (L, B, H, T, 1500); per-window processing below slices real lengths.
     sot_len = len(sot_seq)
     probs_all = np.asarray(jax.nn.softmax(

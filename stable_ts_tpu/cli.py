@@ -96,6 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--dynamic_quantization', '-dq', action='store_true',
                         help='int8 weight-only quantization of the linear '
                              'projections (halves weight HBM traffic)')
+    parser.add_argument('--shard', action='store_true',
+                        help='place the model on a (dp, tp) mesh over all '
+                             'visible devices; batched windows shard over dp')
+    parser.add_argument('--tp', type=_optional_int, default=None,
+                        help='tensor-parallel width for --shard '
+                             '(default: auto)')
 
     # task modes
     parser.add_argument('--align', '-a', default=None,
@@ -372,7 +378,7 @@ def _run_once(args, cache: dict):
         denoiser_options['save_path'] = args.denoiser_output
 
     model_key = (args.model, args.model_dir, args.dtype,
-                 args.dynamic_quantization,
+                 args.dynamic_quantization, args.shard, args.tp,
                  tuple(sorted(model_options.items())))
     if cache.get('model_key') != model_key:
         import jax.numpy as jnp
@@ -382,6 +388,8 @@ def _run_once(args, cache: dict):
             name_or_path=args.model, download_root=args.model_dir,
             vocab_path=args.vocab, dtype=dtype,
             dq=args.dynamic_quantization, **model_options), args.debug)
+        if args.shard:
+            cache['model'].shard(tp=args.tp)
         cache['model_key'] = model_key
     model = cache['model']
 

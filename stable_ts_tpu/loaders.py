@@ -47,9 +47,47 @@ class WhisperTPU:
         self.params = params
         self.name = name
         self.alignment_heads = alignment_heads
+        self.mesh = None
         self._vocab_path = vocab_path
         self._ranks = ranks
         self._tokenizers = {}
+
+    # -- device mesh ---------------------------------------------------------------
+
+    def shard(self, mesh=None, tp: Optional[int] = None) -> 'WhisperTPU':
+        """Place the parameters on a (dp, tp) device mesh.
+
+        Weights get Megatron column/row tensor shardings over ``tp``;
+        subsequent ``transcribe_batched``/``decode`` calls shard the window
+        batch axis over ``dp`` (SURVEY §5.7-§5.8: windows are the data axis,
+        XLA inserts the collectives). Returns self.
+        """
+        from .parallel.mesh import build_mesh, shard_params
+        if mesh is None:
+            mesh = build_mesh(tp=tp)
+        self.params = shard_params(self.params, mesh, self.dims)
+        self.mesh = mesh
+        return self
+
+    def shard_batch(self, arr):
+        """device_put a window batch over the mesh dp axis.
+
+        Pads the batch up to a dp multiple (sharding needs even splits) and
+        returns (array, real_batch) — callers slice outputs back to
+        ``real_batch``. No-op (identity, full length) without a mesh.
+        """
+        import jax
+        import jax.numpy as jnp
+        arr = jnp.asarray(arr)
+        n = arr.shape[0]
+        if self.mesh is None:
+            return arr, n
+        from .parallel.mesh import data_sharding
+        dp = self.mesh.shape['dp']
+        pad = (-n) % dp
+        if pad:
+            arr = jnp.concatenate([arr, jnp.repeat(arr[-1:], pad, axis=0)])
+        return jax.device_put(arr, data_sharding(self.mesh, arr.ndim)), n
 
     # -- metadata -----------------------------------------------------------------
 

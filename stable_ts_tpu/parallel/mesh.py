@@ -118,6 +118,20 @@ def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 
 def shard_params(params, mesh: Mesh, dims):
-    """Place a param pytree onto the mesh with tensor-parallel shardings."""
+    """Place a param pytree onto the mesh with tensor-parallel shardings.
+
+    int8-quantized leaves (QuantizedArray) shard q and scale with the same
+    spec — both carry the output channel as the last axis.
+    """
+    from ..models.whisper.quantization import QuantizedArray
     shardings = param_shardings(mesh, dims)
-    return jax.tree.map(jax.device_put, params, shardings)
+
+    def put(leaf, sharding):
+        if isinstance(leaf, QuantizedArray):
+            return QuantizedArray(jax.device_put(leaf.q, sharding),
+                                  jax.device_put(leaf.scale, sharding),
+                                  compute_dtype=leaf.compute_dtype)
+        return jax.device_put(leaf, sharding)
+
+    return jax.tree.map(put, params, shardings,
+                        is_leaf=lambda x: isinstance(x, QuantizedArray))

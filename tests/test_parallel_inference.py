@@ -1,0 +1,60 @@
+"""Mesh-sharded inference: WhisperTPU.shard() + dp-sharded batched decode.
+
+Runs on the virtual 8-device CPU mesh (conftest). The sharded model must
+produce the same transcription as the unsharded one — XLA collectives only
+change placement, not math (up to bf16-invariant f32 reductions).
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from stable_ts_tpu.loaders import load_test_model
+
+
+@pytest.fixture(scope='module')
+def audio():
+    rng = np.random.default_rng(21)
+    return (rng.standard_normal(16000 * 70) * 0.1).astype(np.float32)
+
+
+class TestShardedInference:
+    def test_shard_builds_mesh_and_places_params(self):
+        model = load_test_model()
+        model.shard()
+        assert model.mesh is not None
+        dp, tp = model.mesh.shape['dp'], model.mesh.shape['tp']
+        assert dp * tp == len(jax.devices())
+        # a tensor-sharded leaf actually spans devices
+        leaf = model.params['encoder']['blocks']['attn']['q']['w']
+        assert len(leaf.sharding.device_set) > 1
+
+    def test_shard_batch_pads_to_dp(self):
+        model = load_test_model()
+        model.shard()
+        dp = model.mesh.shape['dp']
+        if dp == 1:
+            pytest.skip('dp=1 on this mesh')
+        arr = np.zeros((dp + 1, 4), np.float32)
+        out, n = model.shard_batch(arr)
+        assert n == dp + 1
+        assert out.shape[0] % dp == 0
+
+    def test_sharded_matches_unsharded_transcription(self, audio):
+        plain = load_test_model()
+        sharded = load_test_model().shard()
+        r_plain = plain.transcribe_batched(audio, verbose=None)
+        r_shard = sharded.transcribe_batched(audio, verbose=None)
+        assert r_plain.text == r_shard.text
+        starts_p = [w.start for s in r_plain.segments for w in s.words]
+        starts_s = [w.start for s in r_shard.segments for w in s.words]
+        assert starts_p == pytest.approx(starts_s, abs=0.021)
+
+    def test_sharded_quantized_model(self, audio):
+        import jax.numpy as jnp
+        from stable_ts_tpu.models.whisper.quantization import quantize_params
+        model = load_test_model()
+        model.params = quantize_params(model.params, compute_dtype=jnp.float32)
+        model.shard()
+        result = model.transcribe_batched(audio[:16000 * 35], verbose=None)
+        assert result is not None
