@@ -42,6 +42,9 @@ def main():
     dims = ModelDimensions(**OPENAI_MODEL_DIMS[MODEL])
     dtype = jnp.bfloat16
     params = init_params(dims, seed=0, dtype=dtype)
+    if os.environ.get('BENCH_DQ'):
+        from stable_ts_tpu.models.whisper.quantization import quantize_params
+        params = quantize_params(params, compute_dtype=dtype)
 
     mel = jnp.zeros((BATCH, dims.n_mels, 3000), dtype)
     sot = jnp.ones((BATCH, 4), jnp.int32)
@@ -55,10 +58,12 @@ def main():
     # cross-KV; the timing phase holds the (L, B, H, T, 1500) QK capture.
     # Keeping them in one program makes both live at the peak and OOMs
     # large batches.
+    kvq = bool(os.environ.get('BENCH_KVQ'))
+
     @jax.jit
     def decode_phase(params, mel, sot):
         xa = encoder_apply(params['encoder'], mel, dims.n_audio_head)
-        cross_kv = precompute_cross_kv(params['decoder'], xa)
+        cross_kv = precompute_cross_kv(params['decoder'], xa, quantize=kvq)
         logits, kv = decoder_prefill(params['decoder'], sot, xa,
                                      dims.n_text_head, cache_len)
 

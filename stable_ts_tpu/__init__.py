@@ -5,7 +5,8 @@ A from-scratch JAX/XLA/Pallas framework with the capabilities of stable-ts
 Whisper-family models plus silence suppression, a programmable regrouping
 engine, forced alignment, timestamp refinement, word localization, and
 subtitle output — designed TPU-first (batched fixed-shape windows, pjit
-sharding over a device mesh, Pallas kernels for DTW/mel hot paths).
+sharding over a device mesh, a Pallas DTW kernel and an XLA-fused
+STFT+mel front end for the hot paths).
 """
 from ._version import __version__
 from .result import WhisperResult, Segment, WordTiming

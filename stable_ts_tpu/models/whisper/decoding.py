@@ -39,7 +39,7 @@ class DecodingOptions:
     temperature: float = 0.0
     sample_len: Optional[int] = None
     best_of: Optional[int] = None
-    beam_size: Optional[int] = None          # not yet implemented
+    beam_size: Optional[int] = None
     patience: Optional[float] = None
     length_penalty: Optional[float] = None
     prompt: Optional[Union[str, List[int]]] = None
@@ -48,6 +48,8 @@ class DecodingOptions:
     suppress_blank: bool = True
     without_timestamps: bool = False
     max_initial_timestamp: Optional[float] = 1.0
+    kv_quant: bool = False                   # int8 cross-KV (halves the
+                                             # dominant per-step HBM stream)
 
 
 @dataclass
@@ -514,7 +516,8 @@ def decode(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
     tokens0 = jnp.asarray(initial_tokens, jnp.int32)[None].repeat(full_batch, 0)
     prefill_logits, kv_cache = decoder_prefill(
         params['decoder'], tokens0, xa_rep, dims.n_text_head, cache_len)
-    cross_kv = precompute_cross_kv(params['decoder'], xa_rep)
+    cross_kv = precompute_cross_kv(params['decoder'], xa_rep,
+                                   quantize=options.kv_quant)
 
     sot_logits = prefill_logits[:, sot_index]
     no_speech_probs = np.asarray(

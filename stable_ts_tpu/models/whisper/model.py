@@ -130,6 +130,10 @@ def _mha(params: Params, x: jnp.ndarray, xa: Optional[jnp.ndarray], n_head: int,
     q = linear(x, params['q']['w'], params['q']['b'])
     if kv_override is not None:
         k, v = kv_override
+        if hasattr(k, 'dequantize'):  # int8 KV (quantization.py)
+            k = k.dequantize()
+        if hasattr(v, 'dequantize'):
+            v = v.dequantize()
     else:
         src = x if xa is None else xa
         k = linear(src, params['k']['w'])  # no bias on key (Whisper convention)
@@ -183,12 +187,23 @@ def encoder_apply(params: Params, mel: jnp.ndarray, n_head: int) -> jnp.ndarray:
 
 # -- decoder ---------------------------------------------------------------------------------
 
-def precompute_cross_kv(params: Params, xa: jnp.ndarray) -> Params:
-    """Project encoder output into per-layer cross-attention K/V once."""
+def precompute_cross_kv(params: Params, xa: jnp.ndarray,
+                        quantize: bool = False) -> Params:
+    """Project encoder output into per-layer cross-attention K/V once.
+
+    ``quantize=True`` stores K/V as int8 with per-position scales
+    (quantization.py): the cross-KV stream is the single largest HBM read of
+    every decode step ((L, B, 1500, d) per token), so int8 halves it vs bf16;
+    the dequant multiply fuses into the attention matmuls.
+    """
     def per_layer(layer_params, _):
         k = linear(xa, layer_params['cross_attn']['k']['w'])
         v = linear(xa, layer_params['cross_attn']['v']['w'],
                    layer_params['cross_attn']['v']['b'])
+        if quantize:
+            from .quantization import quantize_tensor
+            k = quantize_tensor(k, reduce_axis=-1, compute_dtype=xa.dtype)
+            v = quantize_tensor(v, reduce_axis=-1, compute_dtype=xa.dtype)
         return _, (k, v)
 
     _, (k, v) = jax.lax.scan(lambda c, p: per_layer(p, c), None, params['blocks'])

@@ -87,6 +87,23 @@ def quantize_weight(w: jnp.ndarray, compute_dtype=jnp.bfloat16) -> QuantizedArra
     return QuantizedArray(q, scale, compute_dtype=compute_dtype)
 
 
+def quantize_tensor(x: jnp.ndarray, reduce_axis: int = -1,
+                    compute_dtype=jnp.bfloat16) -> QuantizedArray:
+    """Symmetric int8 quantization of an activation tensor.
+
+    ``reduce_axis`` is the axis folded into each scale — e.g. for a cross-KV
+    tensor (layers, batch, positions, d) use ``reduce_axis=-1`` so every
+    position gets its own scale (the d-axis is what attention sums over, and
+    per-position scales factor cleanly out of both the QK^T and the
+    attn @ V matmuls).
+    """
+    x32 = jnp.asarray(x, jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=reduce_axis, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return QuantizedArray(q, scale, compute_dtype=compute_dtype)
+
+
 def quantize_params(params: Dict[str, Any], compute_dtype=jnp.bfloat16,
                     _parent: Optional[str] = None) -> Dict[str, Any]:
     """Return a copy of a Whisper params pytree with every linear projection

@@ -550,6 +550,35 @@ class Segment:
         self._default_tokens = self.tokens
         self.words = None
 
+    # -- deprecated shims (reference result.py:674-679 etc.) ---------------------------
+
+    def round_all_timestamps(self):
+        import warnings
+        warnings.warn('``.round_all_timestamps()`` is deprecated. Use '
+                      '``round_ts=True`` instead.', stacklevel=2)
+        self.round_ts = True
+        for word in self.words or ():
+            word.round_ts = True
+
+    def update_seg_with_words(self):
+        import warnings
+        warnings.warn('Segment attributes are word-derived properties; '
+                      '``update_seg_with_words()`` is deprecated. Use '
+                      '``.reassign_ids()`` to update ids.', stacklevel=2)
+        self.reassign_ids()
+
+    def set_result(self, result):
+        import warnings
+        warnings.warn('``.set_result()`` is deprecated. Use '
+                      '``.result = ...`` instead.', stacklevel=2)
+        self.result = result
+
+    def get_result(self):
+        import warnings
+        warnings.warn('``.get_result()`` is deprecated. Use ``.result`` '
+                      'instead.', stacklevel=2)
+        return self.result
+
     # -- serialization ----------------------------------------------------------------
 
     def _reversed_words(self, prepend_punctuations: Optional[str] = None,

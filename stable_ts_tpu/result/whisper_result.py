@@ -1372,6 +1372,13 @@ class WhisperResult:
                           DeprecationWarning, stacklevel=2)
         return [s.to_dict(reverse_text=reverse_text) for s in self.segments]
 
+    def update_all_segs_with_words(self):
+        # deprecated shim (reference result.py:1058-1063)
+        warnings.warn('Segment attributes are word-derived properties; '
+                      '``update_all_segs_with_words()`` is deprecated. Use '
+                      '``.reassign_ids()`` to update ids.', stacklevel=2)
+        self.reassign_ids()
+
     def set_current_as_orig(self, keep_orig: bool = False):
         """Overwrite ``ori_dict`` with the current state."""
         self.ori_dict = self.to_dict(keep_orig=keep_orig)

@@ -181,6 +181,26 @@ class WordTiming:
         self.left_locked = False
         self.right_locked = False
 
+    # -- deprecated shims (reference result.py:185-257) ------------------------
+
+    def round_all_timestamps(self):
+        import warnings
+        warnings.warn('``.round_all_timestamps()`` is deprecated. Use '
+                      '``round_ts=True`` instead.', stacklevel=2)
+        self.round_ts = True
+
+    def set_segment(self, segment):
+        import warnings
+        warnings.warn('``.set_segment()`` is deprecated. Use '
+                      '``.segment = ...`` instead.', stacklevel=2)
+        self.segment = segment
+
+    def get_segment(self):
+        import warnings
+        warnings.warn('``.get_segment()`` is deprecated. Use ``.segment`` '
+                      'instead.', stacklevel=2)
+        return self.segment
+
     # -- serialization --------------------------------------------------------
 
     def to_dict(self) -> dict:
