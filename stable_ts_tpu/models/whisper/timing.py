@@ -114,7 +114,9 @@ def _dynamic_head_weights(qks: np.ndarray, sot_len: int, max_qk_len: int,
         selected[:, i] = w[head_idx, i]
     std = selected.std(axis=-2, keepdims=True)
     mean = selected.mean(axis=-2, keepdims=True)
-    selected = (selected - mean) / std
+    # constant rows (e.g. one-token windows) have std 0: normalizing them
+    # would produce NaNs that poison the DTW cost matrix
+    selected = (selected - mean) / np.where(std > 0, std, 1.0)
     return _np_median_filter(selected, medfilt_width)
 
 
