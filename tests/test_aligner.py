@@ -211,6 +211,18 @@ class TestAlignerWhisperGlue:
         assert isinstance(matches, list)
         assert matches and 'target_end' in matches[0]
 
+    def test_locate_mode1_and_mode0(self, model):
+        audio = np.random.default_rng(0).standard_normal(
+            SAMPLE_RATE * 3).astype(np.float32) * 0.3
+        m1 = model.locate(audio, ' hello', language='en', mode=1, verbose=None)
+        assert isinstance(m1, list)
+        if m1:  # random-weight model may or may not confirm the tokens
+            assert 'start' in m1[0] and 'end' in m1[0]
+        m0 = model.locate(audio, ' hello', language='en', mode=0, verbose=None)
+        assert isinstance(m0, list)
+        for seg in m0:
+            assert hasattr(seg, 'words')
+
 
 class TestRefinerFakeBackend:
     def test_refine_tightens_ts(self):
@@ -288,15 +300,3 @@ class TestTranscribeAny:
         transcribe_any(asr, audio, input_sr=8000, model_sr=16000,
                        audio_type='numpy', suppress_silence=False)
         assert seen['n'] == 16000
-
-    def test_locate_mode1_and_mode0(self, model):
-        audio = np.random.default_rng(0).standard_normal(
-            SAMPLE_RATE * 3).astype(np.float32) * 0.3
-        m1 = model.locate(audio, ' hello', language='en', mode=1, verbose=None)
-        assert isinstance(m1, list)
-        if m1:  # random-weight model may or may not confirm the tokens
-            assert 'start' in m1[0] and 'end' in m1[0]
-        m0 = model.locate(audio, ' hello', language='en', mode=0, verbose=None)
-        assert isinstance(m0, list)
-        for seg in m0:
-            assert hasattr(seg, 'words')
