@@ -89,20 +89,22 @@ def _load_demucs(**kw):
 def _run_demucs(audio: np.ndarray, model=None, device=None, **kw):
     import torch
     from demucs.apply import apply_model
-    wav = torch.as_tensor(np.asarray(audio, np.float32))
-    if wav.ndim == 1:
-        wav = wav[None]
     # demucs expects (channels, T) at its own sample rate; stable-ts feeds
-    # 16 kHz mono, so resample in and out (reference audio/demucs.py:153-211).
+    # 16 kHz mono, so resample the 1-D signal in and out
+    # (reference audio/demucs.py:153-211). resample operates on 1-D arrays —
+    # build the channel dim only after resampling.
     from .utils import resample
     in_sr = kw.pop('sr', SAMPLE_RATE)
-    wav = torch.as_tensor(resample(wav.numpy(), in_sr, model.samplerate))
-    wav = wav.repeat(model.audio_channels, 1) if wav.shape[0] == 1 else wav
+    mono = np.asarray(audio, np.float32).reshape(-1)
+    mono = np.asarray(resample(mono, in_sr, model.samplerate), np.float32)
+    wav = torch.as_tensor(mono)[None].repeat(model.audio_channels, 1)
+    kw.setdefault('split', True)
+    kw.setdefault('overlap', 0.25)
     with torch.no_grad():
-        stems = apply_model(model, wav[None], device=device or 'cpu',
-                            split=True, overlap=0.25)[0]
+        stems = apply_model(model, wav[None], device=device or 'cpu', **kw)[0]
     vocals = stems[model.sources.index('vocals')].mean(0).numpy()
-    return resample(vocals, model.samplerate, in_sr).astype(np.float32)
+    out = resample(vocals.reshape(-1), model.samplerate, in_sr)
+    return np.asarray(out, np.float32)
 
 
 def _load_dfnet(**kw):
@@ -123,9 +125,11 @@ def _run_dfnet(audio: np.ndarray, model=None, **kw):
     net, df_state = model
     from .utils import resample
     in_sr = kw.pop('sr', SAMPLE_RATE)
-    wav = resample(np.asarray(audio, np.float32), in_sr, df_state.sr())
-    out = enhance(net, df_state, torch.as_tensor(wav)[None])[0].numpy()
-    return resample(out, df_state.sr(), in_sr).astype(np.float32)
+    mono = np.asarray(audio, np.float32).reshape(-1)
+    wav = np.asarray(resample(mono, in_sr, df_state.sr()), np.float32)
+    out = enhance(net, df_state, torch.as_tensor(wav)[None], **kw)[0].numpy()
+    out = resample(out.reshape(-1), df_state.sr(), in_sr)
+    return np.asarray(out, np.float32)
 
 
 # Registry: name -> {'load': () -> model_or_None, 'run': (audio, model=..., **opts) -> audio}

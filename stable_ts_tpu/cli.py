@@ -370,6 +370,13 @@ def _run_once(args, cache: dict):
                              "expected 'tpu' or 'cpu'")
     if args.fp16 is not None and args.dtype is None:
         args.dtype = 'bfloat16' if args.fp16 else 'float32'
+    if args.huggingface_whisper and not os.path.isdir(args.model):
+        raise FileNotFoundError(
+            f'--huggingface_whisper expects --model to be a local HF Whisper '
+            f'directory (with config.json + safetensors); got {args.model!r}. '
+            'Zero-egress environments cannot download from the Hub.')
+    if args.tp is not None and not args.shard:
+        warnings.warn('--tp has no effect without --shard.')
     if args.demucs and not args.denoiser:
         args.denoiser = 'demucs'
     denoiser_options = _parse_extra_options(

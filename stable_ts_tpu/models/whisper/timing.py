@@ -48,7 +48,7 @@ def compute_qks_and_probs(params, dims: ModelDimensions,
                           text_tokens: Sequence[int],
                           mel: Optional[jnp.ndarray] = None,
                           audio_features: Optional[jnp.ndarray] = None):
-    """One teacher-forced pass -> (qks (L, H, T, 1500) f32, text_token_probs).
+    """One teacher-forced pass -> (qks (L, H, T, 1500) bf16, text_token_probs).
 
     Replaces the reference's forward hooks (timing.py:50-57) with explicit
     aux outputs.
@@ -77,14 +77,17 @@ def compute_qks_and_probs(params, dims: ModelDimensions,
 def _legacy_head_weights(qks_sel: jnp.ndarray, max_qk_len: int, sot_len: int,
                          qk_scale: float, medfilt_width: int) -> jnp.ndarray:
     """qks_sel: (n_sel_heads, T, 1500) already gathered (layer, head) rows."""
-    w = qks_sel[:, sot_len:-1, :]
+    # upcast: QK capture is stored bf16 (model.py decoder_apply); the
+    # softmax/normalization math must run in f32
+    w = qks_sel[:, sot_len:-1, :].astype(jnp.float32)
     mask = jnp.arange(w.shape[-1])[None, None, :] < max_qk_len
     w = jnp.where(mask, w * qk_scale, -jnp.inf)
     w = jax.nn.softmax(w, axis=-1)
     w = jnp.where(mask, w, 0.0)
     std = jnp.std(w, axis=-2, keepdims=True)
     mean = jnp.mean(w, axis=-2, keepdims=True)
-    w = (w - mean) / std
+    # constant rows (e.g. max_qk_len == 1) have std 0; NaNs would poison DTW
+    w = (w - mean) / jnp.where(std > 0, std, 1.0)
     return median_filter(w, medfilt_width)
 
 
@@ -140,7 +143,7 @@ def _new_aligner_matrix(qks: jnp.ndarray, max_qk_len: int, sot_len: int,
     average the top-k col-normalized matrices. qks: (L, H, T, 1500)."""
     L, H, T, F = qks.shape
     mask = jnp.arange(F)[None, None, :] < max_qk_len
-    w = qks.reshape(L * H, T, F)
+    w = qks.reshape(L * H, T, F).astype(jnp.float32)  # bf16 capture -> f32 math
     w = median_filter(w, medfilt_width)
     w = jnp.where(mask, w * qk_scale, -jnp.inf)
     w = jax.nn.softmax(w, axis=-1)

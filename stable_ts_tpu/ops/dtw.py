@@ -220,14 +220,16 @@ def _traceback_from_cost(cost: np.ndarray):
     return (np.array(text_indices)[::-1], np.array(time_indices)[::-1])
 
 
-def _use_pallas() -> bool:
+def _dtw_backend() -> str:
     import os
     pref = os.environ.get('STABLE_TS_TPU_DTW', 'auto')
-    if pref == 'pallas':
-        return True
-    if pref in ('scan', 'numpy'):
-        return False
-    return jax.default_backend() == 'tpu'
+    if pref in ('pallas', 'scan', 'numpy'):
+        return pref
+    return 'pallas' if jax.default_backend() == 'tpu' else 'scan'
+
+
+def _use_pallas() -> bool:
+    return _dtw_backend() == 'pallas'
 
 
 def dtw(x, device: bool = True):
@@ -235,10 +237,11 @@ def dtw(x, device: bool = True):
 
     On a TPU backend the cost matrix comes from the Pallas kernel (VMEM-
     resident DP); elsewhere from the portable scan formulation. Override with
-    STABLE_TS_TPU_DTW=pallas|scan|numpy."""
-    if device:
-        xj = jnp.asarray(x)
-        fn = dtw_cost_pallas if _use_pallas() else dtw_cost_jax
-        cost = np.asarray(fn(xj), dtype=np.float64)
-        return _traceback_from_cost(cost)
-    return dtw_numpy(np.asarray(x))
+    STABLE_TS_TPU_DTW=pallas|scan|numpy (numpy = pure-host DP, the escape
+    hatch when the device path itself is suspect)."""
+    backend = _dtw_backend()
+    if not device or backend == 'numpy':
+        return dtw_numpy(np.asarray(x))
+    fn = dtw_cost_pallas if backend == 'pallas' else dtw_cost_jax
+    cost = np.asarray(fn(jnp.asarray(x)), dtype=np.float64)
+    return _traceback_from_cost(cost)

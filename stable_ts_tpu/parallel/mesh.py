@@ -128,9 +128,19 @@ def shard_params(params, mesh: Mesh, dims):
 
     def put(leaf, sharding):
         if isinstance(leaf, QuantizedArray):
-            return QuantizedArray(jax.device_put(leaf.q, sharding),
-                                  jax.device_put(leaf.scale, sharding),
-                                  compute_dtype=leaf.compute_dtype)
+            # the per-channel scale collapses the reduced axis to size 1;
+            # replicate any axis the weight spec shards but the scale lacks
+            # (row-parallel 'out'/'fc2': spec P(None,'tp',None), scale
+            # (..., 1, out)).
+            spec = sharding.spec
+            scale_spec = P(*[
+                None if leaf.scale.shape[i] == 1 else axis
+                for i, axis in enumerate(spec)
+            ])
+            return QuantizedArray(
+                jax.device_put(leaf.q, sharding),
+                jax.device_put(leaf.scale, NamedSharding(mesh, scale_spec)),
+                compute_dtype=leaf.compute_dtype)
         return jax.device_put(leaf, sharding)
 
     return jax.tree.map(put, params, shardings,

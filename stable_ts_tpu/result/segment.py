@@ -583,15 +583,20 @@ class Segment:
 
     def _reversed_words(self, prepend_punctuations: Optional[str] = None,
                         append_punctuations: Optional[str] = None):
-        """Word dicts in reverse order with per-word punctuation swapped for
-        RTL rendering (reference result.py:562-607 ``_to_reverse_text``)."""
+        """Word dicts in CHRONOLOGICAL order with per-word punctuation swapped
+        for RTL rendering (reference result.py:562-607 ``_to_reverse_text``).
+        The renderer (text_output.words2segments) reverses display order via
+        the ``reversed_text`` marker; word timestamps stay chronological."""
         from ..defaults import get_append_punctuations, get_prepend_punctuations
         prepend = get_prepend_punctuations(prepend_punctuations)
         if prepend and ' ' not in prepend:
             prepend += ' '
         append = get_append_punctuations(append_punctuations)
+        words = (self.words if self.has_words else
+                 [WordTiming(word=w, start=0, end=1, probability=0)
+                  for w in self.text.split(' ')])
         out = []
-        for word in (self.words or []):
+        for word in words:
             text = word.word
             new_append = ''
             while text and text[0] in prepend:
@@ -604,7 +609,7 @@ class Segment:
             d = word.to_dict()
             d['word'] = f'{new_prepend}{text}{new_append[::-1]}'
             out.append(d)
-        return out[::-1]
+        return out
 
     def to_dict(self, reverse_text: Union[bool, tuple] = False) -> dict:
         seg_dict = dict(
@@ -620,9 +625,12 @@ class Segment:
         )
         if reverse_text:
             args = reverse_text if isinstance(reverse_text, tuple) else ()
+            rwords = self._reversed_words(*args)
+            seg_dict['text'] = ''.join(w['word'] for w in reversed(rwords))
             if self.has_words:
-                seg_dict['words'] = self._reversed_words(*args)
-                seg_dict['text'] = ''.join(w['word'] for w in seg_dict['words'])
+                seg_dict['words'] = rwords
+            elif self.ori_has_words:
+                seg_dict['words'] = []
             seg_dict['reversed_text'] = True
             return seg_dict
         if self.has_words:

@@ -75,14 +75,15 @@ class TestCompatBehavior:
 
     def test_deprecated_flags_warn(self, parser, tmp_path, monkeypatch):
         from stable_ts_tpu import cli as cli_mod
+        from stable_ts_tpu import loaders as loaders_mod
         args = parser.parse_args([str(tmp_path / 'x.wav'),
                                   '--time_scale', '2.0'])
-        # stop before any model loading
-        monkeypatch.setattr(cli_mod, 'load_model',
-                            lambda **kw: (_ for _ in ()).throw(RuntimeError('stop')),
-                            raising=False)
+
+        # stop before any model loading (cli imports load_model from
+        # .loaders inside _run_once, so patch it at its source)
+        def boom(**kw):
+            raise RuntimeError('stop-before-load')
+        monkeypatch.setattr(loaders_mod, 'load_model', boom)
         with pytest.warns(UserWarning, match='time_scale'):
-            try:
+            with pytest.raises(RuntimeError, match='stop-before-load'):
                 cli_mod._run_once(args, {})
-            except Exception:
-                pass

@@ -52,9 +52,28 @@ class TestShardedInference:
 
     def test_sharded_quantized_model(self, audio):
         import jax.numpy as jnp
-        from stable_ts_tpu.models.whisper.quantization import quantize_params
+        from stable_ts_tpu.models.whisper.quantization import (QuantizedArray,
+                                                               quantize_params)
         model = load_test_model()
         model.params = quantize_params(model.params, compute_dtype=jnp.float32)
-        model.shard()
+        # tp=2 divides the test model's 2 heads, so the q/fc weights REALLY
+        # tensor-shard (tp=4 would silently fall back to replication and the
+        # row-parallel scale-sharding path would go untested)
+        model.shard(tp=2)
+        qw = model.params['encoder']['blocks']['attn']['q']['w']
+        assert isinstance(qw, QuantizedArray)
+        assert len(qw.q.sharding.device_set) > 1
+        # row-parallel weight: scale has size 1 on the tp-sharded axis and
+        # must be replicated there rather than crash device_put
+        ow = model.params['encoder']['blocks']['attn']['out']['w']
+        assert ow.scale.shape[-2] == 1
         result = model.transcribe_batched(audio[:16000 * 35], verbose=None)
         assert result is not None
+
+    def test_sharded_tp2_matches_unsharded(self, audio):
+        plain = load_test_model()
+        sharded = load_test_model().shard(tp=2)
+        short = audio[:16000 * 35]
+        r_plain = plain.transcribe_batched(short, verbose=None)
+        r_shard = sharded.transcribe_batched(short, verbose=None)
+        assert r_plain.text == r_shard.text

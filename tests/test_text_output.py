@@ -131,15 +131,30 @@ class TestMinDur:
 
 
 class TestReverseText:
-    def test_reversed_word_order_and_punctuation_swap(self):
+    def test_punctuation_swap_keeps_chronological_order(self):
         r = make_result()
         segs = r.segments_to_dicts(reverse_text=True)
         words = segs[0]['words']
-        # leading spaces count as prepend-punctuation and flip to the end
-        assert [w['word'] for w in words] == ['.world ', 'Hello ']
+        # words stay CHRONOLOGICAL (reference result.py:609-636 — display
+        # order is reversed only at render time via the reversed_text
+        # marker); leading spaces count as prepend-punctuation and flip to
+        # the end of each word
+        assert [w['word'] for w in words] == ['Hello ', '.world ']
         assert segs[0]['reversed_text'] is True
-        # timestamps keep their original (chronological) values per word
-        assert words[0]['start'] == 0.6 and words[1]['start'] == 0.0
+        assert words[0]['start'] == 0.0 and words[1]['start'] == 0.6
+        # segment text is the reversed join (what an RTL line should read)
+        assert segs[0]['text'] == '.world Hello '
+
+    def test_render_reverses_display_order_not_timestamps(self):
+        from stable_ts_tpu.text_output import words2segments
+        r = make_result()
+        segs = r.segments_to_dicts(reverse_text=True)
+        rendered = words2segments(segs[0]['words'], ('<b>', '</b>'),
+                                  reverse_text=segs[0]['reversed_text'])
+        # cue times remain ascending; only the tag position within the
+        # concatenated text moves
+        times = [(s['start'], s['end']) for s in rendered]
+        assert times == sorted(times)
 
     def test_srt_render_with_reverse_text(self):
         r = make_result()
