@@ -1326,6 +1326,15 @@ class WhisperResult:
                     f'{name} is not one of the available methods: {tuple(methods)}')
             args = [] if len(args) == 0 else [str_to_valid_type(a) for a in args.split('+')]
             param_names = list(inspect.signature(methods[name]).parameters)
+            # the reference zips args onto __code__.co_varnames, so a non-None
+            # arg past the real parameter list lands on a local variable name
+            # and raises TypeError at call time (result.py:3016) — mirror that
+            # instead of silently dropping it
+            for extra in args[len(param_names):]:
+                if extra is not None:
+                    raise TypeError(
+                        f'{methods[name].__name__}() got more positional '
+                        f'values than parameters: {extra!r}')
             kwargs = {k: v for k, v in zip(param_names, args) if v is not None}
             if include_str:
                 kwargs_str = ', '.join(

@@ -1,0 +1,259 @@
+"""Differential parity: our result core vs the ACTUAL reference package.
+
+The reference (/root/reference, mounted read-only) is import-runnable without
+openai-whisper (its whisper_compatibility fallback) once torchaudio is
+stubbed; its result/regroup/output layers are pure Python+numpy. Identical
+inputs go through both implementations and the outputs are compared
+byte-for-byte — the strongest evidence for SURVEY §7's "bit-compat output
+structure" requirement.
+
+Skipped automatically when /root/reference is not present.
+"""
+import json
+import os
+import sys
+import types
+import warnings
+
+import numpy as np
+import pytest
+
+REFERENCE = '/root/reference'
+
+if not os.path.isdir(os.path.join(REFERENCE, 'stable_whisper')):
+    pytest.skip('reference package not available', allow_module_level=True)
+
+if 'torchaudio' not in sys.modules:
+    ta = types.ModuleType('torchaudio')
+    ta.__version__ = '0.0-stub'
+    ta.functional = types.ModuleType('torchaudio.functional')
+    ta.transforms = types.ModuleType('torchaudio.transforms')
+    sys.modules['torchaudio'] = ta
+    sys.modules['torchaudio.functional'] = ta.functional
+    sys.modules['torchaudio.transforms'] = ta.transforms
+
+sys.path.insert(0, REFERENCE)
+with warnings.catch_warnings():
+    warnings.simplefilter('ignore')
+    from stable_whisper import WhisperResult as RefResult  # noqa: E402
+
+from stable_ts_tpu.result import WhisperResult as OurResult  # noqa: E402
+
+
+def _random_result_dict(seed: int, n_segments: int = 4) -> dict:
+    """Plausible word/segment structure with punctuation, gaps, jitter."""
+    rng = np.random.default_rng(seed)
+    vocab = ['Hello', 'world', 'this', 'is', 'a', 'test', 'of', 'the',
+             'regroup', 'engine', 'and', 'its', 'many', 'operations', 'so',
+             'some', 'words', 'are', 'long', 'short']
+    t = 0.0
+    segments = []
+    for s in range(n_segments):
+        words = []
+        n_words = int(rng.integers(3, 9))
+        for w in range(n_words):
+            dur = float(rng.uniform(0.08, 0.5))
+            text = vocab[int(rng.integers(len(vocab)))]
+            if w == n_words - 1 and rng.random() < 0.7:
+                text += '.' if rng.random() < 0.6 else ','
+            words.append(dict(
+                word=' ' + text,
+                start=round(t, 3),
+                end=round(t + dur, 3),
+                probability=float(np.round(rng.uniform(0.3, 1.0), 3)),
+                tokens=[int(rng.integers(100, 1000))],
+            ))
+            t += dur + float(rng.uniform(0.0, 0.12))
+        segments.append(dict(words=words))
+        t += float(rng.uniform(0.0, 1.2))  # inter-segment gap
+    return dict(language='en', segments=segments)
+
+
+def _norm(d):
+    return json.dumps(d, sort_keys=True)
+
+
+def both(seed: int, n_segments: int = 4):
+    data = _random_result_dict(seed, n_segments)
+    return RefResult(json.loads(json.dumps(data))), \
+        OurResult(json.loads(json.dumps(data)))
+
+
+SEEDS = [0, 1, 2, 3, 7]
+
+
+class TestOutputFormats:
+    @pytest.mark.parametrize('seed', SEEDS)
+    def test_srt_word_level_bytes(self, seed):
+        ref, ours = both(seed)
+        assert ours.to_srt_vtt(word_level=True) == ref.to_srt_vtt(word_level=True)
+
+    @pytest.mark.parametrize('seed', SEEDS)
+    def test_srt_segment_only_bytes(self, seed):
+        ref, ours = both(seed)
+        assert (ours.to_srt_vtt(word_level=False, segment_level=True)
+                == ref.to_srt_vtt(word_level=False, segment_level=True))
+
+    @pytest.mark.parametrize('seed', SEEDS)
+    def test_vtt_bytes(self, seed):
+        ref, ours = both(seed)
+        assert (ours.to_srt_vtt(vtt=True, word_level=True)
+                == ref.to_srt_vtt(vtt=True, word_level=True))
+
+    @pytest.mark.parametrize('seed', SEEDS[:3])
+    def test_ass_bytes(self, seed):
+        ref, ours = both(seed)
+        assert ours.to_ass() == ref.to_ass()
+
+    @pytest.mark.parametrize('seed', SEEDS[:3])
+    def test_tsv_txt_bytes(self, seed):
+        ref, ours = both(seed)
+        assert ours.to_tsv() == ref.to_tsv()
+        assert ours.to_txt() == ref.to_txt()
+
+    @pytest.mark.parametrize('seed', SEEDS[:3])
+    def test_karaoke_ass(self, seed):
+        ref, ours = both(seed)
+        assert ours.to_ass(karaoke=True) == ref.to_ass(karaoke=True)
+
+
+class TestRegroupParity:
+    @pytest.mark.parametrize('seed', SEEDS)
+    def test_default_chain(self, seed):
+        ref, ours = both(seed)
+        ref.regroup(True)
+        ours.regroup(True)
+        assert _norm(ours.segments_to_dicts()) == _norm(ref.segments_to_dicts())
+
+    @pytest.mark.parametrize('algo', [
+        'sg=.5', 'sp=.* /。/?/？', 'sl=25', 'sd=1.0', 'mg=.3+3',
+        'ms=2', 'cm', 'l=true', 'sg=.4_mg=.2_sl=30',
+        'isp_cm_sp=.* /。/?/？_sg=.5_sp=,* /，++++50_sl=70_cm',
+    ])
+    def test_individual_ops(self, algo):
+        ref, ours = both(11)
+        ref.regroup(algo)
+        ours.regroup(algo)
+        assert _norm(ours.segments_to_dicts()) == _norm(ref.segments_to_dicts()), algo
+
+    @pytest.mark.parametrize('seed', SEEDS[:3])
+    def test_reset_and_replay(self, seed):
+        ref, ours = both(seed)
+        for r in (ref, ours):
+            r.regroup('sg=.5_sl=40')
+            r.reset()
+            r.regroup(r'cm')
+        assert _norm(ours.segments_to_dicts()) == _norm(ref.segments_to_dicts())
+
+
+class TestEditOpsParity:
+    def test_suppress_silence(self):
+        ref, ours = both(5)
+        starts = np.array([0.5, 3.0, 7.0])
+        ends = np.array([0.9, 3.8, 7.5])
+        ref.suppress_silence(starts, ends, min_word_dur=0.1)
+        ours.suppress_silence(starts, ends, min_word_dur=0.1)
+        assert _norm(ours.segments_to_dicts()) == _norm(ref.segments_to_dicts())
+
+    def test_clamp_max_and_pad(self):
+        ref, ours = both(6)
+        ref.clamp_max(medium_factor=2.5)
+        ours.clamp_max(medium_factor=2.5)
+        assert _norm(ours.segments_to_dicts()) == _norm(ref.segments_to_dicts())
+
+    def test_remove_words_by_str(self):
+        ref, ours = both(8)
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            ref.remove_words_by_str('test', case_sensitive=False, verbose=False)
+            ours.remove_words_by_str('test', case_sensitive=False, verbose=False)
+        assert _norm(ours.segments_to_dicts()) == _norm(ref.segments_to_dicts())
+
+    def test_fill_in_gaps(self):
+        data = _random_result_dict(9)
+        other = _random_result_dict(9)  # identical content as "donor"
+        ref, ours = RefResult(json.loads(json.dumps(data))), \
+            OurResult(json.loads(json.dumps(data)))
+        ref_other = RefResult(json.loads(json.dumps(other)))
+        our_other = OurResult(json.loads(json.dumps(other)))
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            ref.fill_in_gaps(ref_other, min_gap=0.3)
+            ours.fill_in_gaps(our_other, min_gap=0.3)
+        assert _norm(ours.segments_to_dicts()) == _norm(ref.segments_to_dicts())
+
+    def test_find_matches(self):
+        ref, ours = both(10)
+        rm = ref.find(r'\bthe\b')
+        om = ours.find(r'\bthe\b')
+        assert len(rm.matches) == len(om.matches)
+        for a, b in zip(rm.matches, om.matches):
+            assert a.text == b.text
+
+    def test_custom_operation(self):
+        ref, ours = both(12)
+        ref.custom_operation('start', '>=', 5.0, 'remove', word_level=True)
+        ours.custom_operation('start', '>=', 5.0, 'remove', word_level=True)
+        assert _norm(ours.segments_to_dicts()) == _norm(ref.segments_to_dicts())
+
+
+class TestJsonSchemaParity:
+    @pytest.mark.parametrize('seed', SEEDS[:3])
+    def test_to_dict_keys(self, seed):
+        ref, ours = both(seed)
+        rd, od = ref.to_dict(), ours.to_dict()
+        assert set(rd.keys()) == set(od.keys())
+        for rs, os_ in zip(rd['segments'], od['segments']):
+            assert set(rs.keys()) == set(os_.keys())
+            for rw, ow in zip(rs['words'], os_['words']):
+                assert set(rw.keys()) == set(ow.keys())
+
+    def test_save_load_roundtrip_cross(self, tmp_path):
+        """Our JSON loads in the reference and vice versa."""
+        ref, ours = both(13)
+        p1 = str(tmp_path / 'ours.json')
+        p2 = str(tmp_path / 'ref.json')
+        ours.save_as_json(p1)
+        ref.save_as_json(p2)
+        assert RefResult(p1).text == ours.text
+        assert OurResult(p2).text == ref.text
+
+
+class TestExtendedRegroupParity:
+    """Lock/remove/pad ops + error-behavior parity on malformed algo strings."""
+
+    @pytest.mark.parametrize('algo', [
+        'us', 'l=the++1+1', 'rs=2', 'rp=2+2',
+        'rws=test++0+1', 'p=0.1+0.2+3.0', 'csl',
+        'mp=,* /，+2', 'sp=.* /。/?/？+10+100', 'sg=.3+2+4',
+    ])
+    def test_op_parity(self, algo):
+        ref, ours = both(42, 5)
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            ref.regroup(algo)
+            ours.regroup(algo)
+        assert _norm(ours.segments_to_dicts()) == _norm(ref.segments_to_dicts()), algo
+
+    @pytest.mark.parametrize('algo', [
+        'ag=.4++.2',            # overflow arg -> local varname -> TypeError
+        'fg=0.1',               # fill_in_gaps needs a result, not a float
+        'sl=20+true',           # bad arg type
+        'bogus=1',              # unknown method
+        'l=true+false+true',    # int('true') in history recording
+        'rw=1',                 # remove_word(int) without context
+        'rws=test++false+false',  # int('false')
+        'p=" "+" ~"',           # pad with string args
+    ])
+    def test_error_parity(self, algo):
+        """Malformed strings fail the same way in both implementations."""
+        ref, ours = both(42, 5)
+        def outcome(r):
+            try:
+                with warnings.catch_warnings():
+                    warnings.simplefilter('ignore')
+                    r.regroup(algo)
+                return None
+            except Exception as exc:
+                return type(exc).__name__
+        assert outcome(ours) == outcome(ref), algo
