@@ -257,3 +257,59 @@ class TestExtendedRegroupParity:
             except Exception as exc:
                 return type(exc).__name__
         assert outcome(ours) == outcome(ref), algo
+
+
+class TestStabilizationParity:
+    """Non-VAD loudness mask + mask/timing utils vs the reference (torch)."""
+
+    def _audio(self, seed=0, seconds=4):
+        rng = np.random.default_rng(seed)
+        audio = (rng.standard_normal(16000 * seconds) * 0.2).astype(np.float32)
+        audio[16000:32000] *= 0.01  # silent stretch
+        return audio
+
+    @pytest.mark.parametrize('seed', [0, 3, 9])
+    def test_wav2mask_bit_equal(self, seed):
+        import torch
+        from stable_whisper.stabilization.nonvad import wav2mask as ref_fn
+        from stable_ts_tpu.stabilization.nonvad import wav2mask as our_fn
+        audio = self._audio(seed)
+        ref_mask = np.asarray(ref_fn(torch.from_numpy(audio)))
+        our_mask = np.asarray(our_fn(audio))
+        assert ref_mask.shape == our_mask.shape
+        assert (ref_mask == our_mask).all()
+
+    def test_audio2timings_equal(self):
+        import torch
+        from stable_whisper.stabilization.nonvad import audio2timings as ref_fn
+        from stable_ts_tpu.stabilization.nonvad import audio2timings as our_fn
+        audio = self._audio(1)
+        ref_t = ref_fn(torch.from_numpy(audio))
+        our_t = our_fn(audio)
+        assert (ref_t is None) == (our_t is None)
+        if ref_t is not None:
+            for a, b in zip(ref_t, our_t):
+                assert np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_mask2timing_equal(self):
+        import torch
+        from stable_whisper.stabilization.utils import mask2timing as ref_fn
+        from stable_ts_tpu.stabilization.utils import mask2timing as our_fn
+        mask = np.zeros(100, bool)
+        mask[10:20] = True
+        mask[50:53] = True
+        mask[97:] = True
+        ref_t = ref_fn(torch.from_numpy(mask))
+        our_t = our_fn(mask)
+        for a, b in zip(ref_t, our_t):
+            assert np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_timing2mask_roundtrip_equal(self):
+        import torch
+        from stable_whisper.stabilization.utils import timing2mask as ref_fn
+        from stable_ts_tpu.stabilization.utils import timing2mask as our_fn
+        starts = np.array([0.2, 1.5])
+        ends = np.array([0.8, 1.9])
+        ref_m = np.asarray(ref_fn(starts, ends, size=120))
+        our_m = np.asarray(our_fn(starts, ends, size=120))
+        assert (ref_m == our_m).all()
