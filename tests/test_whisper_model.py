@@ -198,3 +198,76 @@ class TestTokenizer:
         ns = tok.non_speech_tokens
         assert len(ns) > 0
         assert all(t < tok.eot for t in ns)
+
+
+class TestHFDirectoryLoad:
+    """End-to-end HF safetensors directory loading (not just key remap)."""
+
+    @staticmethod
+    def _openai_to_hf_key(key: str) -> str:
+        # order matters: the *_ln fragments contain the attn fragments
+        pairs = [
+            ('mlp_ln', 'final_layer_norm'),
+            ('cross_attn_ln', 'encoder_attn_layer_norm'),
+            ('attn_ln', 'self_attn_layer_norm'),
+            ('cross_attn', 'encoder_attn'),
+            ('attn', 'self_attn'),
+            ('mlp.0', 'fc1'), ('mlp.2', 'fc2'),
+            ('query', 'q_proj'), ('key', 'k_proj'), ('value', 'v_proj'),
+            ('out', 'out_proj'),
+            ('blocks', 'layers'),
+            ('positional_embedding', 'embed_positions.weight'),
+            ('token_embedding', 'embed_tokens'),
+            ('encoder.ln_post', 'encoder.layer_norm'),
+            ('decoder.ln', 'decoder.layer_norm'),
+        ]
+        for old, new in pairs:
+            key = key.replace(old, new)
+        return 'model.' + key
+
+    def test_hf_dir_roundtrip(self, tmp_path, mel_window):
+        import torch
+        from safetensors.numpy import save_file
+        from stable_ts_tpu.models.whisper.load import (load_hf_checkpoint,
+                                                       save_openai_checkpoint,
+                                                       load_openai_checkpoint)
+
+        dims = tiny_test_dims()
+        params = init_params(dims, seed=3)
+        pt_path = str(tmp_path / 'tiny.pt')
+        save_openai_checkpoint(pt_path, dims, params)
+        sd = torch.load(pt_path, map_location='cpu',
+                        weights_only=False)['model_state_dict']
+
+        # fabricate the HF directory
+        hf_sd = {}
+        for k, v in sd.items():
+            hf_key = self._openai_to_hf_key(k)
+            assert hf_key_to_openai(hf_key) == k, (k, hf_key)  # self-check
+            hf_sd[hf_key] = np.asarray(v)
+        save_file(hf_sd, str(tmp_path / 'model.safetensors'))
+        import json as _json
+        with open(tmp_path / 'config.json', 'w') as f:
+            _json.dump(dict(
+                num_mel_bins=dims.n_mels,
+                max_source_positions=dims.n_audio_ctx,
+                d_model=dims.n_audio_state,
+                encoder_attention_heads=dims.n_audio_head,
+                encoder_layers=dims.n_audio_layer,
+                vocab_size=dims.n_vocab,
+                max_target_positions=dims.n_text_ctx,
+                decoder_attention_heads=dims.n_text_head,
+                decoder_layers=dims.n_text_layer,
+            ), f)
+
+        hf_dims, hf_params = load_hf_checkpoint(str(tmp_path))
+        assert hf_dims == dims
+        # forward parity: identical logits from both loaders
+        _, pt_params = load_openai_checkpoint(pt_path)
+        xa1 = encoder_apply(pt_params['encoder'], mel_window, dims.n_audio_head)
+        xa2 = encoder_apply(hf_params['encoder'], mel_window, dims.n_audio_head)
+        assert np.allclose(np.asarray(xa1), np.asarray(xa2), atol=1e-5)
+        toks = jnp.array([[1, 2, 3]], jnp.int32)
+        l1, _ = decoder_apply(pt_params['decoder'], toks, xa1, dims.n_text_head)
+        l2, _ = decoder_apply(hf_params['decoder'], toks, xa2, dims.n_text_head)
+        assert np.allclose(np.asarray(l1), np.asarray(l2), atol=1e-4)
