@@ -186,6 +186,64 @@ def _whisper_refinement_func(model, tokenizer) -> Callable:
     return inference_func
 
 
+def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
+    """list[(audio(2, T_i), tokens_i)] -> list[probs (2, n_i, vocab<eot)].
+
+    The lockstep refine driver (non_whisper/refinement.py) evaluates every
+    pending span's probe in ONE forward per bisection round: all 2S muted
+    variants batch through the encoder+decoder with right-padded token rows
+    (exact under causal masking). Batch and token lengths are bucketed so
+    XLA compiles a handful of shapes, not one per round.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .models.whisper.model import decoder_apply, encoder_apply
+
+    sot_seq = list(tokenizer.sot_sequence)
+    sot_len = len(sot_seq)
+
+    def _bucket(n: int, step: int) -> int:
+        return max(step, int(np.ceil(n / step) * step))
+
+    def batch_func(requests):
+        mels = []
+        rows = []
+        lengths = []
+        for audio_segment, tokens in requests:
+            mel = np.asarray(log_mel_spectrogram(np.asarray(audio_segment),
+                                                 model.dims.n_mels))
+            mels.append(_pad_mel(mel))
+            rows.append(sot_seq + [tokenizer.no_timestamps] + list(tokens)
+                        + [tokenizer.eot])
+            lengths.append(len(tokens))
+        mel_batch = np.concatenate(mels, axis=0)  # (2S, n_mels, 3000)
+        pad_rows = _bucket(mel_batch.shape[0], 4)
+        if pad_rows > mel_batch.shape[0]:
+            mel_batch = np.pad(mel_batch,
+                               ((0, pad_rows - mel_batch.shape[0]), (0, 0), (0, 0)))
+        max_len = _bucket(max(len(r) for r in rows), 32)
+        tok_batch = np.full((pad_rows, max_len), tokenizer.eot, np.int32)
+        for i, row in enumerate(rows):
+            padded = np.pad(row, (0, max_len - len(row)),
+                            constant_values=tokenizer.eot)
+            tok_batch[2 * i] = padded
+            tok_batch[2 * i + 1] = padded
+
+        xa = encoder_apply(model.params['encoder'], jnp.asarray(mel_batch),
+                           model.dims.n_audio_head)
+        logits, _ = decoder_apply(model.params['decoder'],
+                                  jnp.asarray(tok_batch), xa,
+                                  model.dims.n_text_head)
+        probs = np.asarray(jax.nn.softmax(
+            logits[:, :, :tokenizer.eot].astype(jnp.float32), axis=-1))
+        out = []
+        for i, n in enumerate(lengths):
+            out.append(probs[2 * i:2 * i + 2, sot_len:sot_len + n])
+        return out
+
+    return batch_func
+
+
 @traced('refine')
 def refine(
         model,
@@ -203,9 +261,16 @@ def refine(
         precision: Optional[float] = None,
         single_batch: bool = False,
         inplace: bool = True,
+        parallel: Optional[bool] = None,
         **options,
 ) -> WhisperResult:
-    """Sharpen ``result``'s timestamps by iterative mute-and-bisect probing."""
+    """Sharpen ``result``'s timestamps by iterative mute-and-bisect probing.
+
+    ``parallel`` (default: auto — on for TPU backends) runs every span's
+    bisection in lockstep with one batched forward per round instead of a
+    sequential per-span loop; ``single_batch=True`` forces the sequential
+    per-span path (reference CLI compat).
+    """
     if result and (not result.has_words
                    or any(w.probability is None for w in result.all_words())):
         if not result.language:
@@ -216,9 +281,16 @@ def refine(
         for word in result.all_words():
             word.tokens = tokenizer.encode(word.word)
 
+    if parallel is None:
+        import jax
+        parallel = jax.default_backend() == 'tpu'
+    if single_batch:
+        parallel = False
     all_options = AllOptions(options, post=False, silence=False, align=False)
     refiner = Refiner(
         inference_func=_whisper_refinement_func(model, tokenizer),
+        batch_inference_func=(_whisper_refinement_batch_func(model, tokenizer)
+                              if parallel else None),
         sample_rate=SAMPLE_RATE,
         steps=steps,
         rel_prob_decrease=rel_prob_decrease,

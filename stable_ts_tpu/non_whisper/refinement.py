@@ -9,6 +9,13 @@ span simultaneously; acceptance tests use absolute/relative/relative-change
 probability drops, a probability floor, and best-token-rank changes.
 
 ``inference_func(audio[2, T], tokens) -> probs[2, n_tokens(, vocab)]``.
+
+TPU redesign (SURVEY §7 P5): each span's bisection is a generator-based
+state machine that *yields* its probe request; with a
+``batch_inference_func`` every pending span's probe is evaluated in ONE
+batched forward per bisection round (lockstep), instead of a sequential
+per-span loop of batch-2 forwards. Sequential semantics are bit-identical —
+the machines encapsulate the exact same control flow either way.
 """
 import copy
 from typing import Callable, List, Optional, Union
@@ -38,6 +45,7 @@ class Refiner:
             abs_dur_change: Optional[float] = None,
             word_level: bool = True,
             precision: Optional[float] = None,
+            batch_inference_func: Optional[Callable] = None,
             **options,
     ):
         if not steps:
@@ -61,6 +69,7 @@ class Refiner:
         self.max_inference_tokens = max_inference_tokens
         self.sample_precision = max(round(self.precision * self.sample_rate), 2)
         self.inference_func = inference_func
+        self.batch_inference_func = batch_inference_func
         self.rel_prob_decrease = rel_prob_decrease
         self.abs_prob_decrease = abs_prob_decrease
         self.rel_rel_prob_decrease = rel_rel_prob_decrease
@@ -172,6 +181,13 @@ class Refiner:
                  is_end_ts: bool):
         """One batched forward -> (per-word probs, per-word best-token ranks)."""
         token_probs = np.asarray(self.inference_func(audio_segment, text_tokens))
+        return self._postprocess_probs(token_probs, text_tokens, word_tokens,
+                                       prob_indices, is_end_ts)
+
+    def _postprocess_probs(self, token_probs: np.ndarray,
+                           text_tokens: List[int],
+                           word_tokens: List[List[int]],
+                           prob_indices: List[int], is_end_ts: bool):
         if token_probs.shape[0] != 2:
             raise RuntimeError(
                 f'expected dim 0 to be length of 2 but got {token_probs.shape[0]}')
@@ -241,130 +257,180 @@ class Refiner:
 
     def _refine(self, result: WhisperResult, step: str):
         total_duration = round(self._audio.shape[-1] / self.sample_rate, 3)
+        machines = [
+            self._span_machine(span, step, total_duration)
+            for span in self.curr_segments(result, total_duration)
+        ]
+        if self.batch_inference_func is None:
+            for machine in machines:
+                self._drive_sequential(machine, step)
+        else:
+            self._drive_lockstep(machines, step)
 
-        for words, min_starts, max_ends, edge_mask in self.curr_segments(
-                result, total_duration):
-            time_offset = min_starts[0]
-            start_sample = round(time_offset * self.sample_rate)
-            end_sample = round(max_ends[-1] * self.sample_rate)
-            orig_audio_segment = self._audio[start_sample:end_sample + 1][None]
+    def _drive_sequential(self, machine, step: str):
+        is_end_ts = step == 'e'
+        try:
+            request = next(machine)
+            while True:
+                audio_segment, text_tokens, word_tokens, prob_indices = request
+                reply = self.get_prob(audio_segment, text_tokens, word_tokens,
+                                      prob_indices, is_end_ts)
+                request = machine.send(reply)
+        except StopIteration:
+            pass
 
-            max_starts = self.second_to_sample([w.end for w in words], time_offset)
-            min_ends = self.second_to_sample([w.start for w in words], time_offset)
-            min_starts = self.second_to_sample(min_starts, time_offset)
-            max_ends = self.second_to_sample(max_ends, time_offset)
-            mid_starts = min_starts + ((max_starts - min_starts) / 2).round().astype(np.int32)
-            mid_ends = min_ends + ((max_ends - min_ends) / 2).round().astype(np.int32)
+    def _drive_lockstep(self, machines, step: str):
+        """Advance every span one bisection round per batched forward."""
+        is_end_ts = step == 'e'
+        active = []
+        for machine in machines:
+            try:
+                active.append((machine, next(machine)))
+            except StopIteration:
+                pass
+        while active:
+            raw_list = self.batch_inference_func(
+                [(req[0], req[1]) for _, req in active])
+            nxt = []
+            for (machine, req), raw in zip(active, raw_list):
+                _, text_tokens, word_tokens, prob_indices = req
+                reply = self._postprocess_probs(
+                    np.asarray(raw), text_tokens, word_tokens, prob_indices,
+                    is_end_ts)
+                try:
+                    nxt.append((machine, machine.send(reply)))
+                except StopIteration:
+                    pass
+            active = nxt
 
-            text_tokens = [t for w in words for t in w.tokens]
-            word_tokens = [list(w.tokens) for w in words]
+    def _span_machine(self, span, step: str, total_duration: float):
+        """Generator: the per-span mute-and-bisect state machine.
 
-            audio_segment = np.repeat(orig_audio_segment.copy(), 2, axis=0)
-            is_end_ts = step == 'e'
+        Yields (audio_segment(2, T), text_tokens, word_tokens, prob_indices)
+        probe requests; receives (word_probs, token_ranks) via ``send``.
+        """
+        words, min_starts, max_ends, edge_mask = span
+        time_offset = min_starts[0]
+        start_sample = round(time_offset * self.sample_rate)
+        end_sample = round(max_ends[-1] * self.sample_rate)
+        orig_audio_segment = self._audio[start_sample:end_sample + 1][None]
 
-            prob_indices: List[int] = []
-            is_finish = np.less([w.probability for w in words], self.prob_threshold)
-            is_finish = np.logical_or(is_finish, [w.duration == 0 for w in words])
-            if not self.word_level:
-                is_finish[edge_mask != (2 if is_end_ts else 1)] = True
-            for idx, boundary in enumerate(max_starts if is_end_ts else min_ends):
-                row = idx % 2
-                prob_indices.extend([row] * len(words[idx].tokens))
+        max_starts = self.second_to_sample([w.end for w in words], time_offset)
+        min_ends = self.second_to_sample([w.start for w in words], time_offset)
+        min_starts = self.second_to_sample(min_starts, time_offset)
+        max_ends = self.second_to_sample(max_ends, time_offset)
+        mid_starts = min_starts + ((max_starts - min_starts) / 2).round().astype(np.int32)
+        mid_ends = min_ends + ((max_ends - min_ends) / 2).round().astype(np.int32)
+
+        text_tokens = [t for w in words for t in w.tokens]
+        word_tokens = [list(w.tokens) for w in words]
+
+        audio_segment = np.repeat(orig_audio_segment.copy(), 2, axis=0)
+        is_end_ts = step == 'e'
+
+        prob_indices: List[int] = []
+        is_finish = np.less([w.probability for w in words], self.prob_threshold)
+        is_finish = np.logical_or(is_finish, [w.duration == 0 for w in words])
+        if not self.word_level:
+            is_finish[edge_mask != (2 if is_end_ts else 1)] = True
+        for idx, boundary in enumerate(max_starts if is_end_ts else min_ends):
+            row = idx % 2
+            prob_indices.extend([row] * len(words[idx].tokens))
+            if is_finish[idx]:
+                continue
+            if is_end_ts:
+                stop = (audio_segment.shape[-1] if idx == len(words) - 1
+                        else mid_ends[idx + 1])
+                audio_segment[row, boundary:stop] = 0
+            else:
+                start_p = 0 if idx == 0 else mid_starts[idx - 1]
+                audio_segment[row, start_p:boundary] = 0
+
+        orig_probs, orig_tk_poss = yield (audio_segment, text_tokens,
+                                          word_tokens, prob_indices)
+        changes = np.zeros((orig_probs.shape[-1], 3), dtype=np.int32)
+        changes[:, -1] = -1
+        frame_indices = (mid_ends, max_starts) if is_end_ts else (min_ends, mid_starts)
+        for idx, (s, e) in enumerate(zip(*frame_indices)):
+            row = idx % 2
+            if is_finish[idx]:
+                continue
+            audio_segment[row, s:e] = 0
+
+        new_probs = prev_probs = orig_probs
+        while not np.all(is_finish):
+            probs, tk_poss = yield (audio_segment, text_tokens,
+                                    word_tokens, prob_indices)
+            abs_diffs = orig_probs - probs
+            rel_diffs = abs_diffs / orig_probs
+            rel_change_diffs = (prev_probs - probs) / prev_probs
+            prev_probs = probs
+            for idx, (abs_diff, rel_diff, rel_change_diff, prob) in enumerate(
+                    zip(abs_diffs, rel_diffs, rel_change_diffs, probs)):
                 if is_finish[idx]:
                     continue
                 if is_end_ts:
-                    stop = (audio_segment.shape[-1] if idx == len(words) - 1
-                            else mid_ends[idx + 1])
-                    audio_segment[row, boundary:stop] = 0
+                    curr_min, curr_max, curr_mid = (min_ends[idx],
+                                                    max_ends[idx], mid_ends[idx])
                 else:
-                    start_p = 0 if idx == 0 else mid_starts[idx - 1]
-                    audio_segment[row, start_p:boundary] = 0
+                    curr_min, curr_max, curr_mid = (min_starts[idx],
+                                                    max_starts[idx],
+                                                    mid_starts[idx])
+                row = prob_indices[idx]
+                best_tks_changed = orig_tk_poss[idx] > tk_poss[idx]
+                failed_requirements = (
+                    abs_diff > self.abs_prob_decrease
+                    or rel_diff > self.rel_prob_decrease
+                    or (self.rel_rel_prob_decrease is not None
+                        and rel_change_diff > self.rel_rel_prob_decrease)
+                    or prob < self.prob_threshold
+                    or best_tks_changed
+                )
+                if failed_requirements:
+                    changes[idx][0] = 1
+                    if is_end_ts:
+                        curr_min = curr_mid
+                    else:
+                        curr_max = curr_mid
+                else:
+                    changes[idx][1] = 1
+                    if is_end_ts:
+                        curr_max = curr_mid
+                    else:
+                        curr_min = curr_mid
 
-            orig_probs, orig_tk_poss = self.get_prob(
-                audio_segment, text_tokens, word_tokens, prob_indices, is_end_ts)
-            changes = np.zeros((orig_probs.shape[-1], 3), dtype=np.int32)
-            changes[:, -1] = -1
-            frame_indices = (mid_ends, max_starts) if is_end_ts else (min_ends, mid_starts)
-            for idx, (s, e) in enumerate(zip(*frame_indices)):
-                row = idx % 2
-                if is_finish[idx]:
+                new_mid_change = round((curr_max - curr_min) / 2)
+                if new_mid_change < self.sample_precision:
+                    is_finish[idx] = True
+                    self.update_ts(idx, is_finish, changes, is_end_ts,
+                                   time_offset, words)
                     continue
-                audio_segment[row, s:e] = 0
 
-            new_probs = prev_probs = orig_probs
-            while not np.all(is_finish):
-                probs, tk_poss = self.get_prob(
-                    audio_segment, text_tokens, word_tokens, prob_indices, is_end_ts)
-                abs_diffs = orig_probs - probs
-                rel_diffs = abs_diffs / orig_probs
-                rel_change_diffs = (prev_probs - probs) / prev_probs
-                prev_probs = probs
-                for idx, (abs_diff, rel_diff, rel_change_diff, prob) in enumerate(
-                        zip(abs_diffs, rel_diffs, rel_change_diffs, probs)):
-                    if is_finish[idx]:
-                        continue
+                new_mid = curr_min + new_mid_change
+                if failed_requirements:
+                    # Un-mute the span we went too far on.
                     if is_end_ts:
-                        curr_min, curr_max, curr_mid = (min_ends[idx],
-                                                        max_ends[idx], mid_ends[idx])
+                        audio_segment[row, curr_min:new_mid] = \
+                            orig_audio_segment[0, curr_min:new_mid]
                     else:
-                        curr_min, curr_max, curr_mid = (min_starts[idx],
-                                                        max_starts[idx],
-                                                        mid_starts[idx])
-                    row = prob_indices[idx]
-                    best_tks_changed = orig_tk_poss[idx] > tk_poss[idx]
-                    failed_requirements = (
-                        abs_diff > self.abs_prob_decrease
-                        or rel_diff > self.rel_prob_decrease
-                        or (self.rel_rel_prob_decrease is not None
-                            and rel_change_diff > self.rel_rel_prob_decrease)
-                        or prob < self.prob_threshold
-                        or best_tks_changed
-                    )
-                    if failed_requirements:
-                        changes[idx][0] = 1
-                        if is_end_ts:
-                            curr_min = curr_mid
-                        else:
-                            curr_max = curr_mid
-                    else:
-                        changes[idx][1] = 1
-                        if is_end_ts:
-                            curr_max = curr_mid
-                        else:
-                            curr_min = curr_mid
-
-                    new_mid_change = round((curr_max - curr_min) / 2)
-                    if new_mid_change < self.sample_precision:
-                        is_finish[idx] = True
-                        self.update_ts(idx, is_finish, changes, is_end_ts,
-                                       time_offset, words)
-                        continue
-
-                    new_mid = curr_min + new_mid_change
-                    if failed_requirements:
-                        # Un-mute the span we went too far on.
-                        if is_end_ts:
-                            audio_segment[row, curr_min:new_mid] = \
-                                orig_audio_segment[0, curr_min:new_mid]
-                        else:
-                            audio_segment[row, new_mid:curr_max] = \
-                                orig_audio_segment[0, new_mid:curr_max]
-                    else:
-                        if is_end_ts:
-                            audio_segment[row, new_mid:curr_max] = 0
-                        else:
-                            audio_segment[row, curr_min:new_mid] = 0
-
+                        audio_segment[row, new_mid:curr_max] = \
+                            orig_audio_segment[0, new_mid:curr_max]
+                else:
                     if is_end_ts:
-                        min_ends[idx], max_ends[idx], mid_ends[idx] = \
-                            curr_min, curr_max, new_mid
+                        audio_segment[row, new_mid:curr_max] = 0
                     else:
-                        min_starts[idx], max_starts[idx], mid_starts[idx] = \
-                            curr_min, curr_max, new_mid
-                    if not best_tks_changed:
-                        changes[idx][-1] = new_mid
-                    new_probs[idx] = prob
+                        audio_segment[row, curr_min:new_mid] = 0
 
-            if self.options.progress.progress_callback is not None:
-                self.options.progress.progress_callback(
-                    min(words[-1].end, total_duration), total_duration)
+                if is_end_ts:
+                    min_ends[idx], max_ends[idx], mid_ends[idx] = \
+                        curr_min, curr_max, new_mid
+                else:
+                    min_starts[idx], max_starts[idx], mid_starts[idx] = \
+                        curr_min, curr_max, new_mid
+                if not best_tks_changed:
+                    changes[idx][-1] = new_mid
+                new_probs[idx] = prob
+
+        if self.options.progress.progress_callback is not None:
+            self.options.progress.progress_callback(
+                min(words[-1].end, total_duration), total_duration)

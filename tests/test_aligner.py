@@ -203,6 +203,20 @@ class TestAlignerWhisperGlue:
         assert refined.has_words
         assert len(refined.all_words()) == len(before)
 
+    def test_refine_parallel_matches_sequential(self, model):
+        """Lockstep-batched refine must produce identical timestamps."""
+        audio = np.random.default_rng(4).standard_normal(
+            SAMPLE_RATE * 8).astype(np.float32) * 0.3
+        text = ' hello world this is a longer test of refinement'
+        base = model.align(audio, text, language='en', verbose=None)
+        seq = model.refine(audio, base, inplace=False, parallel=False,
+                           verbose=None)
+        par = model.refine(audio, base, inplace=False, parallel=True,
+                           verbose=None)
+        seq_ts = [(w.word, w.start, w.end) for w in seq.all_words()]
+        par_ts = [(w.word, w.start, w.end) for w in par.all_words()]
+        assert seq_ts == par_ts
+
     def test_locate_mode2(self, model):
         audio = np.random.default_rng(0).standard_normal(
             SAMPLE_RATE * 3).astype(np.float32) * 0.3
