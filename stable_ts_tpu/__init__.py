@@ -17,6 +17,8 @@ from .options import AllOptions
 _LAZY = {
     'load_model': 'stable_ts_tpu.loaders',
     'load_hf_whisper': 'stable_ts_tpu.loaders',
+    'load_faster_whisper': 'stable_ts_tpu.loaders',
+    'load_mlx_whisper': 'stable_ts_tpu.loaders',
     'transcribe_any': 'stable_ts_tpu.non_whisper',
     'Aligner': 'stable_ts_tpu.non_whisper.alignment',
     'Refiner': 'stable_ts_tpu.non_whisper.refinement',

@@ -252,6 +252,26 @@ def load_hf_whisper(name_or_path: str, **kwargs) -> WhisperTPU:
     return load_model(name_or_path, **kwargs)
 
 
+def load_faster_whisper(*args, **kwargs):
+    """Reference-API stub: CTranslate2 is not bundled (the JAX/XLA engine is
+    the fast backend here). Plug faster-whisper in through
+    ``transcribe_any(inference_func, ...)`` or ``Aligner(inference_func=...)``.
+    """
+    raise NotImplementedError(
+        'load_faster_whisper is not available in stable_ts_tpu: the JAX/XLA '
+        'engine replaces CTranslate2 as the fast backend. To keep using a '
+        'faster-whisper model, wrap it with stable_ts_tpu.transcribe_any '
+        '(same adapter seam as the reference).')
+
+
+def load_mlx_whisper(*args, **kwargs):
+    """Reference-API stub: MLX is Apple-silicon-only; use transcribe_any."""
+    raise NotImplementedError(
+        'load_mlx_whisper is not available in stable_ts_tpu (MLX is '
+        'Apple-silicon-specific). Wrap an MLX model with '
+        'stable_ts_tpu.transcribe_any instead.')
+
+
 def load_test_model(seed: int = 0, **kwargs) -> WhisperTPU:
     """A miniature random-weight model wired to the synthetic tokenizer —
     lets every pipeline run end-to-end offline."""
