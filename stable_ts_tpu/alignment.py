@@ -217,7 +217,10 @@ def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
                         + [tokenizer.eot])
             lengths.append(len(tokens))
         mel_batch = np.concatenate(mels, axis=0)  # (2S, n_mels, 3000)
-        pad_rows = _bucket(mel_batch.shape[0], 4)
+        # power-of-two row bucket: the active-span count shrinks every round
+        # as bisections converge, and each distinct shape is a fresh XLA
+        # compile — pow2 bounds that at log2(max_spans) compiles
+        pad_rows = 1 << max(3, int(np.ceil(np.log2(mel_batch.shape[0]))))
         if pad_rows > mel_batch.shape[0]:
             mel_batch = np.pad(mel_batch,
                                ((0, pad_rows - mel_batch.shape[0]), (0, 0), (0, 0)))

@@ -149,6 +149,46 @@ def _mlp(params: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 # -- encoder ----------------------------------------------------------------------------
 
+def _flash_self_attention(params: Params, x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    """Encoder self-attention via the Pallas flash kernel (TPU).
+
+    The naive path materializes (B, H, 1500, 1500) f32 logits — ~1.4 GB of
+    HBM traffic per large-v3 layer, which is what makes the encoder
+    memory-bound. Flash attention streams K/V blocks through VMEM instead.
+    Sequence is padded 1500 -> 1536; segment ids mask real-vs-pad so padded
+    keys never contribute to the softmax.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention)
+    q = linear(x, params['q']['w'], params['q']['b'])
+    k = linear(x, params['k']['w'])
+    v = linear(x, params['v']['w'], params['v']['b'])
+    b, s, d = q.shape
+    d_head = d // n_head
+    pad = (-s) % 128
+
+    def heads(t):
+        t = t.reshape(b, s, n_head, d_head).transpose(0, 2, 1, 3)
+        return jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    seg = jnp.pad(jnp.ones((b, s), jnp.int32), ((0, 0), (0, pad)),
+                  constant_values=2)
+    out = flash_attention(heads(q), heads(k), heads(v),
+                          segment_ids=SegmentIds(seg, seg),
+                          sm_scale=d_head ** -0.5)
+    out = out[:, :, :s].transpose(0, 2, 1, 3).reshape(b, s, d).astype(x.dtype)
+    return linear(out, params['out']['w'], params['out']['b'])
+
+
+def _use_flash_attention() -> bool:
+    import os
+    pref = os.environ.get('STABLE_TS_TPU_FLASH', 'auto')
+    if pref in ('0', 'off', 'false'):
+        return False
+    if pref in ('1', 'on', 'true'):
+        return True
+    return jax.default_backend() == 'tpu'
+
 def _conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride: int) -> jnp.ndarray:
     """x: (batch, channels, time); w: (width, in, out)."""
     out = jax.lax.conv_general_dilated(
@@ -164,17 +204,22 @@ def _conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride: int) -> jnp.
 @partial(jax.jit, static_argnames=('n_head',))
 def encoder_apply(params: Params, mel: jnp.ndarray, n_head: int) -> jnp.ndarray:
     """mel: (batch, n_mels, 3000) -> (batch, 1500, n_state)."""
+    mel = mel.astype(params['conv1']['w'].dtype)  # f32 mel + bf16 params
     x = gelu(_conv1d(mel, params['conv1']['w'], params['conv1']['b'], stride=1))
     x = gelu(_conv1d(x, params['conv2']['w'], params['conv2']['b'], stride=2))
     x = x.transpose(0, 2, 1)  # (batch, 1500, d)
     x = (x + params['pos_emb']).astype(x.dtype)
 
+    use_flash = _use_flash_attention()
+
     def block(carry, layer_params):
         h = carry
-        attn_out, _, _ = _mha(
-            layer_params['attn'],
-            layer_norm(h, layer_params['attn_ln']['g'], layer_params['attn_ln']['b']),
-            None, n_head)
+        q_in = layer_norm(h, layer_params['attn_ln']['g'],
+                          layer_params['attn_ln']['b'])
+        if use_flash:
+            attn_out = _flash_self_attention(layer_params['attn'], q_in, n_head)
+        else:
+            attn_out, _, _ = _mha(layer_params['attn'], q_in, None, n_head)
         h = h + attn_out
         h = h + _mlp(layer_params['mlp'],
                      layer_norm(h, layer_params['mlp_ln']['g'],
