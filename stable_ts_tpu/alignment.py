@@ -77,6 +77,87 @@ def _whisper_alignment_func(model, tokenizer, options: AllOptions) -> Callable:
     return compute_timestamps
 
 
+def _whisper_alignment_batch_func(model, tokenizer, options: AllOptions) -> Callable:
+    """list[(audio_segment, word_tokens)] -> list[word timing dicts].
+
+    One encoder + teacher-forced QK-capture forward for EVERY segment
+    (right-padded token rows are exact under the causal mask), then the
+    per-segment host pipeline (head selection, batched DTW, word assembly)
+    runs on each segment's qks slice via ``add_word_timestamps`` with
+    ``precomputed`` — identical host logic to the sequential path.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .models.whisper.model import decoder_apply, encoder_apply
+    from .models.whisper.timing import add_word_timestamps
+
+    sot_seq = list(tokenizer.sot_sequence)
+    sot_len = len(sot_seq)
+
+    def batch_func(requests):
+        mels, rows, metas = [], [], []
+        for audio_segment, word_tokens in requests:
+            text_tokens = [t for wt in word_tokens for t in wt.tokens]
+            segment_samples = int(np.asarray(audio_segment).shape[-1])
+            mel = np.asarray(log_mel_spectrogram(
+                np.asarray(audio_segment), model.dims.n_mels,
+                padding=max(N_SAMPLES - segment_samples, 0)))
+            mels.append(_pad_mel(mel[None] if mel.ndim == 2 else mel))
+            rows.append(sot_seq + [tokenizer.no_timestamps]
+                        + list(text_tokens) + [tokenizer.eot])
+            metas.append((word_tokens, text_tokens, segment_samples))
+        mel_batch = np.concatenate(mels, axis=0)
+        pad_rows = 1 << max(2, int(np.ceil(np.log2(mel_batch.shape[0]))))
+        if pad_rows > mel_batch.shape[0]:
+            mel_batch = np.pad(
+                mel_batch, ((0, pad_rows - mel_batch.shape[0]), (0, 0), (0, 0)))
+        max_len = max(32, int(np.ceil(max(len(r) for r in rows) / 32) * 32))
+        tok_batch = np.full((pad_rows, max_len), tokenizer.eot, np.int32)
+        for i, row in enumerate(rows):
+            tok_batch[i, :len(row)] = row
+
+        xa = encoder_apply(model.params['encoder'], jnp.asarray(mel_batch),
+                           model.dims.n_audio_head)
+        logits, qks = decoder_apply(model.params['decoder'],
+                                    jnp.asarray(tok_batch), xa,
+                                    model.dims.n_text_head, capture_qk=True)
+        probs_all = np.asarray(jax.nn.softmax(
+            logits[:, :, :tokenizer.eot].astype(jnp.float32), axis=-1))
+        qks_np = np.asarray(qks)
+
+        outputs = []
+        for i, (word_tokens, text_tokens, segment_samples) in enumerate(metas):
+            n_text = len(text_tokens)
+            qks_i = qks_np[:, i, :, :sot_len + 1 + n_text + 1]
+            token_probs = probs_all[i, sot_len:sot_len + n_text]
+            text_token_probs = token_probs[
+                np.arange(n_text), np.asarray(text_tokens)].tolist()
+            curr_words = [wt.word for wt in word_tokens]
+            curr_word_tokens = [wt.tokens for wt in word_tokens]
+            temp_segments = [dict(seek=0,
+                                  tokens=(curr_words, curr_word_tokens))]
+            add_word_timestamps(
+                segments=temp_segments,
+                params=model.params,
+                dims=model.dims,
+                tokenizer=tokenizer,
+                mel=None,
+                num_samples=segment_samples,
+                split_callback=(lambda x, _: x),
+                prepend_punctuations='',
+                append_punctuations='',
+                gap_padding=None,
+                alignment_heads=model.alignment_heads,
+                dynamic_heads=options.align.dynamic_heads,
+                aligner=options.align.aligner,
+                precomputed=(qks_i, text_token_probs),
+            )
+            outputs.append([w for seg in temp_segments for w in seg['words']])
+        return outputs
+
+    return batch_func
+
+
 @traced('align')
 def align(
         model,
@@ -141,14 +222,26 @@ def align_words(
         tokenizer=None,
         inplace: bool = True,
         normalize_text: bool = True,
+        parallel: Optional[bool] = None,
         **options,
 ) -> WhisperResult:
-    """Confined per-segment alignment using each segment's start/end."""
+    """Confined per-segment alignment using each segment's start/end.
+
+    ``parallel`` (default: auto — on for TPU backends) computes every
+    segment's timing forward in one batched pass; segments are independent
+    here so results are identical to the sequential path.
+    """
     if tokenizer is None:
         tokenizer = _resolve_tokenizer(model, result, language)
+    if parallel is None:
+        import jax
+        parallel = jax.default_backend() == 'tpu'
     all_options = AllOptions(options, vanilla_align=True)
     aligner = Aligner(
         inference_func=_whisper_alignment_func(model, tokenizer, all_options),
+        batch_inference_func=(
+            _whisper_alignment_batch_func(model, tokenizer, all_options)
+            if parallel else None),
         decode=tokenizer.decode,
         encode=tokenizer.encode,
         split_words_by_space=(getattr(tokenizer, 'language', 'en')

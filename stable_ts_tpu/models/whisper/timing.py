@@ -179,6 +179,7 @@ def find_alignment(
         alignment_heads: Optional[Sequence[Tuple[int, int]]] = None,
         dynamic_heads: Optional[Union[bool, int, str]] = None,
         aligner: Union[str, dict] = 'legacy',
+        precomputed: Optional[Tuple] = None,
 ) -> List[WordTimingRaw]:
     """Align ``text_tokens`` to audio; return per-word raw timings.
 
@@ -199,9 +200,15 @@ def find_alignment(
         word_tokens = list(word_tokens) + [[tokenizer.eot]]
     word_boundaries = np.pad(np.cumsum([len(t) for t in word_tokens[:-1]]), (1, 0))
 
-    qks, text_token_probs, audio_features = compute_qks_and_probs(
-        params, dims, tokenizer, text_tokens, mel=mel,
-        audio_features=audio_features)
+    if precomputed is not None:
+        # (qks (L, H, T, 1500), text_token_probs) from an external batched
+        # forward — the lockstep align_words path (alignment.py)
+        qks, text_token_probs = precomputed
+        qks = jnp.asarray(qks)
+    else:
+        qks, text_token_probs, audio_features = compute_qks_and_probs(
+            params, dims, tokenizer, text_tokens, mel=mel,
+            audio_features=audio_features)
 
     # Rows kept: [no_timestamps, text...] (T+1 rows) so every word boundary
     # (including the final end) has a jump time — matches reference

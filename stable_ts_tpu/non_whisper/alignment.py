@@ -178,6 +178,7 @@ class Aligner:
             nonspeech_skip: Optional[float] = 5.0,
             fast_mode: bool = False,
             failure_threshold: Optional[float] = None,
+            batch_inference_func: Optional[Callable] = None,
             **options,
     ):
         if failure_threshold is not None and not 0 <= failure_threshold <= 1:
@@ -201,6 +202,7 @@ class Aligner:
             self.options.post.min_word_dur)
 
         self.inference_func = inference_func
+        self.batch_inference_func = batch_inference_func
         self.decode = decode
         self.encode = encode
         self.split_words_by_space = split_words_by_space
@@ -371,6 +373,8 @@ class Aligner:
         self._load_audio(audio)
         self._load_nonspeech_detector()
 
+        # Phase A (host, in order): audio spans + nonspeech prediction.
+        pending = []  # (segment, audio_segment, word_tokens)
         end = 0.0
         for segment, curr_tokens in zip(result.segments, segment_tokens):
             self._time_offset = segment.start
@@ -389,9 +393,23 @@ class Aligner:
                 curr_tokens, self.decode, self.split_words_by_space,
                 self.options.post.prepend_punctuations,
                 self.options.post.append_punctuations)
-            word_timings = self._compute_timestamps(audio_segment, curr_word_tokens)
+            pending.append((segment, audio_segment, curr_word_tokens))
+
+        # Phase B: per-segment timing — segments are independent here
+        # ("drastically faster", reference alignment.py:235-237), so the
+        # batched backend computes every segment's forward in one pass.
+        raw_outputs = [None] * len(pending)
+        if self.batch_inference_func is not None and len(pending) > 1:
+            raw_outputs = self.batch_inference_func(
+                [(aud, wt) for _, aud, wt in pending])
+
+        for (segment, audio_segment, curr_word_tokens), raw in zip(
+                pending, raw_outputs):
+            word_timings = self._compute_timestamps(
+                audio_segment, curr_word_tokens, raw_output=raw,
+                time_offset=segment.start)
             segment.words = [WordTiming(**w.__dict__) for w in word_timings]
-            self._report_progress(end)
+            self._report_progress(segment.end)
 
         self.audio_loader.terminate()
         self.nonspeech_predictor.finalize_timings()
@@ -537,7 +555,8 @@ class Aligner:
                             word_tokens: List[WordToken],
                             split_indices: Optional[List[int]] = None,
                             expect_gap: bool = False,
-                            time_offset: Optional[float] = None
+                            time_offset: Optional[float] = None,
+                            raw_output=None,
                             ) -> List[BasicWordTiming]:
         """Run the backend on one segment and verify/assemble its output."""
         if split_indices:
@@ -552,7 +571,8 @@ class Aligner:
             input_word_tokens = word_tokens
 
         max_curr_ts = round(audio_segment.shape[-1] / self.sample_rate, 4)
-        output = self.inference_func(audio_segment, input_word_tokens)
+        output = (raw_output if raw_output is not None
+                  else self.inference_func(audio_segment, input_word_tokens))
         if len(output) < len(input_word_tokens):
             raise RuntimeError(
                 f'expected output word count to be at least '

@@ -217,6 +217,21 @@ class TestAlignerWhisperGlue:
         par_ts = [(w.word, w.start, w.end) for w in par.all_words()]
         assert seq_ts == par_ts
 
+    def test_align_words_parallel_matches_sequential(self, model):
+        audio = np.random.default_rng(6).standard_normal(
+            SAMPLE_RATE * 12).astype(np.float32) * 0.3
+        base = model.align(audio, ' hello world this is a longer test of '
+                           'alignment here', language='en', verbose=None)
+        segs = [dict(start=s.start, end=s.end, text=s.text)
+                for s in base.segments]
+        seq = model.align_words(audio, [dict(s) for s in segs], language='en',
+                                verbose=None, parallel=False)
+        par = model.align_words(audio, [dict(s) for s in segs], language='en',
+                                verbose=None, parallel=True)
+        a = [(w.word, w.start, w.end) for w in seq.all_words()]
+        b = [(w.word, w.start, w.end) for w in par.all_words()]
+        assert a == b and len(a) > 0
+
     def test_locate_mode2(self, model):
         audio = np.random.default_rng(0).standard_normal(
             SAMPLE_RATE * 3).astype(np.float32) * 0.3
