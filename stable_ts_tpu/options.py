@@ -1,182 +1,157 @@
-"""Option grouping: sort loose kwargs into typed option objects.
+"""Option grouping: sort loose kwargs into typed option groups.
 
-Counterpart of /root/reference/stable_whisper/options.py: ``AllOptions``
-consumes a dict of loose keyword arguments, distributes them into
-progress / preprocessing / silence / postprocessing / alignment groups
-(each also acceptable as a pre-built object under its ``*_options`` key),
-and raises on anything left over.
+Behavioral counterpart of /root/reference/stable_whisper/options.py:
+``AllOptions`` consumes a flat dict of keyword arguments, distributes them
+into progress / preprocessing / silence / postprocessing / alignment groups,
+and raises ``TypeError`` on anything left unclaimed. Each group can also
+arrive pre-built under its ``*_options`` key.
+
+Design notes (TPU build): groups are declared as a ``SCHEMA`` mapping of
+field name -> default on a single generic base class, instead of per-class
+``__init__`` bodies. Adding an option is a one-line schema edit.
 """
 import warnings
 from typing import Callable, List, Optional, Union
 
 
-class BasicOptions:
-    """Base: tracks leftover kwargs so unknown keys can be rejected."""
+class OptionGroup:
+    """Generic kwargs sponge driven by a class-level ``SCHEMA``.
+
+    Construction claims every SCHEMA field it finds in ``kwargs`` and keeps
+    the remainder in ``_kwargs`` for the next group (or for rejection).
+    ``KEY`` names the kwarg under which a caller may hand in a pre-built
+    instance of this group, which is then adopted wholesale.
+    """
+
+    SCHEMA: dict = {}
+    KEY: str = ''
 
     def __init__(self, **kwargs):
         self._kwargs = kwargs
+        if self.KEY and self._adopt(kwargs.pop(self.KEY, None) if self.KEY in kwargs else None):
+            return
+        for field, default in self.SCHEMA.items():
+            setattr(self, field, kwargs.pop(field, default))
+
+    def _adopt(self, prebuilt) -> bool:
+        if prebuilt is None:
+            return False
+        if not isinstance(prebuilt, self.__class__):
+            raise TypeError(
+                f'expected "{self.KEY}" to be {self.__class__} but got {type(prebuilt)}')
+        vars(self).update(vars(prebuilt))
+        return True
 
     def pop(self):
-        kwargs = self._kwargs
-        if self._kwargs:
-            self._kwargs = {}
-        return self, kwargs
+        """Return (self, unclaimed kwargs) and clear the internal remainder."""
+        leftover, self._kwargs = self._kwargs, {}
+        return self, leftover
 
     def raise_extras(self):
         if self._kwargs:
-            raise TypeError(
-                f'got unexpected keyword argument(s): {", ".join(self._kwargs.keys())}')
+            unknown = ', '.join(self._kwargs)
+            raise TypeError(f'got unexpected keyword argument(s): {unknown}')
 
-    # Alias used when a group is passed pre-built (matches reference API).
-    raise_extra = raise_extras
+    raise_extra = raise_extras  # reference-API alias
 
     def dict(self) -> dict:
-        d = self.__dict__.copy()
-        del d['_kwargs']
-        return d
-
-    def _adopt_prebuilt(self, key: str) -> bool:
-        """If ``key`` holds a pre-built instance of this class, absorb it."""
-        if key not in self._kwargs:
-            return False
-        obj = self._kwargs.pop(key)
-        if obj is None:
-            return False
-        if not isinstance(obj, self.__class__):
-            raise TypeError(f'expected "{key}" to be {self.__class__} but got {type(obj)}')
-        for k, v in obj.__dict__.items():
-            setattr(self, k, v)
-        return True
-
-    def _pop(self, key: str, default):
-        return self._kwargs.pop(key, default)
+        return {k: v for k, v in vars(self).items() if k != '_kwargs'}
 
     def update(self, options: dict):
-        for k in list(options.keys()):
-            if hasattr(self, k):
-                setattr(self, k, options.pop(k))
+        """Absorb matching keys from ``options`` in place, removing them."""
+        for field in [k for k in options if hasattr(self, k)]:
+            setattr(self, field, options.pop(field))
 
 
-class ProgressOptions(BasicOptions):
-
-    def __init__(self, **kwargs):
-        super().__init__(**kwargs)
-        if self._adopt_prebuilt('progress_options'):
-            return
-        self.verbose: Optional[bool] = self._pop('verbose', False)
-        self.progress_callback: Optional[Callable] = self._pop('progress_callback', None)
+# Alias kept for callers that subclass the reference's base name.
+BasicOptions = OptionGroup
 
 
-class PreprocessingOptions(BasicOptions):
-
-    def __init__(self, **kwargs):
-        super().__init__(**kwargs)
-        if self._adopt_prebuilt('preprocessing_options'):
-            return
-        self.denoiser: Optional[str] = self._pop('denoiser', None)
-        self.denoiser_options: Optional[dict] = self._pop('denoiser_options', None)
-        self.only_voice_freq: bool = self._pop('only_voice_freq', False)
-        self.stream: Optional[bool] = self._pop('stream', None)
+class ProgressOptions(OptionGroup):
+    KEY = 'progress_options'
+    SCHEMA = dict(verbose=False, progress_callback=None)
 
 
-class SilenceOptions(BasicOptions):
-
-    def __init__(self, **kwargs):
-        super().__init__(**kwargs)
-        if self._adopt_prebuilt('silence_options'):
-            return
-        self.q_levels: int = self._pop('q_levels', 20)
-        self.k_size: int = self._pop('k_size', 5)
-        self.vad: Union[bool, dict] = self._pop('vad', False)
-        self.vad_threshold: float = self._pop('vad_threshold', 0.35)
+class PreprocessingOptions(OptionGroup):
+    KEY = 'preprocessing_options'
+    SCHEMA = dict(denoiser=None, denoiser_options=None,
+                  only_voice_freq=False, stream=None)
 
 
-class PostprocessingOptions(BasicOptions):
-
-    def __init__(self, **kwargs):
-        super().__init__(**kwargs)
-        if self._adopt_prebuilt('postprocessing_options'):
-            return
-        self.regroup: Union[bool, str] = self._pop('regroup', True)
-        self.suppress_silence: bool = self._pop('suppress_silence', True)
-        self.suppress_word_ts: bool = self._pop('suppress_word_ts', True)
-        self.use_word_position: bool = self._pop('use_word_position', True)
-        self.min_word_dur: Optional[float] = self._pop('min_word_dur', None)
-        self.min_silence_dur: Optional[float] = self._pop('min_silence_dur', None)
-        self.nonspeech_error: float = self._pop('nonspeech_error', 0.1)
-        self.prepend_punctuations: Optional[str] = self._pop('prepend_punctuations', None)
-        self.append_punctuations: Optional[str] = self._pop('append_punctuations', None)
+class SilenceOptions(OptionGroup):
+    KEY = 'silence_options'
+    SCHEMA = dict(q_levels=20, k_size=5, vad=False, vad_threshold=0.35)
 
 
-class AlignmentOptions(BasicOptions):
+class PostprocessingOptions(OptionGroup):
+    KEY = 'postprocessing_options'
+    SCHEMA = dict(regroup=True, suppress_silence=True, suppress_word_ts=True,
+                  use_word_position=True, min_word_dur=None,
+                  min_silence_dur=None, nonspeech_error=0.1,
+                  prepend_punctuations=None, append_punctuations=None)
 
-    def __init__(self, **kwargs):
-        super().__init__(**kwargs)
-        if self._adopt_prebuilt('alignment_options'):
-            return
-        self.split_callback: Optional[Callable] = self._pop('split_callback', None)
-        self.gap_padding: Optional[str] = self._pop('gap_padding', ' ...')
-        self.presplit: Union[bool, List[str]] = self._pop('presplit', True)
-        self.extra_models: Optional[list] = self._pop('extra_models', None)
-        self.dynamic_heads: Optional[Union[bool, int, str]] = self._pop('dynamic_heads', None)
-        self.aligner: Union[str, dict] = self._pop('aligner', 'legacy')
+
+class AlignmentOptions(OptionGroup):
+    KEY = 'alignment_options'
+    SCHEMA = dict(split_callback=None, gap_padding=' ...', presplit=True,
+                  extra_models=None, dynamic_heads=None, aligner='legacy')
 
     def to_non_vanilla(self):
-        if self.extra_models:
-            warnings.warn('``extra_models`` is only supported for native Whisper models')
-        if self.dynamic_heads:
-            warnings.warn('``dynamic_heads`` is only supported for native Whisper models')
+        for field in ('extra_models', 'dynamic_heads'):
+            if getattr(self, field):
+                warnings.warn(f'``{field}`` is only supported for native Whisper models')
 
 
-class AllOptions(BasicOptions):
-    """Distribute a loose kwargs dict into all option groups; reject leftovers."""
+class AllOptions(OptionGroup):
+    """Distribute a loose kwargs dict across every option group.
 
-    def __init__(
-            self,
-            options: dict,
-            progress: bool = True,
-            pre: bool = True,
-            post: bool = True,
-            silence: bool = True,
-            align: bool = True,
-            vanilla_align: bool = False,
-    ):
-        super().__init__(**options)
-        if self._adopt_prebuilt('all_options'):
+    Group classes are tried in declaration order; each claims its schema
+    fields from the shared remainder, and whatever survives every group is
+    an unknown kwarg -> TypeError.
+    """
+
+    KEY = 'all_options'
+    GROUPS = (('progress', ProgressOptions), ('pre', PreprocessingOptions),
+              ('post', PostprocessingOptions), ('silence', SilenceOptions),
+              ('align', AlignmentOptions))
+
+    def __init__(self, options: dict, progress: bool = True, pre: bool = True,
+                 post: bool = True, silence: bool = True, align: bool = True,
+                 vanilla_align: bool = False):
+        self._kwargs = dict(options)
+        if self.KEY in self._kwargs and self._adopt(self._kwargs.pop(self.KEY)):
             return
-        self.progress = self._process(progress and ProgressOptions, 'progress_options')
-        self.pre = self._process(pre and PreprocessingOptions, 'preprocessing_options')
-        self.post = self._process(post and PostprocessingOptions, 'postprocessing_options')
-        self.silence = self._process(silence and SilenceOptions, 'silence_options')
-        self.align = self._process(align and AlignmentOptions, 'alignment_options')
+        enabled = dict(progress=progress, pre=pre, post=post,
+                       silence=silence, align=align)
+        for attr, group_cls in self.GROUPS:
+            setattr(self, attr,
+                    self._claim(group_cls) if enabled[attr] else None)
         if self.align is not None and not vanilla_align:
             self.align.to_non_vanilla()
         self.raise_extras()
 
+    def _claim(self, group_cls):
+        """Build one group from the shared kwargs remainder.
+
+        A pre-built instance under the group's own key is adopted directly;
+        otherwise the group claims its fields and returns the rest to us.
+        """
+        if group_cls.KEY in self._kwargs:
+            group = group_cls(**{group_cls.KEY: self._kwargs.pop(group_cls.KEY)})
+            group.raise_extras()
+            return group
+        group, self._kwargs = group_cls(**self._kwargs).pop()
+        return group
+
     def dict(self) -> dict:
-        return dict(
-            progress_options=self.progress,
-            preprocessing_options=self.pre,
-            postprocessing_options=self.post,
-            silence_options=self.silence,
-            alignment_options=self.align,
-        )
+        return {cls.KEY: getattr(self, attr) for attr, cls in self.GROUPS}
 
     def update(self, options: dict):
         if not options:
             return
-        for group in self.dict().values():
+        for attr, _cls in self.GROUPS:
+            group = getattr(self, attr)
             if group is not None:
                 group.update(options)
         self._kwargs = options
         self.raise_extras()
-
-    def _process(self, option_class, key: str):
-        if not option_class:
-            return None
-        if key in self._kwargs:
-            option = option_class(**{key: self._kwargs.pop(key)})
-            option.raise_extras()
-        else:
-            option, self._kwargs = option_class(**self._kwargs).pop()
-        return option
