@@ -2,9 +2,15 @@
 
 Behavioral counterpart of the reference ``Segment``
 (/root/reference/stable_whisper/result.py:277-926). When a segment has words,
-its start/end/text/tokens are *derived properties* of the words; otherwise the
-stored defaults are used. Also provides the split-index finders used by the
-regroup engine (gaps, punctuation, even length/duration splitting).
+its start/end/text/tokens are *derived properties* of the words; otherwise a
+plain segment-level payload backs them. Also provides the split-index finders
+used by the regroup engine (gaps, punctuation, even length/duration splits).
+
+Design notes (TPU build): the word-less payload lives in one ``_plain`` dict
+instead of four parallel attributes, decode-quality metrics are declared once
+in ``_METRICS`` and merged/serialized by iteration, and the even/greedy split
+searches are factored into shared helpers used by both the length and the
+duration finders.
 """
 import re
 import warnings
@@ -15,7 +21,7 @@ from typing import List, Optional, Tuple, TYPE_CHECKING, Union
 import numpy as np
 
 from ._common import combine_attr, group_words_by_lock, round_timestamp
-from .word import WordTiming
+from .word import WordTiming, _deprecated
 from ..defaults import get_append_punctuations, get_min_word_dur
 from ..stabilization.silence import suppress_silence as _suppress_silence
 from ..utils import format_timestamp
@@ -30,55 +36,58 @@ _SPECIAL_PERIOD_STRIP = re.compile('[.A-Z0-9]')
 
 
 class Segment:
+    # decode-quality metrics carried through merges (averaged) and dict form
+    _METRICS = ('temperature', 'avg_logprob', 'compression_ratio',
+                'no_speech_prob')
 
-    def __init__(
-            self,
-            start: Optional[float] = None,
-            end: Optional[float] = None,
-            text: Optional[str] = None,
-            seek: Optional[float] = None,
-            tokens: Optional[List[int]] = None,
-            temperature: Optional[float] = None,
-            avg_logprob: Optional[float] = None,
-            compression_ratio: Optional[float] = None,
-            no_speech_prob: Optional[float] = None,
-            words: Optional[Union[List[WordTiming], List[dict]]] = None,
-            id: Optional[int] = None,
-            result: Optional['WhisperResult'] = None,
-            round_ts: bool = True,
-            ignore_unused_args: bool = False,
-    ):
+    def __init__(self, start: Optional[float] = None,
+                 end: Optional[float] = None, text: Optional[str] = None,
+                 seek: Optional[float] = None,
+                 tokens: Optional[List[int]] = None,
+                 temperature: Optional[float] = None,
+                 avg_logprob: Optional[float] = None,
+                 compression_ratio: Optional[float] = None,
+                 no_speech_prob: Optional[float] = None,
+                 words: Optional[Union[List[WordTiming], List[dict]]] = None,
+                 id: Optional[int] = None,
+                 result: Optional['WhisperResult'] = None,
+                 round_ts: bool = True, ignore_unused_args: bool = False):
         if words:
             if ignore_unused_args:
                 start = end = text = tokens = None
             else:
-                if (start or end) is not None:
-                    warnings.warn('``start``/``end`` are ignored: with ``words`` present they '
-                                  'derive from the first and last word.', stacklevel=2)
-                if text is not None:
-                    warnings.warn('``text`` is ignored: with ``words`` present it is the '
-                                  'concatenation of word texts.', stacklevel=2)
-                if tokens is not None:
-                    warnings.warn('``tokens`` is ignored: with ``words`` present it is the '
-                                  'concatenation of word tokens.', stacklevel=2)
+                self._warn_shadowed(start, end, text, tokens)
         self.round_ts = round_ts
-        self._default_start = self.round(start) if start else 0.0
-        self._default_end = self.round(end) if end else 0.0
-        self._default_text = text or ''
-        self._default_tokens = tokens or []
+        # payload backing the properties when no words are present
+        self._plain = dict(
+            start=self.round(start) if start else 0.0,
+            end=self.round(end) if end else 0.0,
+            text=text or '',
+            tokens=tokens or [])
         self.seek = seek
-        self.temperature = temperature
-        self.avg_logprob = avg_logprob
-        self.compression_ratio = compression_ratio
-        self.no_speech_prob = no_speech_prob
+        for metric, value in zip(self._METRICS, (temperature, avg_logprob,
+                                                 compression_ratio,
+                                                 no_speech_prob)):
+            setattr(self, metric, value)
+        if words and isinstance(words[0], dict):
+            words = [WordTiming(**fields, segment=self, round_ts=round_ts,
+                                ignore_unused_args=True)
+                     for fields in words]
         self.words = words
-        if self.words and isinstance(self.words[0], dict):
-            self.words = [
-                WordTiming(**w, segment=self, round_ts=self.round_ts, ignore_unused_args=True)
-                for w in self.words
-            ]
         self.id = id
         self.result = result
+
+    @staticmethod
+    def _warn_shadowed(start, end, text, tokens):
+        if (start or end) is not None:
+            warnings.warn('``start``/``end`` are ignored: with ``words`` present they '
+                          'derive from the first and last word.', stacklevel=3)
+        if text is not None:
+            warnings.warn('``text`` is ignored: with ``words`` present it is the '
+                          'concatenation of word texts.', stacklevel=3)
+        if tokens is not None:
+            warnings.warn('``tokens`` is ignored: with ``words`` present it is the '
+                          'concatenation of word tokens.', stacklevel=3)
 
     # -- core protocol -------------------------------------------------------
 
@@ -102,47 +111,27 @@ class Segment:
     def __copy__(self):
         return self.copy()
 
-    def copy(
-            self,
-            new_words: Optional[List[WordTiming]] = None,
-            keep_result: bool = False,
-            copy_words: bool = False,
-            copy_tokens: bool = False,
-    ) -> 'Segment':
+    def copy(self, new_words: Optional[List[WordTiming]] = None,
+             keep_result: bool = False, copy_words: bool = False,
+             copy_tokens: bool = False) -> 'Segment':
         if new_words is None:
-            if self.has_words:
-                words = ([w.copy(copy_tokens=copy_tokens) for w in self.words]
-                         if copy_words else self.words)
-            else:
-                words = None
-            defaults = (self._default_start, self._default_end,
-                        self._default_text, self._default_tokens)
+            words = self.words if self.has_words else None
+            plain = dict(self._plain)
         else:
-            words = ([w.copy(copy_tokens=copy_tokens) for w in new_words]
-                     if copy_words else new_words)
-            defaults = (None, None, None, None)
-        new_seg = Segment(
-            start=defaults[0],
-            end=defaults[1],
-            text=defaults[2],
-            seek=self.seek,
-            tokens=defaults[3],
-            temperature=self.temperature,
-            avg_logprob=self.avg_logprob,
-            compression_ratio=self.compression_ratio,
-            no_speech_prob=self.no_speech_prob,
-            words=words,
-            id=self.id,
+            words = new_words
+            plain = dict(start=None, end=None, text=None, tokens=None)
+        if words is not None and copy_words:
+            words = [w.copy(copy_tokens=copy_tokens) for w in words]
+        # NB: with words present the constructor discards the plain payload
+        # (it becomes word-derived) — same as the reference's copy().
+        return Segment(
+            seek=self.seek, words=words, id=self.id,
             result=self.result if keep_result else None,
-            round_ts=self.round_ts,
-            ignore_unused_args=True,
-        )
-        return new_seg
+            round_ts=self.round_ts, ignore_unused_args=True,
+            **{m: getattr(self, m) for m in self._METRICS}, **plain)
 
     def round(self, timestamp: float) -> float:
-        if not self.round_ts:
-            return timestamp
-        return round_timestamp(timestamp)
+        return round_timestamp(timestamp) if self.round_ts else timestamp
 
     # -- word-derived properties ----------------------------------------------
 
@@ -156,37 +145,37 @@ class Segment:
 
     @property
     def start(self) -> float:
-        return self.words[0].start if self.has_words else self._default_start
+        return self.words[0].start if self.has_words else self._plain['start']
 
     @start.setter
     def start(self, val: float):
         if self.has_words:
             self.words[0].start = val
         else:
-            self._default_start = self.round(val)
+            self._plain['start'] = self.round(val)
 
     @property
     def end(self) -> float:
-        return self.words[-1].end if self.has_words else self._default_end
+        return self.words[-1].end if self.has_words else self._plain['end']
 
     @end.setter
     def end(self, val: float):
         if self.has_words:
             self.words[-1].end = val
         else:
-            self._default_end = self.round(val)
+            self._plain['end'] = self.round(val)
 
     @property
     def text(self) -> str:
         if self.has_words:
             return ''.join(w.word for w in self.words)
-        return self._default_text
+        return self._plain['text']
 
     @property
     def tokens(self) -> List[int]:
         if self.has_words and self.words[0].tokens:
             return list(chain.from_iterable(w.tokens for w in self.words))
-        return self._default_tokens
+        return self._plain['tokens']
 
     @property
     def duration(self) -> float:
@@ -202,35 +191,35 @@ class Segment:
 
     # -- merging ----------------------------------------------------------------
 
-    def add(self, other: 'Segment', copy_words: bool = False, newline: bool = False,
-            reassign_ids: bool = True) -> 'Segment':
+    def add(self, other: 'Segment', copy_words: bool = False,
+            newline: bool = False, reassign_ids: bool = True) -> 'Segment':
         if self.ori_has_words != other.ori_has_words:
-            self_state = 'with' if self.ori_has_words else 'without'
-            other_state = 'with' if other.ori_has_words else 'without'
-            raise ValueError(f"Can't merge segment {self_state} words "
-                             f'and a segment {other_state} words.')
+            a, b = ('with' if s.ori_has_words else 'without' for s in (self, other))
+            raise ValueError(f"Can't merge segment {a} words "
+                             f'and a segment {b} words.')
         words = (self.words + other.words) if self.ori_has_words else None
         merged = self.copy(words, copy_words=copy_words)
-        combine_attr(merged, other, 'temperature')
-        combine_attr(merged, other, 'avg_logprob')
-        combine_attr(merged, other, 'compression_ratio')
-        combine_attr(merged, other, 'no_speech_prob')
-        merged._default_end = other._default_end
-        merged._default_text += other._default_text
-        merged._default_tokens += other._default_tokens
+        for metric in self._METRICS:
+            combine_attr(merged, other, metric)
+        merged._plain['end'] = other._plain['end']
+        merged._plain['text'] += other._plain['text']
+        merged._plain['tokens'] = merged._plain['tokens'] + other._plain['tokens']
         if newline:
-            if merged.has_words:
-                boundary_word = merged.words[len(self.words) - 1]
-                if not boundary_word.word.endswith('\n'):
-                    boundary_word.word += '\n'
-            else:
-                split_at = len(self.text)
-                if merged.text[split_at - 1] != '\n':
-                    merged._default_text = (merged.text[:split_at] + '\n'
-                                            + merged.text[split_at:])
+            self._mark_newline(merged, boundary=len(self.words or self.text))
         if reassign_ids:
             merged.reassign_ids()
         return merged
+
+    @staticmethod
+    def _mark_newline(merged: 'Segment', boundary: int):
+        """Force a line break at ``boundary`` (word count or char offset)."""
+        if merged.has_words:
+            last_of_first = merged.words[boundary - 1]
+            if not last_of_first.word.endswith('\n'):
+                last_of_first.word += '\n'
+        elif merged.text[boundary - 1] != '\n':
+            text = merged.text
+            merged._plain['text'] = f'{text[:boundary]}\n{text[boundary:]}'
 
     def __add__(self, other: 'Segment') -> 'Segment':
         return self.add(other, copy_words=True)
@@ -238,42 +227,46 @@ class Segment:
     def add_words(self, index0: int, index1: int, inplace: bool = False) -> Optional[WordTiming]:
         if not self.has_words:
             return None
-        new_word = self.words[index0] + self.words[index1]
+        joined = self.words[index0] + self.words[index1]
         if inplace:
-            i0, i1 = sorted([index0, index1])
-            self.words[i0] = new_word
-            del self.words[i1]
-        return new_word
+            keep, drop = sorted((index0, index1))
+            self.words[keep] = joined
+            del self.words[drop]
+        return joined
 
     def apply_min_dur(self, min_dur: float, inplace: bool = False) -> 'Segment':
-        """Merge words shorter than ``min_dur`` into their shorter-side neighbor."""
+        """Merge words shorter than ``min_dur`` into their shorter-side neighbor.
+
+        Scans back-to-front; edge words merge inward, interior words merge
+        toward whichever neighbor is currently shorter (reference
+        result.py:536-560 order preserved — merge order affects the result).
+        """
         segment = self if inplace else deepcopy(self)
         if not self.has_words:
             return segment
-        max_i = len(segment.words) - 1
-        if max_i == 0:
-            return segment
+        last = len(segment.words) - 1
         for i in reversed(range(len(segment.words))):
-            if max_i == 0:
+            if last == 0:
                 break
-            if segment.words[i].duration < min_dur:
-                if i == max_i:
-                    segment.add_words(i - 1, i, inplace=True)
-                elif i == 0:
-                    segment.add_words(i, i + 1, inplace=True)
-                elif segment.words[i + 1].duration < segment.words[i - 1].duration:
-                    segment.add_words(i - 1, i, inplace=True)
-                else:
-                    segment.add_words(i, i + 1, inplace=True)
-                max_i -= 1
+            if segment.words[i].duration >= min_dur:
+                continue
+            if i == last:
+                pair = (i - 1, i)
+            elif i == 0:
+                pair = (i, i + 1)
+            elif segment.words[i + 1].duration < segment.words[i - 1].duration:
+                pair = (i - 1, i)
+            else:
+                pair = (i, i + 1)
+            segment.add_words(*pair, inplace=True)
+            last -= 1
         return segment
 
     # -- bulk word ops ------------------------------------------------------------
 
     def _word_operations(self, operation: str, *args, **kwargs):
-        if self.has_words:
-            for w in self.words:
-                getattr(w, operation)(*args, **kwargs)
+        for w in self.words or ():
+            getattr(w, operation)(*args, **kwargs)
 
     def offset_time(self, offset_seconds: float):
         if self.seek is not None:
@@ -281,8 +274,8 @@ class Segment:
         if self.has_words:
             self._word_operations('offset_time', offset_seconds)
         else:
-            self.start = self.start + offset_seconds
-            self.end = self.end + offset_seconds
+            self.start += offset_seconds
+            self.end += offset_seconds
 
     def rescale_time(self, scale_factor: float):
         if self.seek is not None:
@@ -290,44 +283,41 @@ class Segment:
         if self.has_words:
             self._word_operations('rescale_time', scale_factor)
         else:
-            self.start = self.start * scale_factor
-            self.end = self.end * scale_factor
+            self.start *= scale_factor
+            self.end *= scale_factor
 
-    def suppress_silence(
-            self,
-            silent_starts: np.ndarray,
-            silent_ends: np.ndarray,
-            min_word_dur: Optional[float] = None,
-            word_level: bool = True,
-            nonspeech_error: float = 0.3,
-            use_word_position: bool = True,
-    ) -> 'Segment':
+    def suppress_silence(self, silent_starts: np.ndarray,
+                         silent_ends: np.ndarray,
+                         min_word_dur: Optional[float] = None,
+                         word_level: bool = True,
+                         nonspeech_error: float = 0.3,
+                         use_word_position: bool = True) -> 'Segment':
         min_word_dur = get_min_word_dur(min_word_dur)
-        if self.has_words:
-            ending_punctuations = get_append_punctuations()
-            words = (self.words if word_level or len(self.words) == 1
-                     else [self.words[0], self.words[-1]])
-            for i, w in enumerate(words, 1):
-                if use_word_position:
-                    keep_end = not (w.word[-1] in ending_punctuations or i == len(words))
-                else:
-                    keep_end = None
-                w.suppress_silence(silent_starts, silent_ends, min_word_dur,
-                                   nonspeech_error, keep_end)
-        else:
+        if not self.has_words:
             _suppress_silence(self, silent_starts, silent_ends, min_word_dur,
                               nonspeech_error)
+            return self
+        targets = (self.words if word_level or len(self.words) == 1
+                   else [self.words[0], self.words[-1]])
+        enders = get_append_punctuations()
+        for i, w in enumerate(targets, 1):
+            if use_word_position:
+                keep_end = w.word[-1] not in enders and i != len(targets)
+            else:
+                keep_end = None
+            w.suppress_silence(silent_starts, silent_ends, min_word_dur,
+                               nonspeech_error, keep_end)
         return self
 
     # -- locks ----------------------------------------------------------------------
 
     @property
     def left_locked(self) -> bool:
-        return self.words[0].left_locked if self.has_words else False
+        return self.has_words and self.words[0].left_locked
 
     @property
     def right_locked(self) -> bool:
-        return self.words[-1].right_locked if self.has_words else False
+        return self.has_words and self.words[-1].right_locked
 
     def lock_left(self):
         if self.has_words:
@@ -356,227 +346,201 @@ class Segment:
     # -- split-index finders (for the regroup engine) --------------------------------
 
     def get_gaps(self, as_ndarray: bool = False):
-        if self.has_words:
-            starts = np.array([w.start for w in self.words])
-            ends = np.array([w.end for w in self.words])
-            gaps = starts[1:] - ends[:-1]
-            return gaps if as_ndarray else gaps.tolist()
-        return []
+        if not self.has_words:
+            return []
+        bounds = np.array([(w.start, w.end) for w in self.words])
+        gaps = bounds[1:, 0] - bounds[:-1, 1]
+        return gaps if as_ndarray else gaps.tolist()
 
     def get_gap_indices(self, max_gap: float = 0.1) -> List[int]:
         if not self.has_words or len(self.words) < 2:
             return []
-        if max_gap is None:
-            max_gap = 0
-        indices = np.flatnonzero(self.get_gaps(True) > max_gap).tolist()
-        return sorted(set(indices) - set(self.get_locked_indices()))
+        over = np.flatnonzero(self.get_gaps(True) > (max_gap or 0)).tolist()
+        return sorted(set(over) - set(self.get_locked_indices()))
 
     def get_punctuation_indices(
             self, punctuation: Union[List[str], List[Tuple[str, str]], str]) -> List[int]:
+        """Word indices after which a punctuation boundary occurs.
+
+        A plain string matches a word ending with it (or, from the second
+        word on, the *previous* index when a word starts with it); an
+        (ending, beginning) pair must straddle the boundary exactly.
+        """
         if not self.has_words or len(self.words) < 2:
             return []
         if isinstance(punctuation, str):
             punctuation = [punctuation]
-        indices = []
+        found: set = set()
+        texts = [w.word for w in self.words]
         for p in punctuation:
             if isinstance(p, str):
-                for i, w in enumerate(self.words[:-1]):
-                    if w.word.endswith(p):
-                        indices.append(i)
-                    elif i != 0 and w.word.startswith(p):
-                        indices.append(i - 1)
+                found.update(i for i, t in enumerate(texts[:-1]) if t.endswith(p))
+                found.update(i - 1 for i, t in enumerate(texts[:-1])
+                             if i and t.startswith(p) and not t.endswith(p))
             else:
                 ending, beginning = p
-                indices.extend(
-                    i for i, (w0, w1) in enumerate(zip(self.words[:-1], self.words[1:]))
-                    if w0.word.endswith(ending) and w1.word.startswith(beginning)
-                )
-        return sorted(set(indices) - set(self.get_locked_indices()))
+                found.update(i for i in range(len(texts) - 1)
+                             if texts[i].endswith(ending)
+                             and texts[i + 1].startswith(beginning))
+        return sorted(found - set(self.get_locked_indices()))
 
     def _get_special_period_indices(self, extra_indices: Optional[List[int]] = None) -> List[int]:
-        indices = [
-            i for i, word in enumerate(self.words)
-            if _SPECIAL_PERIOD_START.search(word.word) is not None
-            and not word.word.endswith('..')
-            and len(_SPECIAL_PERIOD_STRIP.sub('', word.word)) < 3
-        ]
+        indices = [i for i, word in enumerate(self.words)
+                   if _SPECIAL_PERIOD_START.search(word.word)
+                   and not word.word.endswith('..')
+                   and len(_SPECIAL_PERIOD_STRIP.sub('', word.word)) < 3]
         if extra_indices:
-            indices = sorted(set(indices + extra_indices))
+            indices = sorted({*indices, *extra_indices})
         return indices
 
-    def _get_even_split_indices(
-            self,
-            cumsum: np.ndarray,
-            parts_per_split: float,
-            splits: float,
-            excluded_indices: Optional[List[int]] = None,
-    ) -> List[int]:
-        """Pick split points closest to ideal even-split targets in ``cumsum``."""
-        if excluded_indices:
-            cumsum = np.array(cumsum)
-            cumsum_idxs = np.arange(len(cumsum))
-            max_word_i = len(self.words) - 1
-            for i in sorted(set(excluded_indices)):
-                if i == max_word_i:
-                    break
-                cumsum[i] = cumsum[i + 1]
-                cumsum_idxs[i] = cumsum_idxs[i + 1]
-            indices = sorted(set(
-                int(cumsum_idxs[np.abs(cumsum - (k * parts_per_split)).argmin()])
-                for k in range(1, int(splits))
-            ))
-        else:
-            indices = [int(np.abs(cumsum - (k * parts_per_split)).argmin())
-                       for k in range(1, int(splits))]
+    def _get_even_split_indices(self, cumsum, parts_per_split: float,
+                                splits: float,
+                                excluded_indices: Optional[List[int]] = None) -> List[int]:
+        """Pick split points closest to the ideal even-split targets.
+
+        Excluded (locked) positions are remapped to their right neighbor so
+        the argmin lands on a legal boundary.
+        """
+        cumsum = np.asarray(cumsum)
+        targets = np.arange(1, int(splits)) * parts_per_split
+        if not excluded_indices:
+            return [int(np.abs(cumsum - t).argmin()) for t in targets]
+        cumsum = cumsum.copy()
+        lookup = np.arange(len(cumsum))
+        banned = np.array(sorted(set(excluded_indices)))
+        banned = banned[banned < len(self.words) - 1]
+        if banned.size:
+            cumsum[banned] = cumsum[banned + 1]
+            lookup[banned] = banned + 1
+        return sorted({int(lookup[np.abs(cumsum - t).argmin()]) for t in targets})
+
+    def _greedy_split_indices(self, sizes: List[tuple], limits: tuple,
+                              locked: List[int]) -> List[int]:
+        """Split right before any word that pushes a running total past its limit."""
+        indices: List[int] = []
+        running = (0,) * len(limits)
+        for i, size in enumerate(sizes):
+            running = tuple(r + s for r, s in zip(running, size))
+            overflow = any(cap is not None and r > cap
+                           for r, cap in zip(running, limits))
+            if i != 0 and overflow and i - 1 not in locked:
+                indices.append(i - 1)
+                running = size
         return indices
 
-    def get_length_indices(
-            self,
-            max_chars: Optional[int] = None,
-            max_words: Optional[int] = None,
-            even_split: bool = True,
-            include_lock: bool = False,
-            ignore_special_periods: bool = False,
-    ) -> List[int]:
+    def _excluded_for_splits(self, include_lock: bool,
+                             ignore_special_periods: bool) -> List[int]:
+        excluded = self.get_locked_indices() if include_lock else []
+        if ignore_special_periods:
+            excluded = self._get_special_period_indices(excluded)
+        return excluded
+
+    def get_length_indices(self, max_chars: Optional[int] = None,
+                           max_words: Optional[int] = None,
+                           even_split: bool = True, include_lock: bool = False,
+                           ignore_special_periods: bool = False) -> List[int]:
         if not self.has_words or (max_chars is None and max_words is None):
             return []
         assert max_chars != 0 and max_words != 0, \
             f'max_chars and max_words must be greater than 0, but got {max_chars} and {max_words}'
         if len(self.words) < 2:
             return []
+        excluded = self._excluded_for_splits(include_lock, ignore_special_periods)
+        if not even_split:
+            sizes = [(len(w.word), 1) for w in self.words]
+            return self._greedy_split_indices(sizes, (max_chars, max_words),
+                                              excluded)
         indices: List[int] = []
-        locked_indices = self.get_locked_indices() if include_lock else []
-        if ignore_special_periods:
-            locked_indices = self._get_special_period_indices(locked_indices)
-        if even_split:
-            char_count = -1 if max_chars is None else sum(map(len, self.words))
-            word_count = -1 if max_words is None else len(self.words)
-            exceed_chars = max_chars is not None and char_count > max_chars
-            exceed_words = max_words is not None and word_count > max_words
-            if exceed_chars:
-                splits = np.ceil(char_count / max_chars)
-                chars_per_split = char_count / splits
-                cum_chars = np.cumsum([len(w.word) for w in self.words[:-1]])
-                indices = self._get_even_split_indices(
-                    cum_chars, chars_per_split, splits, locked_indices)
-                if max_words is not None:
-                    exceed_words = any(
-                        j - i + 1 > max_words
-                        for i, j in zip([0] + indices, indices + [len(self.words)])
-                    )
-            if exceed_words:
-                splits = np.ceil(word_count / max_words)
-                words_per_split = word_count / splits
-                cum_words = np.arange(1, len(self.words) + 1)
-                indices = self._get_even_split_indices(
-                    cum_words, words_per_split, splits, locked_indices)
-        else:
-            curr_words = 0
-            curr_chars = 0
-            for i, word in enumerate(self.words):
-                curr_words += 1
-                curr_chars += len(word)
-                if i != 0 and (
-                        (max_chars is not None and curr_chars > max_chars)
-                        or (max_words is not None and curr_words > max_words)
-                ) and i - 1 not in locked_indices:
-                    indices.append(i - 1)
-                    curr_words = 1
-                    curr_chars = len(word)
+        char_total = -1 if max_chars is None else sum(map(len, self.words))
+        word_total = -1 if max_words is None else len(self.words)
+        over_chars = max_chars is not None and char_total > max_chars
+        over_words = max_words is not None and word_total > max_words
+        if over_chars:
+            splits = np.ceil(char_total / max_chars)
+            cum_chars = np.cumsum([len(w.word) for w in self.words[:-1]])
+            indices = self._get_even_split_indices(
+                cum_chars, char_total / splits, splits, excluded)
+            if max_words is not None:
+                spans = zip([0] + indices, indices + [len(self.words)])
+                over_words = any(j - i + 1 > max_words for i, j in spans)
+        if over_words:
+            splits = np.ceil(word_total / max_words)
+            cum_words = np.arange(1, len(self.words) + 1)
+            indices = self._get_even_split_indices(
+                cum_words, word_total / splits, splits, excluded)
         return indices
 
-    def get_duration_indices(
-            self,
-            max_dur: float,
-            even_split: bool = True,
-            include_lock: bool = False,
-            ignore_special_periods: bool = False,
-    ) -> List[int]:
+    def get_duration_indices(self, max_dur: float, even_split: bool = True,
+                             include_lock: bool = False,
+                             ignore_special_periods: bool = False) -> List[int]:
         if not self.has_words:
             return []
-        total_duration = float(np.sum([w.duration for w in self.words]))
-        if total_duration <= max_dur:
+        durations = [w.duration for w in self.words]
+        total = float(np.sum(durations))
+        if total <= max_dur:
             return []
-        locked_indices = self.get_locked_indices() if include_lock else []
-        if ignore_special_periods:
-            locked_indices = self._get_special_period_indices(locked_indices)
+        excluded = self._excluded_for_splits(include_lock, ignore_special_periods)
         if even_split:
-            splits = np.ceil(total_duration / max_dur)
-            dur_per_split = total_duration / splits
-            cum_dur = np.cumsum([w.duration for w in self.words[:-1]])
-            return self._get_even_split_indices(cum_dur, dur_per_split, splits, locked_indices)
-        indices = []
-        curr_total = 0.0
-        for i, word in enumerate(self.words):
-            curr_total += word.duration
-            if i != 0 and curr_total > max_dur and i - 1 not in locked_indices:
-                indices.append(i - 1)
-                curr_total = word.duration
-        return indices
+            splits = np.ceil(total / max_dur)
+            cum_dur = np.cumsum(durations[:-1])
+            return self._get_even_split_indices(cum_dur, total / splits,
+                                                splits, excluded)
+        return self._greedy_split_indices([(d,) for d in durations],
+                                          (max_dur,), excluded)
 
     def split(self, indices: List[int], reassign_ids: bool = True) -> List['Segment']:
         """Split after each word index in ``indices`` into new segments."""
-        if len(indices) == 0:
+        if not indices:
             return []
         if indices[-1] != len(self.words) - 1:
             indices.append(len(self.words) - 1)
+        bounds = zip([0] + [i + 1 for i in indices[:-1]],
+                     [i + 1 for i in indices])
         pieces = []
-        prev_i = 0
-        for i in indices:
-            i += 1
-            new_words = self.words[prev_i:i]
-            if new_words:
-                new_seg = self.copy(new_words, copy_words=False)
-                pieces.append(new_seg)
-                if reassign_ids:
-                    new_seg.reassign_ids()
-            prev_i = i
+        for lo, hi in bounds:
+            chunk = self.words[lo:hi]
+            if not chunk:
+                continue
+            piece = self.copy(chunk, copy_words=False)
+            if reassign_ids:
+                piece.reassign_ids()
+            pieces.append(piece)
         return pieces
 
     # -- bookkeeping ---------------------------------------------------------------
 
     def reassign_ids(self, start: Optional[int] = None):
-        if self.has_words:
-            for i, word in enumerate(self.words[start:], start or 0):
-                word.segment = self
-                word.id = i
+        for i, word in enumerate((self.words or ())[start:], start or 0):
+            word.segment = self
+            word.id = i
 
     def convert_to_segment_level(self):
         if not self.has_words:
             return
-        self._default_text = self.text
-        self._default_start = self.start
-        self._default_end = self.end
-        self._default_tokens = self.tokens
+        self._plain = dict(start=self.start, end=self.end, text=self.text,
+                           tokens=self.tokens)
         self.words = None
 
     # -- deprecated shims (reference result.py:674-679 etc.) ---------------------------
 
     def round_all_timestamps(self):
-        import warnings
-        warnings.warn('``.round_all_timestamps()`` is deprecated. Use '
-                      '``round_ts=True`` instead.', stacklevel=2)
+        _deprecated('.round_all_timestamps()', 'round_ts=True')
         self.round_ts = True
         for word in self.words or ():
             word.round_ts = True
 
     def update_seg_with_words(self):
-        import warnings
         warnings.warn('Segment attributes are word-derived properties; '
                       '``update_seg_with_words()`` is deprecated. Use '
                       '``.reassign_ids()`` to update ids.', stacklevel=2)
         self.reassign_ids()
 
     def set_result(self, result):
-        import warnings
-        warnings.warn('``.set_result()`` is deprecated. Use '
-                      '``.result = ...`` instead.', stacklevel=2)
+        _deprecated('.set_result()', '.result = ...')
         self.result = result
 
     def get_result(self):
-        import warnings
-        warnings.warn('``.get_result()`` is deprecated. Use ``.result`` '
-                      'instead.', stacklevel=2)
+        _deprecated('.get_result()', '.result')
         return self.result
 
     # -- serialization ----------------------------------------------------------------
@@ -587,7 +551,7 @@ class Segment:
         for RTL rendering (reference result.py:562-607 ``_to_reverse_text``).
         The renderer (text_output.words2segments) reverses display order via
         the ``reversed_text`` marker; word timestamps stay chronological."""
-        from ..defaults import get_append_punctuations, get_prepend_punctuations
+        from ..defaults import get_prepend_punctuations
         prepend = get_prepend_punctuations(prepend_punctuations)
         if prepend and ' ' not in prepend:
             prepend += ' '
@@ -598,46 +562,38 @@ class Segment:
         out = []
         for word in words:
             text = word.word
-            new_append = ''
+            moved_right = ''
             while text and text[0] in prepend:
-                new_append += text[0]
+                moved_right += text[0]
                 text = text[1:]
-            new_prepend = ''
+            moved_left = ''
             while text and text[-1] in append:
-                new_prepend += text[-1]
+                moved_left += text[-1]
                 text = text[:-1]
-            d = word.to_dict()
-            d['word'] = f'{new_prepend}{text}{new_append[::-1]}'
-            out.append(d)
+            fields = word.to_dict()
+            fields['word'] = f'{moved_left}{text}{moved_right[::-1]}'
+            out.append(fields)
         return out
 
     def to_dict(self, reverse_text: Union[bool, tuple] = False) -> dict:
-        seg_dict = dict(
-            start=self.start,
-            end=self.end,
-            text=self.text,
-            seek=self.seek,
-            tokens=None if self.tokens is None else list(self.tokens),
-            temperature=self.temperature,
-            avg_logprob=self.avg_logprob,
-            compression_ratio=self.compression_ratio,
-            no_speech_prob=self.no_speech_prob,
-        )
+        payload = dict(start=self.start, end=self.end, text=self.text,
+                       seek=self.seek,
+                       tokens=None if self.tokens is None else list(self.tokens))
+        payload.update({m: getattr(self, m) for m in self._METRICS})
         if reverse_text:
             args = reverse_text if isinstance(reverse_text, tuple) else ()
             rwords = self._reversed_words(*args)
-            seg_dict['text'] = ''.join(w['word'] for w in reversed(rwords))
+            payload['text'] = ''.join(w['word'] for w in reversed(rwords))
             if self.has_words:
-                seg_dict['words'] = rwords
+                payload['words'] = rwords
             elif self.ori_has_words:
-                seg_dict['words'] = []
-            seg_dict['reversed_text'] = True
-            return seg_dict
-        if self.has_words:
-            seg_dict['words'] = [w.to_dict() for w in self.words]
+                payload['words'] = []
+            payload['reversed_text'] = True
+        elif self.has_words:
+            payload['words'] = [w.to_dict() for w in self.words]
         elif self.ori_has_words:
-            seg_dict['words'] = []
-        return seg_dict
+            payload['words'] = []
+        return payload
 
     def to_display_str(self, only_segment: bool = False) -> str:
         line = f'[{format_timestamp(self.start)} --> {format_timestamp(self.end)}] "{self.text}"'

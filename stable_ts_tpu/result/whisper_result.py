@@ -5,6 +5,12 @@ Behavioral counterpart of the reference ``WhisperResult``
 ``ori_dict``, the live segment list, nonspeech sections, and a replayable
 ``regroup_history``; exposes 20+ chainable split/merge/edit operations and the
 compact regroup DSL (``sg=.5_sp=,* /，++++50_sl=70_cm`` ...).
+
+Design notes (TPU build): token normalization shared by the removal/gap-fill
+operations lives in one module helper, the custom-operation rule engine is
+decomposed into per-verb action builders, and the DSL key table is declared
+as data. All user-visible strings (history entries, prints, exceptions) are
+byte-compatible with the reference.
 """
 import re
 import warnings
@@ -15,7 +21,7 @@ from typing import Callable, List, Optional, Tuple, Union
 import numpy as np
 
 from ._common import ContentCache, group_words_by_lock, round_timestamp
-from .segment import Segment
+from .segment import Segment, _SPECIAL_PERIOD_START, _SPECIAL_PERIOD_STRIP
 from .word import WordTiming
 from ..defaults import get_min_word_dur
 from ..text_output import (load_result, result_to_ass, result_to_srt_vtt,
@@ -27,30 +33,70 @@ __all__ = ['WhisperResult']
 # Default regroup chain (reference result.py:3008).
 DEFAULT_REGROUP_ALGO = 'isp_cm_sp=.* /。/?/？_sg=.5_sp=,* /，++++50_sl=70_cm'
 
+# DSL key -> method name, in the reference's declaration order (the order is
+# user-visible through error messages listing the available methods).
+_DSL_METHODS = dict(
+    sg='split_by_gap', sp='split_by_punctuation', sl='split_by_length',
+    sd='split_by_duration', mg='merge_by_gap', mp='merge_by_punctuation',
+    ms='merge_all_segments', cm='clamp_max', us='unlock_all_segments',
+    l='lock', rw='remove_word', rs='remove_segment', rp='remove_repetition',
+    rws='remove_words_by_str', fg='fill_in_gaps', p='pad', ag='adjust_gaps',
+    csl='convert_to_segment_level', co='custom_operation',
+    isp='ignore_special_periods')
+
+# Comparison operators accepted by custom_operation.
+_COMPARATORS = {
+    '==': lambda a, b: a == b,
+    '>': lambda a, b: a > b,
+    '>=': lambda a, b: a >= b,
+    '<': lambda a, b: a < b,
+    '<=': lambda a, b: a <= b,
+    'is': lambda a, b: a is b,
+    'in': lambda a, b: a in b,
+    'start': str.startswith,
+    'end': str.endswith,
+}
+
+
+def _normalize_tokens(texts: List[str], case_sensitive: bool, strip: bool,
+                      ignore_punctuations: str) -> List[str]:
+    """Canonicalize word texts for matching: strip -> drop trailing
+    punctuation -> casefold (same transform order as the reference)."""
+    if strip:
+        texts = [t.strip() for t in texts]
+    if ignore_punctuations:
+        tail = f'[{ignore_punctuations}]+$'
+        texts = [re.sub(tail, '', t) for t in texts]
+    if not case_sensitive:
+        texts = [t.lower() for t in texts]
+    return texts
+
+
+def _describe_part(part, is_word: bool) -> str:
+    """Multi-line human-readable summary used in unsorted-timestamp dumps."""
+    lines = [f'Segment ID: {part.segment_id if is_word else part.id}']
+    if is_word:
+        lines.append(f'Word ID: {part.id}')
+    lines += [f'Start: {part.start}', f'End: {part.end}',
+              f'Text: "{part.word if is_word else part.text}"']
+    return '\n'.join(lines)
+
 
 class WhisperResult:
 
-    def __init__(
-            self,
-            result: Union[str, dict, list],
-            force_order: bool = False,
-            check_sorted: Union[bool, str] = True,
-            show_unsorted: bool = True,
-    ):
+    def __init__(self, result: Union[str, dict, list],
+                 force_order: bool = False,
+                 check_sorted: Union[bool, str] = True,
+                 show_unsorted: bool = True):
         result, self.path = self._standardize_result(result)
         self.ori_dict = result.get('ori_dict') or result
         self.language = self.ori_dict.get('language')
         self._regroup_history = result.get('regroup_history', '')
         self._nonspeech_sections = result.get('nonspeech_sections') or []
         self.unfinished_start: float = result.get('unfinished', -1.0)
-        segments = (result.get('segments', self.ori_dict.get('segments')) or {}).copy()
-        self.segments = ([Segment(**s, ignore_unused_args=True) for s in segments]
-                         if segments else [])
         self._forced_order = force_order
-        if self._forced_order:
-            self.force_order()
-        self.raise_for_unsorted(check_sorted, show_unsorted)
-        self.remove_no_word_segments(any(seg.has_words for seg in self.segments))
+        segments = (result.get('segments', self.ori_dict.get('segments')) or {}).copy()
+        self._materialize(segments, check_sorted, show_unsorted)
         self._ignore_special_periods = False
         self._content_cache = ContentCache()
 
@@ -70,25 +116,33 @@ class WhisperResult:
             raise TypeError(f'Expected result to be list but got {type(result)}')
         if not result or not result[0]:
             return {}, path
-        if isinstance(result[0], list):
-            if not isinstance(result[0][0], dict):
-                raise NotImplementedError(
-                    f'Got list of list of {type(result[0][0])} but expected dicts')
-            result = dict(segments=[
-                dict(
-                    start=words[0]['start'],
-                    end=words[-1]['end'],
-                    text=''.join(w['word'] for w in words),
-                    words=words,
-                )
-                for words in result if words
-            ])
-        elif isinstance(result[0], dict):
-            result = dict(segments=result)
-        else:
+        head = result[0]
+        if isinstance(head, dict):
+            return dict(segments=result), path
+        if not isinstance(head, list):
             raise NotImplementedError(
-                f'Got list of {type(result[0])} but expected list of list/dict')
-        return result, path
+                f'Got list of {type(head)} but expected list of list/dict')
+        if not isinstance(head[0], dict):
+            raise NotImplementedError(
+                f'Got list of list of {type(head[0])} but expected dicts')
+        segments = [dict(start=words[0]['start'], end=words[-1]['end'],
+                         text=''.join(w['word'] for w in words), words=words)
+                    for words in result if words]
+        return dict(segments=segments), path
+
+    def _materialize(self, segment_dicts,
+                     check_sorted: Union[bool, str] = False,
+                     show_unsorted: bool = True):
+        """(Re)build the live segment objects and run the ordering guards."""
+        self.segments = ([Segment(**fields, ignore_unused_args=True)
+                          for fields in segment_dicts]
+                         if segment_dicts else [])
+        if self._forced_order:
+            self.force_order()
+        if check_sorted is not False:
+            self.raise_for_unsorted(check_sorted, show_unsorted)
+        self.remove_no_word_segments(
+            any(seg.has_words for seg in self.segments))
 
     # -- core protocol -----------------------------------------------------------
 
@@ -127,27 +181,38 @@ class WhisperResult:
     # -- ordering guards ------------------------------------------------------------
 
     def force_order(self):
-        """Repair out-of-order timestamps from untrusted backends in place."""
-        prev_ts_end = 0
-        timestamps = self.all_words_or_segments()
-        for i, ts in enumerate(timestamps, 1):
-            if ts.start < prev_ts_end:
-                ts.start = prev_ts_end
-            if ts.start > ts.end:
-                if prev_ts_end > ts.end:
+        """Repair out-of-order timestamps from untrusted backends in place.
+
+        Walks forward keeping a floor (= latest end seen); a start below the
+        floor is raised to it, and a start past its own end either collapses
+        the part or rewinds earlier parts down to the offending end.
+        """
+        parts = self.all_words_or_segments()
+        floor = 0
+        for i, part in enumerate(parts):
+            if part.start < floor:
+                part.start = floor
+            if part.start > part.end:
+                if floor > part.end:
                     warnings.warn('Multiple consecutive timestamps are out of order. '
                                   'Some parts will have no duration.')
-                    ts.start = ts.end
-                    for j in range(i - 2, -1, -1):
-                        if timestamps[j].end > ts.end:
-                            timestamps[j].end = ts.end
-                        if timestamps[j].start > ts.end:
-                            timestamps[j].start = ts.end
-                elif ts.start != prev_ts_end:
-                    ts.start = prev_ts_end
+                    part.start = part.end
+                    self._rewind_ends(parts, i - 1, part.end)
+                elif part.start != floor:
+                    part.start = floor
                 else:
-                    ts.end = ts.start if i == len(timestamps) else timestamps[i].start
-            prev_ts_end = ts.end
+                    is_last = i + 1 == len(parts)
+                    part.end = part.start if is_last else parts[i + 1].start
+            floor = part.end
+
+    @staticmethod
+    def _rewind_ends(parts, last_index: int, limit: float):
+        """Clamp every timestamp after ``limit`` in parts[:last_index+1]."""
+        for j in range(last_index, -1, -1):
+            if parts[j].end > limit:
+                parts[j].end = limit
+            if parts[j].start > limit:
+                parts[j].start = limit
 
     def raise_for_unsorted(self, check_sorted: Union[bool, str] = True,
                            show_unsorted: bool = True):
@@ -158,36 +223,24 @@ class WhisperResult:
         if not all_parts:
             return
         is_word = isinstance(all_parts[0], WordTiming)
-        timestamps = np.array(list(chain.from_iterable((p.start, p.end)
-                                                       for p in all_parts)))
-        if len(timestamps) < 2:
+        timeline = np.array([t for p in all_parts for t in (p.start, p.end)])
+        if len(timeline) < 2:
             return
-        unsorted_mask = timestamps[:-1] > timestamps[1:]
-        if not unsorted_mask.any():
+        regressions = np.flatnonzero(timeline[:-1] > timeline[1:])
+        if not regressions.size:
             return
         if show_unsorted:
-            def part_info(idx):
-                part = all_parts[idx]
-                seg_id = part.segment_id if is_word else part.id
-                word_id_str = f'Word ID: {part.id}\n' if is_word else ''
-                return (
-                    f'Segment ID: {seg_id}\n{word_id_str}'
-                    f'Start: {part.start}\nEnd: {part.end}\n'
-                    f'Text: "{part.word if is_word else part.text}"'
-                ), part.start, part.end
-
-            for i, unsorted in enumerate(unsorted_mask, 2):
-                if not unsorted:
-                    continue
-                part_idx = i // 2 - 1
-                info, start, end = part_info(part_idx)
-                if i % 2 == 1:
-                    next_info, next_start, _ = part_info(part_idx + 1)
-                    info += f'\nConflict: end ({end}) > next start ({next_start})\n{next_info}'
-                else:
-                    info += f'\nConflict: start ({start}) > end ({end})'
+            for k in regressions:
+                part = all_parts[k // 2]
+                info = _describe_part(part, is_word)
+                if k % 2:  # this part's end vs the next part's start
+                    nxt = all_parts[k // 2 + 1]
+                    info += (f'\nConflict: end ({part.end}) > '
+                             f'next start ({nxt.start})\n'
+                             + _describe_part(nxt, is_word))
+                else:      # within one part: start vs end
+                    info += f'\nConflict: start ({part.start}) > end ({part.end})'
                 print(info, end='\n\n')
-
         data = self.to_dict()
         if check_sorted is True:
             raise UnsortedException(data=data)
@@ -198,16 +251,16 @@ class WhisperResult:
     # -- bookkeeping -------------------------------------------------------------------
 
     def reassign_ids(self, only_segments: bool = False, start: Optional[int] = None):
-        for i, s in enumerate(self.segments[start:], start or 0):
-            s.id = i
-            s.result = self
+        for i, seg in enumerate(self.segments[start:], start or 0):
+            seg.id = i
+            seg.result = self
             if not only_segments:
-                s.reassign_ids()
+                seg.reassign_ids()
 
     def remove_no_word_segments(self, ignore_ori: bool = False, reassign_ids: bool = True):
-        for i in reversed(range(len(self.segments))):
-            if (ignore_ori or self.segments[i].ori_has_words) and not self.segments[i].has_words:
-                del self.segments[i]
+        self.segments = [
+            seg for seg in self.segments
+            if seg.has_words or not (ignore_ori or seg.ori_has_words)]
         if reassign_ids:
             self.reassign_ids()
 
@@ -217,19 +270,17 @@ class WhisperResult:
         if overwrite:
             self._nonspeech_sections = sections
         else:
-            self._nonspeech_sections.extend(sections)
+            self._nonspeech_sections += sections
 
     def _update_history(self, changes: str):
-        if not changes:
-            return
-        if self._regroup_history:
-            self._regroup_history += '_'
-        self._regroup_history += changes
+        if changes:
+            joiner = '_' if self._regroup_history else ''
+            self._regroup_history = f'{self._regroup_history}{joiner}{changes}'
 
     # -- accessors -----------------------------------------------------------------------
 
     def all_words(self) -> List[WordTiming]:
-        return list(chain.from_iterable(s.words for s in self.segments))
+        return [w for seg in self.segments for w in seg.words]
 
     def all_words_or_segments(self):
         return self.all_words() if self.has_words else self.segments
@@ -243,66 +294,61 @@ class WhisperResult:
                                    include_single=include_single)
 
     def all_tokens(self) -> List[int]:
-        return list(chain.from_iterable(w.tokens for w in self.all_words()))
+        return [t for w in self.all_words() for t in w.tokens]
 
-    def get_content_by_time(
-            self,
-            time: Union[float, Tuple[float, float], dict],
-            within: bool = False,
-            segment_level: bool = False,
-    ):
+    def get_content_by_time(self, time: Union[float, Tuple[float, float], dict],
+                            within: bool = False, segment_level: bool = False):
         """Return words (or segments) overlapping / within the ``time`` range."""
         if not segment_level and not self.has_words:
             raise ValueError('Missing word timestamps in result. '
                              'Use ``segment_level=True`` instead.')
         contents = self.segments if segment_level else self.all_words()
         if isinstance(time, (float, int)):
-            time = (time, time)
+            start = end = time
         elif isinstance(time, dict):
-            time = (time['start'], time['end'])
-        start, end = time
+            start, end = time['start'], time['end']
+        else:
+            start, end = time
         if within:
-            return [c for c in contents if start <= c.start and end >= c.end]
-        return [c for c in contents if start <= c.end and end >= c.start]
+            return [c for c in contents if start <= c.start and c.end <= end]
+        return [c for c in contents if start <= c.end and c.start <= end]
 
     def get_locked_indices(self) -> List[int]:
         return [i for i, (nxt, cur) in enumerate(zip(self.segments[1:], self.segments[:-1]))
                 if nxt.left_locked or cur.right_locked]
 
     def get_gaps(self, as_ndarray: bool = False):
-        starts = np.array([s.start for s in self.segments])
-        ends = np.array([s.end for s in self.segments])
-        gaps = starts[1:] - ends[:-1]
+        if not self.segments:
+            gaps = np.array([])
+        else:
+            bounds = np.array([(s.start, s.end) for s in self.segments])
+            gaps = bounds[1:, 0] - bounds[:-1, 1]
         return gaps if as_ndarray else gaps.tolist()
 
     def get_gap_indices(self, min_gap: float = 0.1) -> List[int]:
         if len(self.segments) < 2:
             return []
-        if min_gap is None:
-            min_gap = 0
-        indices = np.flatnonzero(self.get_gaps(True) <= min_gap).tolist()
-        return sorted(set(indices) - set(self.get_locked_indices()))
+        under = np.flatnonzero(self.get_gaps(True) <= (min_gap or 0)).tolist()
+        return sorted(set(under) - set(self.get_locked_indices()))
 
     def get_punctuation_indices(self, punctuation) -> List[int]:
         if len(self.segments) < 2:
             return []
         if isinstance(punctuation, str):
             punctuation = [punctuation]
-        indices = []
+        found: set = set()
+        texts = [s.text for s in self.segments]
         for p in punctuation:
             if isinstance(p, str):
-                for i, s in enumerate(self.segments[:-1]):
-                    if s.text.endswith(p):
-                        indices.append(i)
-                    elif i != 0 and s.text.startswith(p):
-                        indices.append(i - 1)
+                found.update(i for i, t in enumerate(texts[:-1]) if t.endswith(p))
+                found.update(i - 1 for i, t in enumerate(texts[:-1])
+                             if i and t.startswith(p) and not t.endswith(p))
             else:
                 ending, beginning = p
-                indices.extend(
-                    i for i, (s0, s1) in enumerate(zip(self.segments[:-1], self.segments[1:]))
-                    if s0.text.endswith(ending) and s1.text.startswith(beginning)
-                )
-        return sorted(set(indices) - set(self.get_locked_indices()))
+                found.update(i for i in range(len(texts) - 1)
+                             if texts[i].endswith(ending)
+                             and texts[i + 1].startswith(beginning))
+        return sorted(found - set(self.get_locked_indices()))
 
     # -- time adjustment -----------------------------------------------------------------
 
@@ -315,92 +361,87 @@ class WhisperResult:
             s.rescale_time(scale_factor)
 
     def apply_min_dur(self, min_dur: float, inplace: bool = False) -> 'WhisperResult':
-        """Merge words/segments shorter than ``min_dur`` with neighbors."""
+        """Merge words/segments shorter than ``min_dur`` with neighbors.
+
+        Same back-to-front scan as Segment.apply_min_dur: edge segments merge
+        inward, interior ones toward the currently-shorter neighbor.
+        """
         result = self if inplace else deepcopy(self)
-        max_i = len(result.segments) - 1
-        if max_i == 0:
+        last = len(result.segments) - 1
+        if last == 0:
             return result
         for i in reversed(range(len(result.segments))):
-            if max_i == 0:
+            if last == 0:
                 break
-            if result.segments[i].duration < min_dur:
-                if i == max_i:
-                    result.add_segments(i - 1, i, inplace=True, reassign_ids=False)
-                elif i == 0:
-                    result.add_segments(i, i + 1, inplace=True, reassign_ids=False)
-                elif result.segments[i + 1].duration < result.segments[i - 1].duration:
-                    result.add_segments(i - 1, i, inplace=True, reassign_ids=False)
-                else:
-                    result.add_segments(i, i + 1, inplace=True, reassign_ids=False)
-                max_i -= 1
+            if result.segments[i].duration >= min_dur:
+                continue
+            if i == last:
+                pair = (i - 1, i)
+            elif i == 0:
+                pair = (i, i + 1)
+            elif result.segments[i + 1].duration < result.segments[i - 1].duration:
+                pair = (i - 1, i)
+            else:
+                pair = (i, i + 1)
+            result.add_segments(*pair, inplace=True, reassign_ids=False)
+            last -= 1
         result.reassign_ids()
         for s in result.segments:
             s.apply_min_dur(min_dur, inplace=True)
         return result
 
-    def suppress_silence(
-            self,
-            silent_starts: np.ndarray,
-            silent_ends: np.ndarray,
-            min_word_dur: Optional[float] = None,
-            word_level: bool = True,
-            nonspeech_error: float = 0.3,
-            use_word_position: bool = True,
-            verbose: bool = True,
-    ) -> 'WhisperResult':
+    def suppress_silence(self, silent_starts: np.ndarray,
+                         silent_ends: np.ndarray,
+                         min_word_dur: Optional[float] = None,
+                         word_level: bool = True,
+                         nonspeech_error: float = 0.3,
+                         use_word_position: bool = True,
+                         verbose: bool = True) -> 'WhisperResult':
         """Snap start/end timestamps off the given silent sections."""
         min_word_dur = get_min_word_dur(min_word_dur)
-        for s in self.segments:
-            s.suppress_silence(
-                silent_starts, silent_ends, min_word_dur,
-                word_level=word_level,
-                nonspeech_error=nonspeech_error,
-                use_word_position=use_word_position,
-            )
+        for seg in self.segments:
+            seg.suppress_silence(silent_starts, silent_ends, min_word_dur,
+                                 word_level=word_level,
+                                 nonspeech_error=nonspeech_error,
+                                 use_word_position=use_word_position)
         return self
 
-    def adjust_by_silence(
-            self,
-            audio,
-            vad: Union[bool, dict] = False,
-            *,
-            verbose: Optional[bool] = False,
-            sample_rate: Optional[int] = None,
-            vad_onnx: bool = False,
-            vad_threshold: float = 0.35,
-            q_levels: int = 20,
-            k_size: int = 5,
-            min_word_dur: Optional[float] = None,
-            min_silence_dur: Optional[float] = None,
-            word_level: bool = True,
-            nonspeech_error: float = 0.3,
-            use_word_position: bool = True,
-    ) -> 'WhisperResult':
-        """Detect silence in ``audio`` then :meth:`suppress_silence` with it."""
+    def _detect_silence(self, audio, vad, vad_threshold, q_levels, k_size,
+                        sample_rate, verbose):
+        """Silence (start, end) arrays via VAD or the loudness heuristic."""
         from ..stabilization import get_vad_silence_func
         from ..stabilization.nonvad import audio2timings
+        if vad is not False:
+            vad_kwargs = vad if isinstance(vad, dict) else {}
+            detect = get_vad_silence_func(**vad_kwargs, verbose=verbose)
+            return detect(audio, speech_threshold=vad_threshold, sr=sample_rate)
+        return audio2timings(audio, q_levels=q_levels, k_size=k_size,
+                             sr=sample_rate)
+
+    def adjust_by_silence(self, audio, vad: Union[bool, dict] = False, *,
+                          verbose: Optional[bool] = False,
+                          sample_rate: Optional[int] = None,
+                          vad_onnx: bool = False, vad_threshold: float = 0.35,
+                          q_levels: int = 20, k_size: int = 5,
+                          min_word_dur: Optional[float] = None,
+                          min_silence_dur: Optional[float] = None,
+                          word_level: bool = True,
+                          nonspeech_error: float = 0.3,
+                          use_word_position: bool = True) -> 'WhisperResult':
+        """Detect silence in ``audio`` then :meth:`suppress_silence` with it."""
         from ..stabilization.utils import filter_timings
         min_word_dur = get_min_word_dur(min_word_dur)
-        if vad is not False:
-            silent_timings = get_vad_silence_func(
-                **(vad if isinstance(vad, dict) else {}),
-                verbose=verbose,
-            )(audio, speech_threshold=vad_threshold, sr=sample_rate)
-        else:
-            silent_timings = audio2timings(audio, q_levels=q_levels, k_size=k_size,
-                                           sr=sample_rate)
+        silent_timings = self._detect_silence(
+            audio, vad, vad_threshold, q_levels, k_size, sample_rate, verbose)
         if silent_timings is None:
             return self
         if min_silence_dur:
             silent_timings = filter_timings(silent_timings, min_silence_dur)
-        self.suppress_silence(
-            *silent_timings,
-            min_word_dur=min_word_dur,
-            word_level=word_level,
-            nonspeech_error=nonspeech_error,
-            use_word_position=use_word_position,
-            verbose=verbose is not None,
-        )
+        self.suppress_silence(*silent_timings, min_word_dur=min_word_dur,
+                              word_level=word_level,
+                              nonspeech_error=nonspeech_error,
+                              use_word_position=use_word_position,
+                              verbose=verbose is not None)
         self.update_nonspeech_sections(*silent_timings)
         return self
 
@@ -414,42 +455,45 @@ class WhisperResult:
                [w.word for w in other_result.all_words()], \
                'The words in [other_result] do not match the current words.'
         min_word_dur = get_min_word_dur(min_word_dur)
-        for word, other_word in zip(self.all_words(), other_result.all_words()):
-            if word.end > other_word.start:
-                new_start = max(word.start, other_word.start)
-                new_end = min(word.end, other_word.end)
-                if new_end - new_start >= min_word_dur:
-                    line = ''
-                    if word.start != new_start:
-                        if verbose:
-                            line += f'[Start:{word.start:.3f}->{new_start:.3f}] '
-                        word.start = new_start
-                    if word.end != new_end:
-                        if verbose:
-                            line += f'[End:{word.end:.3f}->{new_end:.3f}]  '
-                        word.end = new_end
-                    if line:
-                        print(f'{line}"{word.word}"')
+        for word, other in zip(self.all_words(), other_result.all_words()):
+            if word.end <= other.start:
+                continue
+            clipped_start = max(word.start, other.start)
+            clipped_end = min(word.end, other.end)
+            if clipped_end - clipped_start < min_word_dur:
+                continue
+            report = ''
+            if word.start != clipped_start:
+                if verbose:
+                    report += f'[Start:{word.start:.3f}->{clipped_start:.3f}] '
+                word.start = clipped_start
+            if word.end != clipped_end:
+                if verbose:
+                    report += f'[End:{word.end:.3f}->{clipped_end:.3f}]  '
+                word.end = clipped_end
+            if report:
+                print(f'{report}"{word.word}"')
 
     # -- structural editing: splitting / merging -------------------------------------------
 
     def add_segments(self, index0: int, index1: int, inplace: bool = False,
                      lock: bool = False, newline: bool = False,
                      reassign_ids: bool = True) -> Segment:
-        new_seg = self.segments[index0].add(self.segments[index1], copy_words=False,
-                                            newline=newline, reassign_ids=reassign_ids)
-        if lock and self.segments[index0].has_words:
-            lock_idx = len(self.segments[index0].words)
-            new_seg.words[lock_idx - 1].lock_right()
-            if lock_idx < len(new_seg.words):
-                new_seg.words[lock_idx].lock_left()
+        first = self.segments[index0]
+        joined = first.add(self.segments[index1], copy_words=False,
+                           newline=newline, reassign_ids=reassign_ids)
+        if lock and first.has_words:
+            boundary = len(first.words)  # first word index of the old 2nd seg
+            joined.words[boundary - 1].lock_right()
+            if boundary < len(joined.words):
+                joined.words[boundary].lock_left()
         if inplace:
-            i0, i1 = sorted([index0, index1])
-            self.segments[i0] = new_seg
-            del self.segments[i1]
+            keep, drop = sorted((index0, index1))
+            self.segments[keep] = joined
+            del self.segments[drop]
             if reassign_ids:
                 self.reassign_ids(True)
-        return new_seg
+        return joined
 
     def split_segment_by_index(self, segment: Union[int, Segment],
                                indices: Union[int, List[int]],
@@ -460,96 +504,94 @@ class WhisperResult:
             indices = [indices]
         elif not indices:
             return
-        oor = [i for i in indices if i < 0 or i > len(segment.words)]
-        if oor:
-            raise IndexError(f'got out of split range indices: {oor}')
+        out_of_range = [i for i in indices if not 0 <= i <= len(segment.words)]
+        if out_of_range:
+            raise IndexError(f'got out of split range indices: {out_of_range}')
         seg_idx = segment if isinstance(segment, int) else segment.id
-        new_segments = self.segments[seg_idx].split(indices, reassign_ids=reassign_ids)
-        del self.segments[seg_idx]
-        for seg in reversed(new_segments):
-            self.segments.insert(seg_idx, seg)
+        pieces = self.segments[seg_idx].split(indices, reassign_ids=reassign_ids)
+        self.segments[seg_idx:seg_idx + 1] = pieces
         if reassign_ids:
             self.reassign_ids(True)
 
     def _remove_special_period_indices(self, indices: List[int], segment_idx: int):
+        """Drop split indices landing on abbreviation-like periods in place."""
         segment = self.segments[segment_idx]
-        for i in range(len(indices) - 1, -1, -1):
-            word_idx = indices[i]
-            if not segment[word_idx].word.endswith('.'):
+        for pos in reversed(range(len(indices))):
+            text = segment[indices[pos]].word
+            if not text.endswith('.'):
                 continue
-            word = segment[word_idx].word.strip()
-            if re.search('^[A-Z0-9]', word) is None:
-                continue
-            if len(re.sub('[.A-Z0-9]', '', word)) < 3:
-                indices.pop(i)
+            text = text.strip()
+            if (_SPECIAL_PERIOD_START.search(text)
+                    and len(_SPECIAL_PERIOD_STRIP.sub('', text)) < 3):
+                indices.pop(pos)
 
     def _split_segments(self, get_indices, args: Optional[list] = None, *,
                         lock: bool = False, newline: bool = False,
                         ignore_special_periods: bool = False):
-        if args is None:
-            args = []
-        no_words = False
+        saw_wordless = False
         for i in reversed(range(len(self.segments))):
-            no_words = no_words or not self.segments[i].has_words
-            indices = sorted(set(get_indices(self.segments[i], *args)))
+            seg = self.segments[i]
+            saw_wordless = saw_wordless or not seg.has_words
+            indices = sorted(set(get_indices(seg, *(args or []))))
             if ignore_special_periods:
                 self._remove_special_period_indices(indices, i)
             if not indices:
                 continue
             if newline:
-                if indices[-1] == len(self.segments[i].words) - 1:
-                    del indices[-1]
-                    if not indices:
-                        continue
-                for word_idx in indices:
-                    if self.segments[i].words[word_idx].word.endswith('\n'):
-                        continue
-                    self.segments[i].words[word_idx].word += '\n'
-                    if lock:
-                        self.segments[i].words[word_idx].lock_right()
-                        if word_idx + 1 < len(self.segments[i].words):
-                            self.segments[i].words[word_idx + 1].lock_left()
+                self._newline_at(seg, indices, lock)
             else:
-                new_segments = self.segments[i].split(indices, reassign_ids=False)
+                pieces = seg.split(indices, reassign_ids=False)
                 if lock:
-                    for s in new_segments:
-                        if s is new_segments[0]:
-                            s.lock_right()
-                        elif s is new_segments[-1]:
-                            s.lock_left()
-                        else:
-                            s.lock_both()
-                del self.segments[i]
-                for s in reversed(new_segments):
-                    self.segments.insert(i, s)
-        if no_words:
+                    self._lock_split_edges(pieces)
+                self.segments[i:i + 1] = pieces
+        if saw_wordless:
             warnings.warn('Found segment(s) without word timings. '
                           'These segment(s) cannot be split.')
         self.remove_no_word_segments()
+
+    @staticmethod
+    def _newline_at(seg: Segment, indices: List[int], lock: bool):
+        """Append '\\n' to the words at ``indices`` instead of splitting."""
+        if indices[-1] == len(seg.words) - 1:
+            indices.pop()
+        for word_idx in indices:
+            word = seg.words[word_idx]
+            if word.word.endswith('\n'):
+                continue
+            word.word += '\n'
+            if lock:
+                word.lock_right()
+                if word_idx + 1 < len(seg.words):
+                    seg.words[word_idx + 1].lock_left()
+
+    @staticmethod
+    def _lock_split_edges(pieces: List[Segment]):
+        """Lock the freshly-cut boundaries so later ops won't undo the split."""
+        for piece in pieces:
+            if piece is not pieces[0]:
+                piece.lock_left()
+            if piece is not pieces[-1]:
+                piece.lock_right()
 
     def _merge_segments(self, indices: List[int], *,
                         max_words: Optional[int] = None,
                         max_chars: Optional[int] = None,
                         is_sum_max: bool = False,
                         lock: bool = False, newline: bool = False):
-        if len(indices) == 0:
-            return
+        def too_big(a: int, b: int, cap: int) -> bool:
+            return (a + b > cap) if is_sum_max else (a > cap and b > cap)
+
         for i in reversed(indices):
-            seg = self.segments[i]
-            nxt = self.segments[i + 1]
-            if max_words and seg.has_words:
-                exceeds = (seg.word_count() + nxt.word_count() > max_words) if is_sum_max \
-                    else (seg.word_count() > max_words and nxt.word_count() > max_words)
-                if exceeds:
-                    continue
-            if max_chars:
-                exceeds = (seg.char_count() + nxt.char_count() > max_chars) if is_sum_max \
-                    else (seg.char_count() > max_chars and nxt.char_count() > max_chars)
-                if exceeds:
-                    continue
+            seg, nxt = self.segments[i], self.segments[i + 1]
+            if (max_words and seg.has_words
+                    and too_big(seg.word_count(), nxt.word_count(), max_words)):
+                continue
+            if max_chars and too_big(seg.char_count(), nxt.char_count(), max_chars):
+                continue
             self.add_segments(i, i + 1, inplace=True, lock=lock, newline=newline,
                               reassign_ids=False)
-        self.remove_no_word_segments()
+        if indices:
+            self.remove_no_word_segments()
 
     # -- regroup operations (DSL-visible; signatures define positional DSL args) ----------
 
@@ -575,13 +617,18 @@ class WhisperResult:
                      max_chars: Optional[int] = None, is_sum_max: bool = False,
                      lock: bool = False, newline: bool = False) -> 'WhisperResult':
         """Merge adjacent segments whose gap is at most ``min_gap`` seconds."""
-        indices = self.get_gap_indices(min_gap)
-        self._merge_segments(indices, max_words=max_words, max_chars=max_chars,
+        self._merge_segments(self.get_gap_indices(min_gap),
+                             max_words=max_words, max_chars=max_chars,
                              is_sum_max=is_sum_max, lock=lock, newline=newline)
         self._update_history(
             f'mg={min_gap}+{max_words or ""}+{max_chars or ""}'
             f'+{int(is_sum_max)}+{int(lock)}+{int(newline)}')
         return self
+
+    @staticmethod
+    def _punct_to_str(punctuation) -> str:
+        return '/'.join(p if isinstance(p, str) else '*'.join(p)
+                        for p in punctuation)
 
     def split_by_punctuation(self, punctuation, lock: bool = False,
                              newline: bool = False,
@@ -590,38 +637,39 @@ class WhisperResult:
                              min_dur: Optional[float] = None,
                              ignore_special_periods: bool = False) -> 'WhisperResult':
         """Split segments at words that start/end with ``punctuation``."""
-        def over_max(x: Segment):
-            return ((min_words and len(x.words) >= min_words)
-                    or (min_chars and x.char_count() >= min_chars)
-                    or (min_dur and x.duration >= min_dur))
+        if any((min_words, min_chars, min_dur)):
+            eligible = {
+                s.id for s in self.segments
+                if (min_words and len(s.words) >= min_words)
+                or (min_chars and s.char_count() >= min_chars)
+                or (min_dur and s.duration >= min_dur)}
+        else:
+            eligible = None
 
-        indices = (set(s.id for s in self.segments if over_max(s))
-                   if any((min_words, min_chars, min_dur)) else None)
-
-        def get_indices(x: Segment):
-            return (x.get_punctuation_indices(punctuation)
-                    if indices is None or x.id in indices else [])
+        def get_indices(seg: Segment):
+            if eligible is not None and seg.id not in eligible:
+                return []
+            return seg.get_punctuation_indices(punctuation)
 
         ignore_special_periods = self._ignore_special_periods or ignore_special_periods
         self._split_segments(get_indices, lock=lock, newline=newline,
                              ignore_special_periods=ignore_special_periods)
-        punct_str = '/'.join(p if isinstance(p, str) else '*'.join(p) for p in punctuation)
         self._update_history(
-            f'sp={punct_str}+{int(lock)}+{int(newline)}+{min_words or ""}'
-            f'+{min_chars or ""}+{min_dur or ""}+{int(ignore_special_periods)}')
+            f'sp={self._punct_to_str(punctuation)}+{int(lock)}+{int(newline)}'
+            f'+{min_words or ""}+{min_chars or ""}+{min_dur or ""}'
+            f'+{int(ignore_special_periods)}')
         return self
 
     def merge_by_punctuation(self, punctuation, max_words: Optional[int] = None,
                              max_chars: Optional[int] = None, is_sum_max: bool = False,
                              lock: bool = False, newline: bool = False) -> 'WhisperResult':
         """Merge adjacent segments joined by ``punctuation``."""
-        indices = self.get_punctuation_indices(punctuation)
-        self._merge_segments(indices, max_words=max_words, max_chars=max_chars,
+        self._merge_segments(self.get_punctuation_indices(punctuation),
+                             max_words=max_words, max_chars=max_chars,
                              is_sum_max=is_sum_max, lock=lock, newline=newline)
-        punct_str = '/'.join(p if isinstance(p, str) else '*'.join(p) for p in punctuation)
         self._update_history(
-            f'mp={punct_str}+{max_words or ""}+{max_chars or ""}'
-            f'+{int(is_sum_max)}+{int(lock)}+{int(newline)}')
+            f'mp={self._punct_to_str(punctuation)}+{max_words or ""}'
+            f'+{max_chars or ""}+{int(is_sum_max)}+{int(lock)}+{int(newline)}')
         return self
 
     def merge_all_segments(self, record: bool = True) -> 'WhisperResult':
@@ -629,16 +677,16 @@ class WhisperResult:
         if not self.segments:
             return self
         if self.has_words:
-            new_seg = self.segments[0].copy(self.all_words(), keep_result=True,
-                                            copy_words=False)
+            merged = self.segments[0].copy(self.all_words(), keep_result=True,
+                                           copy_words=False)
         else:
-            new_seg = self.segments[0]
-            new_seg._default_text = ''.join(s.text for s in self.segments)
+            merged = self.segments[0]
+            merged._plain['text'] = self.text
             if all(s.tokens is not None for s in self.segments):
-                new_seg._default_tokens = list(chain.from_iterable(
-                    s.tokens for s in self.segments))
-            new_seg.end = self.segments[-1].end
-        self.segments = [new_seg]
+                merged._plain['tokens'] = [t for s in self.segments
+                                           for t in s.tokens]
+            merged.end = self.segments[-1].end
+        self.segments = [merged]
         self.reassign_ids()
         if record:
             self._update_history('ms')
@@ -692,23 +740,30 @@ class WhisperResult:
             warnings.warn('Cannot clamp due to missing/no word-timestamps')
             return self
         for seg in self.segments:
-            curr_max_dur = None
-            if medium_factor and len(seg.words) > 1:
-                durations = np.sort([w.duration for w in seg.words])
-                curr_max_dur = medium_factor * durations[len(durations) // 2]
-            if max_dur and (not curr_max_dur or curr_max_dur > max_dur):
-                curr_max_dur = max_dur
-            if not curr_max_dur:
+            cap = self._duration_cap(seg, medium_factor, max_dur)
+            if not cap:
                 continue
             if clip_start is None:
-                seg.words[0].clamp_max(curr_max_dur, clip_start=True, verbose=verbose)
-                seg.words[-1].clamp_max(curr_max_dur, clip_start=False, verbose=verbose)
+                # only touch the segment edges, pulling them inward
+                seg.words[0].clamp_max(cap, clip_start=True, verbose=verbose)
+                seg.words[-1].clamp_max(cap, clip_start=False, verbose=verbose)
             else:
                 for word in seg.words:
-                    word.clamp_max(curr_max_dur, clip_start=clip_start, verbose=verbose)
+                    word.clamp_max(cap, clip_start=clip_start, verbose=verbose)
         self._update_history(
             f'cm={medium_factor}+{max_dur or ""}+{clip_start or ""}+{int(verbose)}')
         return self
+
+    @staticmethod
+    def _duration_cap(seg: Segment, medium_factor, max_dur) -> Optional[float]:
+        """The effective per-word duration limit for one segment."""
+        cap = None
+        if medium_factor and len(seg.words) > 1:
+            durations = np.sort([w.duration for w in seg.words])
+            cap = medium_factor * durations[len(durations) // 2]
+        if max_dur and (not cap or cap > max_dur):
+            cap = max_dur
+        return cap
 
     def lock(self, startswith: Union[str, List[str], None] = None,
              endswith: Union[str, List[str], None] = None,
@@ -717,36 +772,31 @@ class WhisperResult:
         """Lock words/segments matching prefixes/suffixes against splits/merges."""
         assert startswith is not None or endswith is not None, \
             'Must specify [startswith] or/and [endswith].'
-        startswith = ([] if startswith is None
-                      else [startswith] if isinstance(startswith, str) else startswith)
-        endswith = ([] if endswith is None
-                    else [endswith] if isinstance(endswith, str) else endswith)
-        if not case_sensitive:
-            startswith = [t.lower() for t in startswith]
-            endswith = [t.lower() for t in endswith]
-        if strip:
-            startswith = [t.strip() for t in startswith]
-            endswith = [t.strip() for t in endswith]
+
+        def as_terms(value):
+            if value is None:
+                return []
+            terms = [value] if isinstance(value, str) else value
+            if not case_sensitive:
+                terms = [t.lower() for t in terms]
+            return [t.strip() for t in terms] if strip else terms
+
+        prefixes, suffixes = as_terms(startswith), as_terms(endswith)
         for part in self.all_words_or_segments():
             text = part.word if hasattr(part, 'word') else part.text
             if not case_sensitive:
                 text = text.lower()
             if strip:
                 text = text.strip()
-            for prefix in startswith:
-                if text.startswith(prefix):
-                    if right:
-                        part.lock_right()
-                    if left:
-                        part.lock_left()
-            for suffix in endswith:
-                if text.endswith(suffix):
-                    if right:
-                        part.lock_right()
-                    if left:
-                        part.lock_left()
+            matched = (any(text.startswith(p) for p in prefixes)
+                       or any(text.endswith(s) for s in suffixes))
+            if matched:
+                if right:
+                    part.lock_right()
+                if left:
+                    part.lock_left()
         self._update_history(
-            f'l={"/".join(startswith)}+{"/".join(endswith)}'
+            f'l={"/".join(prefixes)}+{"/".join(suffixes)}'
             f'+{int(right)}+{int(left)}+{int(case_sensitive)}+{int(strip)}')
         return self
 
@@ -762,29 +812,29 @@ class WhisperResult:
         if not (start_pad or end_pad):
             warnings.warn('No ``start_pad`` or ``end_pad`` given.', stacklevel=2)
             return self
-        if word_level and not self.has_words:
-            word_level = False
-        parts = self.all_words() if word_level else self.segments
         assert not start_pad or start_pad > 0, '``start_pad`` must be positive'
         assert not end_pad or end_pad > 0, '``end_pad`` must be positive'
         assert max_dur is None or max_dur > 0, '``max_dur`` must be greater than 0'
         assert max_end is None or max_end > 0, '``max_end`` must be greater than 0'
-        for i, part in enumerate(parts, 1):
+        if word_level and not self.has_words:
+            word_level = False
+        parts = self.all_words() if word_level else self.segments
+        for i, part in enumerate(parts):
             if max_dur and part.end - part.start > max_dur:
                 continue
             if start_pad:
-                new_start = part.start - start_pad
-                new_start = max(0 if i == 1 else parts[i - 2].end, new_start)
-                part.start = new_start
+                prev_end = parts[i - 1].end if i else 0
+                part.start = max(prev_end, part.start - start_pad)
             if end_pad:
-                new_end = part.end + end_pad
-                temp_max_end = max_end
-                if i != len(parts):
-                    temp_max_end = min(max_end, parts[i].start) if max_end else parts[i].start
-                if temp_max_end and temp_max_end < new_end:
-                    new_end = temp_max_end
-                if new_end > part.end:
-                    part.end = new_end
+                stretched = part.end + end_pad
+                cap = max_end
+                if i + 1 < len(parts):
+                    nxt = parts[i + 1].start
+                    cap = min(max_end, nxt) if max_end else nxt
+                if cap and cap < stretched:
+                    stretched = cap
+                if stretched > part.end:
+                    part.end = stretched
         self._update_history(
             f'p={start_pad or ""}+{end_pad or ""}+{max_dur or ""}'
             f'+{max_end or ""}+{int(word_level)}')
@@ -792,18 +842,25 @@ class WhisperResult:
 
     # -- content removal / repair --------------------------------------------------------
 
+    def _verify_membership(self, obj, lookup, kind: str):
+        """Ensure ``obj`` is still at the id it claims; re-id once if stale."""
+        if lookup() is not obj:
+            self.reassign_ids()
+            if lookup() is not obj:
+                raise ValueError(f'{kind} not in result')
+
     def remove_word(self, word: Union[WordTiming, Tuple[int, int]],
                     reassign_ids: bool = True, verbose: bool = True,
                     record: bool = True) -> 'WhisperResult':
         """Remove a word by instance or (segment index, word index)."""
         if isinstance(word, WordTiming):
-            if self[word.segment_id][word.id] is not word:
-                self.reassign_ids()
-                if self[word.segment_id][word.id] is not word:
-                    raise ValueError('word not in result')
+            self._verify_membership(word, lambda: self[word.segment_id][word.id],
+                                    'word')
             seg_id, word_id = word.segment_id, word.id
+        elif isinstance(word, str):
+            seg_id, word_id = map(int, word.split(','))
         else:
-            seg_id, word_id = map(int, word.split(',')) if isinstance(word, str) else word
+            seg_id, word_id = word
         if verbose:
             print(f'Removed: {self[seg_id][word_id].to_dict()}')
         del self.segments[seg_id].words[word_id]
@@ -821,10 +878,7 @@ class WhisperResult:
                        verbose: bool = True, record: bool = True) -> 'WhisperResult':
         """Remove a segment by instance or index."""
         if isinstance(segment, Segment):
-            if self[segment.id] is not segment:
-                self.reassign_ids()
-                if self[segment.id] is not segment:
-                    raise ValueError('segment not in result')
+            self._verify_membership(segment, lambda: self[segment.id], 'segment')
             segment = segment.id
         if verbose:
             print(f'Removed: [id:{self[segment].id}] {self[segment].to_display_str(True)}')
@@ -840,53 +894,51 @@ class WhisperResult:
                           strip: bool = True, ignore_punctuations: str = "\"',.?!",
                           extend_duration: bool = True,
                           verbose: bool = True) -> 'WhisperResult':
-        """Collapse consecutively repeating runs of up to ``max_words`` words."""
+        """Collapse consecutively repeating runs of up to ``max_words`` words.
+
+        For each run length, scans back-to-front comparing adjacent
+        ``count``-word windows on normalized text; on a repeat, the second
+        window is deleted and each survivor keeps the longer-text twin.
+        """
         if not self.has_words:
             return self
         for count in range(1, max_words + 1):
             all_words = self.all_words()
             if len(all_words) < 2:
                 return self
-            keys = [w.word for w in all_words]
-            if strip:
-                keys = [w.strip() for w in keys]
-            if ignore_punctuations:
-                ptn = f'[{ignore_punctuations}]+$'
-                keys = [re.sub(ptn, '', w) for w in keys]
-            if not case_sensitive:
-                keys = [w.lower() for w in keys]
-            next_i = None
+            keys = _normalize_tokens([w.word for w in all_words],
+                                     case_sensitive, strip, ignore_punctuations)
+            resume_at = None  # next window end after a deletion
             changes = []
             for i in reversed(range(count * 2, len(keys) + 1)):
-                if next_i is not None:
-                    if next_i != i:
+                if resume_at is not None:
+                    if resume_at != i:
                         continue
-                    next_i = None
-                s = i - count
-                if keys[s - count:s] != keys[s:i]:
+                    resume_at = None
+                mid = i - count
+                if keys[mid - count:mid] != keys[mid:i]:
                     continue
-                next_i = s
+                resume_at = mid
                 if extend_duration:
-                    all_words[s - 1].end = all_words[i - 1].end
-                temp_changes = []
-                for j in reversed(range(s, i)):
+                    all_words[mid - 1].end = all_words[i - 1].end
+                removed_lines = []
+                for j in reversed(range(mid, i)):
                     if verbose:
-                        temp_changes.append(f'- {all_words[j].to_dict()}')
-                    self.remove_word(all_words[j], False, verbose=False, record=False)
-                if temp_changes:
-                    changes.append(
-                        f'Remove: [{format_timestamp(all_words[s].start)} -> '
-                        f'{format_timestamp(all_words[i - 1].end)}] '
-                        + ''.join(w.word for w in all_words[s:i]) + '\n'
-                        + '\n'.join(reversed(temp_changes)) + '\n'
-                    )
-                # Keep the longer-text twin of each removed word.
-                for i0, i1 in zip(range(s - count, s), range(s, i)):
-                    if len(all_words[i0].word) < len(all_words[i1].word):
-                        all_words[i1].start = all_words[i0].start
-                        all_words[i1].end = all_words[i0].end
-                        sid, wid = all_words[i0].segment_id, all_words[i0].id
-                        self.segments[sid].words[wid] = all_words[i1]
+                        removed_lines.append(f'- {all_words[j].to_dict()}')
+                    self.remove_word(all_words[j], False, verbose=False,
+                                     record=False)
+                if removed_lines:
+                    span = (f'[{format_timestamp(all_words[mid].start)} -> '
+                            f'{format_timestamp(all_words[i - 1].end)}]')
+                    run_text = ''.join(w.word for w in all_words[mid:i])
+                    changes.append(f'Remove: {span} {run_text}\n'
+                                   + '\n'.join(reversed(removed_lines)) + '\n')
+                # keep the longer-text twin of each removed word
+                for kept_i, gone_i in zip(range(mid - count, mid), range(mid, i)):
+                    kept, gone = all_words[kept_i], all_words[gone_i]
+                    if len(kept.word) < len(gone.word):
+                        gone.start, gone.end = kept.start, kept.end
+                        self.segments[kept.segment_id].words[kept.id] = gone
             if changes:
                 print('\n'.join(reversed(changes)))
             self.remove_no_word_segments(reassign_ids=False)
@@ -911,36 +963,28 @@ class WhisperResult:
             words = None
         filters = self._content_cache.resolve(filters)
         all_words = self.all_words()
-        keys = [w.word for w in all_words]
-        if strip:
-            keys = [w.strip() for w in keys]
-            if words is not None:
-                words = [w.strip() for w in words]
-        if ignore_punctuations:
-            ptn = f'[{ignore_punctuations}]+$'
-            keys = [re.sub(ptn, '', w) for w in keys]
-            if words is not None:
-                words = [re.sub(ptn, '', w) for w in words]
-        if not case_sensitive:
-            keys = [w.lower() for w in keys]
-            if words is not None:
-                words = [w.lower() for w in words]
+        keys = _normalize_tokens([w.word for w in all_words],
+                                 case_sensitive, strip, ignore_punctuations)
+        if words is not None:
+            words = _normalize_tokens(words, case_sensitive, strip,
+                                      ignore_punctuations)
         changes = []
-        for i, w in reversed(list(enumerate(keys))):
-            if not (words is None or any(w == _w for _w in words)):
+        for i in reversed(range(len(keys))):
+            if words is not None and keys[i] not in words:
                 continue
-            prob_gate = (min_prob is None or all_words[i].probability is None
-                         or min_prob > all_words[i].probability)
-            if prob_gate and (filters is None or filters(all_words[i])):
+            target = all_words[i]
+            below_prob = (min_prob is None or target.probability is None
+                          or min_prob > target.probability)
+            if below_prob and (filters is None or filters(target)):
                 if verbose:
-                    changes.append(f'Removed: {all_words[i].to_dict()}')
-                self.remove_word(all_words[i], False, verbose=False, record=False)
+                    changes.append(f'Removed: {target.to_dict()}')
+                self.remove_word(target, False, verbose=False, record=False)
         if changes:
             print('\n'.join(reversed(changes)))
         self.remove_no_word_segments()
-        words_str = 0 if words is None else '/'.join(words)
         self._update_history(
-            f'rws={words_str}+{int(case_sensitive)}+{int(strip)}'
+            f'rws={0 if words is None else "/".join(words)}'
+            f'+{int(case_sensitive)}+{int(strip)}'
             f'+{ignore_punctuations}+{min_prob}'
             f'+{self._content_cache.store(filters)}+{int(verbose)}')
         return self
@@ -959,52 +1003,51 @@ class WhisperResult:
         else:
             other_path = self._content_cache.store(other_result)
 
-        def norm(w: str) -> str:
-            if strip:
-                w = w.strip()
-            if ignore_punctuations:
-                w = re.sub(f'[{ignore_punctuations}]+$', '', w)
-            if not case_sensitive:
-                w = w.lower()
-            return w
+        def norm(text: str) -> str:
+            return _normalize_tokens([text], case_sensitive, strip,
+                                     ignore_punctuations)[0]
 
-        seg_pairs = list(enumerate(zip(self.segments[:-1], self.segments[1:])))
-        seg_pairs.insert(0, (-1, (None, self.segments[0])))
-        seg_pairs.append((seg_pairs[-1][0] + 1, (self.segments[-1], None)))
+        # boundary list: (insertion index, segment before, segment after),
+        # with virtual open boundaries at both ends of the result
+        boundaries = [(-1, None, self.segments[0])]
+        boundaries += [(i, a, b) for i, (a, b) in
+                       enumerate(zip(self.segments[:-1], self.segments[1:]))]
+        boundaries.append((len(self.segments) - 1, self.segments[-1], None))
 
         changes = []
-        for i, (seg0, seg1) in reversed(seg_pairs):
-            first_word = None if seg0 is None else seg0.words[-1]
-            last_word = None if seg1 is None else seg1.words[0]
-            start = other_result[0].start if first_word is None else first_word.end
-            end = other_result[-1].end if last_word is None else last_word.start
+        for i, seg0, seg1 in reversed(boundaries):
+            left_word = seg0.words[-1] if seg0 is not None else None
+            right_word = seg1.words[0] if seg1 is not None else None
+            start = other_result[0].start if left_word is None else left_word.end
+            end = other_result[-1].end if right_word is None else right_word.start
             if end - start <= min_gap:
                 continue
             gap_words = other_result.get_content_by_time((start, end))
-            if first_word is not None and gap_words and \
-                    norm(first_word.word) == norm(gap_words[0].word):
-                first_word.end = gap_words[0].end
+            # duplicated edge words extend the existing boundary words instead
+            if left_word is not None and gap_words and \
+                    norm(left_word.word) == norm(gap_words[0].word):
+                left_word.end = gap_words[0].end
                 gap_words = gap_words[1:]
-            if last_word is not None and gap_words and \
-                    norm(last_word.word) == norm(gap_words[-1].word):
-                last_word.start = gap_words[-1].start
+            if right_word is not None and gap_words and \
+                    norm(right_word.word) == norm(gap_words[-1].word):
+                right_word.start = gap_words[-1].start
                 gap_words = gap_words[:-1]
             if not gap_words:
                 continue
-            if last_word is not None and last_word.start < gap_words[-1].end:
-                last_word.start = gap_words[-1].end
-            new_segments = [other_result[gap_words[0].segment_id].copy([])]
-            for j, new_word in enumerate(gap_words):
-                word_copy = new_word.copy(copy_tokens=True)
-                if j == 0 and first_word is not None and first_word.end > gap_words[0].start:
-                    word_copy.start = first_word.end
-                if new_segments[-1].id != new_word.segment_id:
-                    new_segments.append(other_result[new_word.segment_id].copy([]))
-                new_segments[-1].words.append(word_copy)
+            if right_word is not None and right_word.start < gap_words[-1].end:
+                right_word.start = gap_words[-1].end
+            inserted = [other_result[gap_words[0].segment_id].copy([])]
+            for j, gap_word in enumerate(gap_words):
+                word_copy = gap_word.copy(copy_tokens=True)
+                if j == 0 and left_word is not None and left_word.end > gap_word.start:
+                    word_copy.start = left_word.end
+                if inserted[-1].id != gap_word.segment_id:
+                    inserted.append(other_result[gap_word.segment_id].copy([]))
+                inserted[-1].words.append(word_copy)
             if verbose:
                 changes.append('\n'.join('Added: ' + s.to_display_str(True)
-                                         for s in new_segments))
-            self.segments = self.segments[:i + 1] + new_segments + self.segments[i + 1:]
+                                         for s in inserted))
+            self.segments[i + 1:i + 1] = inserted
         if changes:
             print('\n'.join(reversed(changes)))
         self.reassign_ids()
@@ -1019,76 +1062,102 @@ class WhisperResult:
         if duration_threshold > 1:
             raise ValueError('``duration_threshold`` must be at most 1.0 '
                              f'but got {duration_threshold}')
-        ns_idx = 0
+        sections = self.nonspeech_sections
+        scan = 0  # persistent cursor into the (sorted) nonspeech sections
         for seg_idx in range(-1, len(self.segments)):
             curr_part = None if seg_idx == -1 else self.segments[seg_idx]
             next_part = (None if curr_part is self.segments[-1]
                          else self.segments[seg_idx + 1])
-            curr_start = curr_end = next_start = next_end = None
+            curr_span, next_span = self._gap_edge_spans(curr_part, next_part)
             if self.has_words:
-                if curr_part is None:
-                    word_duration = np.median([w.duration for w in next_part]) * 2
-                    curr_start = curr_end = max(next_part.start - word_duration, 0)
-                if next_part is None:
-                    med_duration = np.median([w.duration for w in curr_part]) * 2
-                    next_start = next_end = curr_part.end + med_duration
-                if curr_part is not None:
-                    curr_part = curr_part[-1]
-                if next_part is not None:
-                    next_part = next_part[0]
-            else:
-                if curr_part is None:
-                    curr_start = curr_end = max(next_part.start - next_part.duration, 0)
-                if next_part is None:
-                    next_start = next_end = curr_part.end + curr_part.duration
+                curr_part = curr_part[-1] if curr_part is not None else None
+                next_part = next_part[0] if next_part is not None else None
+            curr_start, curr_end = curr_span
+            next_start, next_end = next_span
 
-            if curr_start is None:
-                curr_start = curr_part.start
-            if curr_end is None:
-                curr_end = curr_part.end
-            if next_start is None:
-                next_start = next_part.start
-            if next_end is None:
-                next_end = next_part.end
-
+            # collect nonspeech sections falling inside this gap
             candidates: List[Tuple[float, float]] = []
-            for ns_idx in range(ns_idx, len(self.nonspeech_sections)):
-                section = self.nonspeech_sections[ns_idx]
-                ns_start, ns_end = section['start'], section['end']
-                valid_start = curr_start < (ns_end if curr_part is None else ns_start)
-                valid_end = (ns_start if next_part is None else ns_end) < next_end
-                if valid_start and valid_end:
+            idx = scan
+            for idx in range(scan, len(sections)):
+                ns_start, ns_end = sections[idx]['start'], sections[idx]['end']
+                open_left = curr_start < (ns_end if curr_part is None else ns_start)
+                open_right = (ns_start if next_part is None else ns_end) < next_end
+                if open_left and open_right:
                     candidates.append((ns_start, ns_end))
                 if next_start < ns_start:
                     break
+            scan = idx
             if not candidates:
                 continue
-            durations = np.array([e - s for s, e in candidates])
-            order = np.argsort(durations)
-            pct = durations[order] / durations[order][-1]
-            valid = pct >= duration_threshold
-            if not np.any(valid):
+
+            chosen = self._choose_sections(candidates, duration_threshold,
+                                           curr_end, next_start, one_section)
+            if chosen is None:
                 continue
-            order = order[valid]
-            curr_scores = np.array([abs(candidates[i][0] - curr_end) for i in order])
-            next_scores = np.array([abs(candidates[i][1] - next_start) for i in order])
-            if one_section:
-                k = np.argmin(curr_scores + next_scores)
-                best_curr = best_next = order[k]
-            else:
-                best_curr = order[np.argmin(curr_scores)]
-                best_next = order[np.argmin(next_scores)]
-                if best_curr > best_next:
-                    k = np.argmin(curr_scores + next_scores)
-                    best_curr = best_next = order[k]
-            new_end = candidates[best_curr][0]
-            if curr_part is not None and curr_start < new_end:
-                curr_part.end = new_end
-            new_start = candidates[best_next][1]
-            if next_part is not None and new_start < next_end:
-                next_part.start = new_start
+            (end_section, start_section) = chosen
+            if curr_part is not None and curr_start < end_section[0]:
+                curr_part.end = end_section[0]
+            if next_part is not None and start_section[1] < next_end:
+                next_part.start = start_section[1]
         self._update_history(f'ag={duration_threshold}+{int(one_section)}')
         return self
+
+    def _gap_edge_spans(self, curr_part, next_part):
+        """(start, end) spans of the parts flanking a gap, with synthetic
+        spans for the open boundaries before the first / after the last
+        segment (sized by doubled median word duration when words exist)."""
+        if self.has_words:
+            if curr_part is None:
+                pad = np.median([w.duration for w in next_part]) * 2
+                t = max(next_part.start - pad, 0)
+                curr_span = (t, t)
+            else:
+                curr_span = (curr_part[-1].start, curr_part[-1].end)
+            if next_part is None:
+                pad = np.median([w.duration for w in curr_part]) * 2
+                t = curr_part.end + pad
+                next_span = (t, t)
+            else:
+                next_span = (next_part[0].start, next_part[0].end)
+        else:
+            if curr_part is None:
+                t = max(next_part.start - next_part.duration, 0)
+                curr_span = (t, t)
+            else:
+                curr_span = (curr_part.start, curr_part.end)
+            if next_part is None:
+                t = curr_part.end + curr_part.duration
+                next_span = (t, t)
+            else:
+                next_span = (next_part.start, next_part.end)
+        return curr_span, next_span
+
+    @staticmethod
+    def _choose_sections(candidates, duration_threshold, curr_end, next_start,
+                         one_section):
+        """Pick the nonspeech section(s) to snap the gap edges to.
+
+        Only sections at least ``duration_threshold`` of the longest survive;
+        edges snap to the nearest surviving section (or one shared section
+        when forced or when independent picks would cross)."""
+        cand = np.array(candidates)
+        durations = cand[:, 1] - cand[:, 0]
+        order = np.argsort(durations)
+        long_enough = durations[order] / durations[order[-1]] >= duration_threshold
+        order = order[long_enough]
+        if not order.size:
+            return None
+        end_dist = np.abs(cand[order, 0] - curr_end)
+        start_dist = np.abs(cand[order, 1] - next_start)
+        if one_section:
+            pick = order[np.argmin(end_dist + start_dist)]
+            return tuple(cand[pick]), tuple(cand[pick])
+        for_end = order[np.argmin(end_dist)]
+        for_start = order[np.argmin(start_dist)]
+        if for_end > for_start:  # crossing picks -> collapse to one section
+            pick = order[np.argmin(end_dist + start_dist)]
+            for_end = for_start = pick
+        return tuple(cand[for_end]), tuple(cand[for_start])
 
     def convert_to_segment_level(self) -> 'WhisperResult':
         """Drop all word-level data, keeping segment text/timestamps."""
@@ -1102,6 +1171,86 @@ class WhisperResult:
     _CUSTOM_METHODS = ('mergeleft', 'mergeright', 'merge',
                        'lockright', 'lockleft', 'lock',
                        'splitright', 'splitleft', 'split', 'remove')
+
+    @staticmethod
+    def _co_merge_action(method: str):
+        want_right = method in ('mergeright', 'merge')
+        want_left = method in ('mergeleft', 'merge')
+
+        def neighbor_pairs(result, seg_idx, word_idx=None):
+            pairs = []
+            if want_right and seg_idx + 1 < len(result.segments) and (
+                    word_idx is None
+                    or word_idx == len(result[seg_idx].words) - 1):
+                pairs.append((seg_idx, seg_idx + 1))
+            if want_left and seg_idx != 0 and (word_idx is None or word_idx == 0):
+                pairs.append((seg_idx - 1, seg_idx))
+            return pairs
+
+        def action(result, seg_idx, word_idx=None):
+            for pair in neighbor_pairs(result, seg_idx, word_idx):
+                result.add_segments(*pair, inplace=True, reassign_ids=False)
+        return action
+
+    @staticmethod
+    def _co_lock_action(method: str):
+        do_right = method in ('lockright', 'lock')
+        do_left = method in ('lockleft', 'lock')
+
+        def action(result, seg_idx, word_idx=None):
+            target = result[seg_idx] if word_idx is None else result[seg_idx][word_idx]
+            if do_right:
+                target.lock_right()
+            if do_left:
+                target.lock_left()
+        return action
+
+    @staticmethod
+    def _co_split_action(method: str):
+        def action(result, seg_idx, word_idx=None):
+            if method == 'splitright':
+                cuts = [] if word_idx == len(result[seg_idx].words) + 1 else [word_idx]
+            elif method == 'splitleft':
+                cuts = [] if word_idx == 0 else [word_idx - 1]
+            else:
+                cuts = ([word_idx - 1] if word_idx != 0 else []) + \
+                       ([word_idx] if word_idx < len(result[seg_idx].words) + 1 else [])
+            if not cuts:
+                return
+            result.split_segment_by_index(
+                result[seg_idx], cuts if method == 'split' else cuts[0],
+                reassign_ids=False)
+        return action
+
+    @staticmethod
+    def _co_remove_action(result, seg_idx, word_idx=None):
+        if word_idx is None:
+            result.remove_segment(result[seg_idx], reassign_ids=False, record=False)
+        else:
+            result.remove_word(result[seg_idx][word_idx], reassign_ids=False,
+                               record=False)
+
+    def _co_resolve_action(self, method: str, word_level):
+        if method.startswith('merge'):
+            return self._co_merge_action(method)
+        if method.startswith('lock'):
+            return self._co_lock_action(method)
+        if method.startswith('split'):
+            if word_level is None:
+                raise ValueError('Segment-level result is not compatible with split actions.')
+            if not word_level:
+                raise ValueError('``word_level=False`` is not compatible with split actions.')
+            return self._co_split_action(method)
+        return self._co_remove_action  # 'remove'
+
+    @staticmethod
+    def _co_value_getter(key: str):
+        if key.startswith('len='):
+            attr = key[4:]
+            return lambda obj: len(getattr(obj, attr))
+        if key == '':
+            return lambda obj: obj
+        return lambda obj: getattr(obj, key)
 
     def custom_operation(self, key: str, operator: Union[str, Callable], value,
                          method: Union[str, Callable],
@@ -1127,136 +1276,43 @@ class WhisperResult:
             if method not in self._CUSTOM_METHODS:
                 raise ValueError(f"invalid method: '{method}'. "
                                  f'Valid methods: {self._CUSTOM_METHODS}')
-        elif not callable(method):
+            method_str = method
+            action = self._co_resolve_action(method, word_level)
+        elif callable(method):
+            method_str = self._content_cache.store(method)
+            action = method
+        else:
             raise TypeError(f"'{type(method)}' object is not callable")
 
         key = key.replace(' ', '_')
         operator = self._content_cache.resolve(operator)
         if isinstance(operator, str):
-            operators = {
-                '==': lambda a, b: a == b,
-                '>': lambda a, b: a > b,
-                '>=': lambda a, b: a >= b,
-                '<': lambda a, b: a < b,
-                '<=': lambda a, b: a <= b,
-                'is': lambda a, b: a is b,
-                'in': lambda a, b: a in b,
-                'start': str.startswith,
-                'end': str.endswith,
-            }
-            if operator not in operators:
+            if operator not in _COMPARATORS:
                 raise ValueError(f"invalid operator: '{operator}'. "
-                                 f'Valid operators: {tuple(operators)}')
-            operator_str = operator
-            operator = operators[operator]
+                                 f'Valid operators: {tuple(_COMPARATORS)}')
+            operator_str, operator = operator, _COMPARATORS[operator]
         else:
             operator_str = self._content_cache.store(operator)
 
-        method_str = method
-        if not is_builtin:
-            method_str = self._content_cache.store(method)
-            action = method
-        elif method.startswith('merge'):
-            def left_pairs(result, seg_idx, word_idx=None):
-                if seg_idx == 0 or (word_idx is not None and word_idx != 0):
-                    return []
-                return [(seg_idx - 1, seg_idx)]
-
-            def right_pairs(result, seg_idx, word_idx=None):
-                if (seg_idx + 1 >= len(result.segments)
-                        or (word_idx is not None
-                            and word_idx != len(result[seg_idx].words) - 1)):
-                    return []
-                return [(seg_idx, seg_idx + 1)]
-
-            if method == 'mergeright':
-                pairs = right_pairs
-            elif method == 'mergeleft':
-                pairs = left_pairs
-            else:
-                def pairs(*args):
-                    return right_pairs(*args) + left_pairs(*args)
-
-            def action(result, seg_idx, word_idx=None):
-                for idxs in pairs(result, seg_idx, word_idx):
-                    result.add_segments(*idxs, inplace=True, reassign_ids=False)
-
-        elif method.startswith('lock'):
-            do_right = method in ('lockright', 'lock')
-            do_left = method in ('lockleft', 'lock')
-
-            def action(result, seg_idx, word_idx=None):
-                target = result[seg_idx] if word_idx is None else result[seg_idx][word_idx]
-                if do_right:
-                    target.lock_right()
-                if do_left:
-                    target.lock_left()
-
-        elif method.startswith('split'):
-            if word_level is None:
-                raise ValueError('Segment-level result is not compatible with split actions.')
-            if not word_level:
-                raise ValueError('``word_level=False`` is not compatible with split actions.')
-            if method == 'splitright':
-                def action(result, seg_idx, word_idx=None):
-                    if word_idx == len(result[seg_idx].words) + 1:
-                        return
-                    result.split_segment_by_index(result[seg_idx], word_idx,
-                                                  reassign_ids=False)
-            elif method == 'splitleft':
-                def action(result, seg_idx, word_idx=None):
-                    if word_idx == 0:
-                        return
-                    result.split_segment_by_index(result[seg_idx], word_idx - 1,
-                                                  reassign_ids=False)
-            else:
-                def action(result, seg_idx, word_idx=None):
-                    indices = []
-                    if word_idx != 0:
-                        indices.append(word_idx - 1)
-                    if word_idx < len(result[seg_idx].words) + 1:
-                        indices.append(word_idx)
-                    result.split_segment_by_index(result[seg_idx], indices,
-                                                  reassign_ids=False)
-        else:  # remove
-            def action(result, seg_idx, word_idx=None):
-                if word_idx is None:
-                    result.remove_segment(result[seg_idx], reassign_ids=False, record=False)
-                else:
-                    result.remove_word(result[seg_idx][word_idx], reassign_ids=False,
-                                       record=False)
-
-        if key.startswith('len='):
-            attr = key[4:]
-
-            def get_value(obj):
-                return len(getattr(obj, attr))
-        elif key == '':
-            def get_value(obj):
-                return obj
-        else:
-            def get_value(obj):
-                return getattr(obj, key)
-
-        if isinstance(value, str) and (value.startswith('all=') or value.startswith('any=')):
+        get_value = self._co_value_getter(key)
+        if isinstance(value, str) and value[:4] in ('all=', 'any='):
             check = any if value.startswith('any=') else all
-            values = [v.replace('\\,', ',') for v in re.split(r'(?<!\\),', value[4:])]
+            terms = [v.replace('\\,', ',')
+                     for v in re.split(r'(?<!\\),', value[4:])]
 
             def is_satisfied(obj):
-                return check(operator(get_value(obj), v) for v in values)
+                return check(operator(get_value(obj), term) for term in terms)
         else:
             def is_satisfied(obj):
                 return operator(get_value(obj), value)
 
-        if word_level:
-            for seg_i in range(len(self.segments) - 1, -1, -1):
-                for word_i in range(len(self.segments[seg_i].words) - 1, -1, -1):
+        for seg_i in reversed(range(len(self.segments))):
+            if word_level:
+                for word_i in reversed(range(len(self.segments[seg_i].words))):
                     if is_satisfied(self[seg_i][word_i]):
                         action(self, seg_i, word_i)
-        else:
-            for seg_i in range(len(self.segments) - 1, -1, -1):
-                if is_satisfied(self[seg_i]):
-                    action(self, seg_i, None)
+            elif is_satisfied(self[seg_i]):
+                action(self, seg_i, None)
 
         self.reassign_ids()
         if isinstance(value, bool) or not isinstance(value, (str, int, float)):
@@ -1277,10 +1333,10 @@ class WhisperResult:
             return self
         if regroup_algo is None or regroup_algo is True:
             regroup_algo = 'da'
-        for method, kwargs, msg in self.parse_regroup_algo(
+        for method, kwargs, display in self.parse_regroup_algo(
                 regroup_algo, include_str=verbose or only_show):
-            if msg:
-                print(msg)
+            if display:
+                print(display)
             if not only_show:
                 method(**kwargs)
         return self
@@ -1289,42 +1345,22 @@ class WhisperResult:
                            include_str: bool = True) -> List[Tuple[Callable, dict, str]]:
         """Parse a regroup DSL string into (bound method, kwargs, display) triples."""
         import inspect
-        methods = dict(
-            sg=self.split_by_gap,
-            sp=self.split_by_punctuation,
-            sl=self.split_by_length,
-            sd=self.split_by_duration,
-            mg=self.merge_by_gap,
-            mp=self.merge_by_punctuation,
-            ms=self.merge_all_segments,
-            cm=self.clamp_max,
-            us=self.unlock_all_segments,
-            l=self.lock,
-            rw=self.remove_word,
-            rs=self.remove_segment,
-            rp=self.remove_repetition,
-            rws=self.remove_words_by_str,
-            fg=self.fill_in_gaps,
-            p=self.pad,
-            ag=self.adjust_gaps,
-            csl=self.convert_to_segment_level,
-            co=self.custom_operation,
-            isp=self.ignore_special_periods,
-        )
+        methods = {k: getattr(self, name) for k, name in _DSL_METHODS.items()}
         if not regroup_algo:
             return []
         calls = regroup_algo.split('_')
-        if 'da' in calls:
-            default_calls = DEFAULT_REGROUP_ALGO.split('_')
-            calls = list(chain.from_iterable(
-                default_calls if c == 'da' else [c] for c in calls))
+        if 'da' in calls:  # expand the default-algorithm macro in place
+            expansion = DEFAULT_REGROUP_ALGO.split('_')
+            calls = [part for c in calls
+                     for part in (expansion if c == 'da' else [c])]
         operations = []
         for call in calls:
-            name, args = call.split('=', maxsplit=1) if '=' in call else (call, '')
+            name, _, arg_str = call.partition('=')
             if name not in methods:
                 raise NotImplementedError(
                     f'{name} is not one of the available methods: {tuple(methods)}')
-            args = [] if len(args) == 0 else [str_to_valid_type(a) for a in args.split('+')]
+            args = ([str_to_valid_type(a) for a in arg_str.split('+')]
+                    if arg_str else [])
             param_names = list(inspect.signature(methods[name]).parameters)
             # the reference zips args onto __code__.co_varnames, so a non-None
             # arg past the real parameter list lands on a local variable name
@@ -1337,20 +1373,19 @@ class WhisperResult:
                         f'values than parameters: {extra!r}')
             kwargs = {k: v for k, v in zip(param_names, args) if v is not None}
             if include_str:
-                kwargs_str = ', '.join(
-                    f'{k}="{v}"' if isinstance(v, str) else f'{k}={v}'
-                    for k, v in kwargs.items())
-                op_str = f'{methods[name].__name__}({kwargs_str})'
+                rendered = ', '.join(f'{k}="{v}"' if isinstance(v, str) else f'{k}={v}'
+                                     for k, v in kwargs.items())
+                display = f'{methods[name].__name__}({rendered})'
             else:
-                op_str = None
-            operations.append((methods[name], kwargs, op_str))
+                display = None
+            operations.append((methods[name], kwargs, display))
         return operations
 
     def show_regroup_history(self):
         if not self._regroup_history:
             print('Result has no history.')
-        for *_, msg in self.parse_regroup_algo(self._regroup_history):
-            print(f'.{msg}')
+        for *_, display in self.parse_regroup_algo(self._regroup_history):
+            print(f'.{display}')
 
     # -- search --------------------------------------------------------------------------
 
@@ -1362,11 +1397,10 @@ class WhisperResult:
     # -- persistence ------------------------------------------------------------------------
 
     def to_dict(self, keep_orig: bool = True) -> dict:
-        ori_dict = self.ori_dict if keep_orig else {}
         return dict(text=self.text,
                     segments=self.segments_to_dicts(),
                     language=self.language,
-                    ori_dict=ori_dict,
+                    ori_dict=self.ori_dict if keep_orig else {},
                     regroup_history=self._regroup_history,
                     nonspeech_sections=self._nonspeech_sections,
                     unfinished=self.unfinished_start)
@@ -1396,12 +1430,7 @@ class WhisperResult:
         """Restore the state captured in ``ori_dict`` (drops regroup history)."""
         self.language = self.ori_dict.get('language')
         self._regroup_history = ''
-        segments = self.ori_dict.get('segments')
-        self.segments = ([Segment(**s, ignore_unused_args=True) for s in segments]
-                         if segments else [])
-        if self._forced_order:
-            self.force_order()
-        self.remove_no_word_segments(any(seg.has_words for seg in self.segments))
+        self._materialize(self.ori_dict.get('segments'))
 
     # Output-format methods.
     to_srt_vtt = result_to_srt_vtt
