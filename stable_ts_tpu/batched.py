@@ -310,7 +310,7 @@ def _batched_word_timestamps(model, tokenizer, mels, active, window_meta,
     from .models.whisper.timing import (WordTimingRaw, _matrices_to_jumps,
                                         merge_punctuations, pop_empty_alignment,
                                         split_word_tokens, _dynamic_head_weights,
-                                        _legacy_head_weights, _new_aligner_matrix,
+                                        legacy_head_weights, new_aligner_matrix,
                                         find_alignment)
 
     # Collect per-window flattened tokens.
@@ -369,19 +369,18 @@ def _batched_word_timestamps(model, tokenizer, mels, active, window_meta,
             kwargs = dict(topk=20, w_colnorm=1.0, w_rownorm=1.0, w_coverage=0.0)
             if isinstance(aligner, dict):
                 kwargs.update(aligner)
-            matrix = np.asarray(_new_aligner_matrix(
-                jnp.asarray(qk), max_qk_len, sot_len, 1.0,
+            matrix = new_aligner_matrix(
+                qk, max_qk_len, sot_len, 1.0,
                 medfilt_width=7,
                 topk=min(int(kwargs['topk']),
                          model.dims.n_text_layer * model.dims.n_text_head),
                 w_colnorm=float(kwargs['w_colnorm']),
                 w_rownorm=float(kwargs['w_rownorm']),
-                w_coverage=float(kwargs['w_coverage'])))
+                w_coverage=float(kwargs['w_coverage']))
         elif model.alignment_heads is not None and not dynamic_heads:
             heads = np.asarray(model.alignment_heads)
-            sel = jnp.asarray(qk[heads[:, 0], heads[:, 1]])
-            weights = np.asarray(_legacy_head_weights(sel, max_qk_len, sot_len,
-                                                      1.0, 7))
+            sel = qk[heads[:, 0], heads[:, 1]]
+            weights = legacy_head_weights(sel, max_qk_len, sot_len, 1.0, 7)
             matrix = weights.mean(axis=0)
         else:
             count = 6 if dynamic_heads in (None, True) else int(dynamic_heads)

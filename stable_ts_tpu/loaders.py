@@ -234,6 +234,16 @@ def load_model(name_or_path: str,
         dims, params = load_hf_checkpoint(path)
     else:
         dims, params = load_openai_checkpoint(path)
+    if alignment_heads is None:
+        # Canonical per-model heads (whisper _ALIGNMENT_HEADS); checkpoints
+        # the table doesn't know (HF fine-tunes, custom dims) keep None and
+        # fall back to dynamic head selection in timing.py.
+        from .models.whisper.alignment_heads import (get_alignment_heads,
+                                                     resolve_model_name)
+        known = resolve_model_name(name_or_path) or resolve_model_name(path)
+        if known:
+            alignment_heads = get_alignment_heads(
+                known, dims.n_text_layer, dims.n_text_head)
     if vocab_path is None:
         vocab_path = _find_vocab(path if os.path.isdir(path)
                                  else os.path.dirname(path) or '.')

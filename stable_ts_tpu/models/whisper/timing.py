@@ -91,6 +91,39 @@ def _legacy_head_weights(qks_sel: jnp.ndarray, max_qk_len: int, sot_len: int,
     return median_filter(w, medfilt_width)
 
 
+def _np_softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def _legacy_head_weights_host(qks_sel: np.ndarray, max_qk_len: int,
+                              sot_len: int, qk_scale: float,
+                              medfilt_width: int) -> np.ndarray:
+    """Short-window variant: crop to max_qk_len BEFORE softmax/median filter,
+    exactly like the reference (timing.py:106-110). The jitted full-width
+    path is numerically identical only when max_qk_len spans all 1500 frames
+    (the common 30-s window); cropping changes the median filter's reflect
+    boundary and confines the DTW to real audio columns."""
+    w = np.asarray(qks_sel, np.float32)[:, sot_len:-1, :max_qk_len]
+    w = _np_softmax(w * qk_scale)
+    std = w.std(axis=-2, keepdims=True)
+    mean = w.mean(axis=-2, keepdims=True)
+    w = (w - mean) / np.where(std > 0, std, 1.0)
+    return _np_median_filter(w, medfilt_width)
+
+
+def legacy_head_weights(qks_sel, max_qk_len: int, sot_len: int,
+                        qk_scale: float, medfilt_width: int) -> np.ndarray:
+    """Normalized attention weights over the selected heads, cropped to
+    ``max_qk_len`` frames. Dispatches to the device kernel for full 30-s
+    windows and the host reference-order path for short windows."""
+    if max_qk_len >= qks_sel.shape[-1]:
+        return np.asarray(_legacy_head_weights(
+            qks_sel, max_qk_len, sot_len, qk_scale, medfilt_width))
+    return _legacy_head_weights_host(
+        np.asarray(qks_sel), max_qk_len, sot_len, qk_scale, medfilt_width)
+
+
 def _dynamic_head_weights(qks: np.ndarray, sot_len: int, max_qk_len: int,
                           qk_scale: float, medfilt_width: int,
                           heads_count: int,
@@ -162,6 +195,47 @@ def _new_aligner_matrix(qks: jnp.ndarray, max_qk_len: int, sot_len: int,
     col_norm = jnp.linalg.norm(matrix, axis=-2, keepdims=True)
     matrix = jnp.mean(matrix / jnp.where(col_norm == 0, 1.0, col_norm), axis=0)
     return matrix[sot_len:-1]
+
+
+def _new_aligner_matrix_host(qks: np.ndarray, max_qk_len: int, sot_len: int,
+                             qk_scale: float, medfilt_width: int, topk: int,
+                             w_colnorm: float, w_rownorm: float,
+                             w_coverage: float) -> np.ndarray:
+    """Short-window 'new' aligner: crop BEFORE the median filter/softmax,
+    matching reference timing.py:138-141 order."""
+    L, H, T, F = qks.shape
+    w = np.asarray(qks, np.float32).reshape(L * H, T, F)[..., :max_qk_len]
+    w = _np_median_filter(w, medfilt_width)
+    w = _np_softmax(w * qk_scale)
+    scores = np.zeros(L * H)
+    if w_colnorm > 0:
+        scores += w_colnorm * np.linalg.norm(w, axis=-2).sum(-1)
+    if w_rownorm > 0:
+        scores += w_rownorm * np.linalg.norm(w, axis=-1).sum(-1)
+    if w_coverage > 0:
+        coverage = w.sum(axis=1)
+        scores -= w_coverage * (np.maximum(coverage, 0.5).sum(-1)
+                                - coverage.shape[-1] * 0.5)
+    top_idxs = np.argsort(-scores)[:topk]
+    matrix = w[top_idxs]
+    col_norm = np.linalg.norm(matrix, axis=-2, keepdims=True)
+    matrix = (matrix / np.where(col_norm == 0, 1.0, col_norm)).mean(axis=0)
+    return matrix[sot_len:-1]
+
+
+def new_aligner_matrix(qks, max_qk_len: int, sot_len: int, qk_scale: float,
+                       medfilt_width: int, topk: int, w_colnorm: float,
+                       w_rownorm: float, w_coverage: float) -> np.ndarray:
+    """'new' aligner matrix cropped to ``max_qk_len``; device kernel for full
+    windows, host reference-order path for short ones."""
+    if max_qk_len >= qks.shape[-1]:
+        return np.asarray(_new_aligner_matrix(
+            jnp.asarray(qks), max_qk_len, sot_len, qk_scale,
+            medfilt_width=medfilt_width, topk=topk, w_colnorm=w_colnorm,
+            w_rownorm=w_rownorm, w_coverage=w_coverage))
+    return _new_aligner_matrix_host(
+        np.asarray(qks), max_qk_len, sot_len, qk_scale, medfilt_width, topk,
+        w_colnorm, w_rownorm, w_coverage)
 
 
 def find_alignment(
@@ -239,14 +313,14 @@ def find_alignment(
             dynamic_count = None
 
     if use_new:
-        matrix = np.asarray(_new_aligner_matrix(
+        matrix = new_aligner_matrix(
             qks, max_qk_len, sot_len, qk_scale,
             medfilt_width=medfilt_width,
             topk=min(int(new_kwargs['topk']),
                      dims.n_text_layer * dims.n_text_head),
             w_colnorm=float(new_kwargs['w_colnorm']),
             w_rownorm=float(new_kwargs['w_rownorm']),
-            w_coverage=float(new_kwargs['w_coverage'])))
+            w_coverage=float(new_kwargs['w_coverage']))
         jump_indices = _matrix_to_jumps(matrix)
     elif dynamic_count:
         qks_np = np.asarray(qks, dtype=np.float32)
@@ -260,8 +334,8 @@ def find_alignment(
     else:
         heads = np.asarray(alignment_heads)
         qks_sel = qks[heads[:, 0], heads[:, 1]]  # (n_heads, T, 1500)
-        weights = np.asarray(_legacy_head_weights(
-            qks_sel, max_qk_len, sot_len, qk_scale, medfilt_width))
+        weights = legacy_head_weights(qks_sel, max_qk_len, sot_len, qk_scale,
+                                      medfilt_width)
         matrix = weights.mean(axis=0)
         jump_indices = _matrix_to_jumps(matrix)
 

@@ -24,11 +24,19 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 from .languages import LANGUAGES, LANGUAGES_V3
 
 # GPT-2 pre-tokenization pattern ('s|'t|... contractions, letter runs,
-# number runs, other runs, whitespace runs).
-_PRETOKEN_RE = re.compile(
-    r"""'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+(?!\S)|\s+""",
-    re.UNICODE,
-)
+# number runs, other runs, whitespace runs). The exact pattern needs
+# unicode-category classes (\p{L}/\p{N}); the `regex` module provides them.
+# The `re` fallback approximates them ([^\W\d_] / \d) — close, but it folds
+# non-decimal numerals (Ⅷ, ²) into the punctuation class, so prefer `regex`.
+try:
+    import regex as _regex
+    _PRETOKEN_RE = _regex.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+except ImportError:  # pragma: no cover
+    _PRETOKEN_RE = re.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+""",
+        re.UNICODE,
+    )
 
 
 @lru_cache(maxsize=1)

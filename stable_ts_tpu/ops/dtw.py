@@ -15,8 +15,10 @@ i.e. one prefix sum + one cumulative min per row — both vectorized VPU scans.
 Rows advance under ``lax.scan`` (n_tokens sequential steps of 1500-wide vector
 work instead of n_tokens * n_frames scalar steps). The backtrace is inherently
 serial and O(N+M), so it runs on host from the downloaded cost matrix —
-tie-breaking (diagonal > down > right) matches the reference DP exactly
-because every cost entry is final when re-inspected.
+tie-breaking matches whisper's ``dtw_cpu`` exactly (strict <: diagonal only
+when strictly smallest, then up, ties fall to "move left"), and re-inspecting
+final cost entries reproduces the DP-time decisions because every entry is
+final by traceback time.
 """
 from functools import partial
 
@@ -38,9 +40,10 @@ def dtw_numpy(x: np.ndarray):
             c0 = cost[i - 1, j - 1]
             c1 = cost[i - 1, j]
             c2 = cost[i, j - 1]
-            if c0 <= c1 and c0 <= c2:
+            # whisper dtw_cpu's strict-< tie order: equal costs move left
+            if c0 < c1 and c0 < c2:
                 c, t = c0, 0
-            elif c1 <= c0 and c1 <= c2:
+            elif c1 < c0 and c1 < c2:
                 c, t = c1, 1
             else:
                 c, t = c2, 2
@@ -195,7 +198,11 @@ def dtw_cost_pallas(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
 
 
 def _traceback_from_cost(cost: np.ndarray):
-    """Host traceback over the final cost matrix; diag-first tie-breaking."""
+    """Host traceback over the final cost matrix.
+
+    Uses whisper dtw_cpu's strict-< tie order (diagonal only when strictly
+    smallest, then up, ties move left) so flat/equal-cost regions — silence,
+    cropped columns — trace the same path as the reference."""
     N, M = cost.shape[0] - 1, cost.shape[1] - 1
     i, j = N, M
     text_indices, time_indices = [], []
@@ -210,10 +217,10 @@ def _traceback_from_cost(cost: np.ndarray):
             c0 = cost[i - 1, j - 1]
             c1 = cost[i - 1, j]
             c2 = cost[i, j - 1]
-            if c0 <= c1 and c0 <= c2:
+            if c0 < c1 and c0 < c2:
                 i -= 1
                 j -= 1
-            elif c1 <= c0 and c1 <= c2:
+            elif c1 < c0 and c1 < c2:
                 i -= 1
             else:
                 j -= 1

@@ -380,9 +380,11 @@ def transcribe_stable(
             )
             for i in reversed(range(len(current_segments))):
                 words = current_segments[i]['words']
-                zero_pct = (np.mean([w['start'] == w['end'] for w in words])
-                            if words else 1.0)
-                if zero_pct > max_instant_words:
+                # an empty word list is KEPT: the reference computes
+                # np.mean([]) = NaN and NaN > threshold is False
+                # (original_whisper.py:654-663)
+                if words and (np.mean([w['start'] == w['end'] for w in words])
+                              > max_instant_words):
                     del current_segments[i]
             if avg_prob_threshold and current_segments:
                 all_probs = [w['probability'] for s in current_segments

@@ -202,3 +202,43 @@ class TestDTWPallas:
         single = [_matrix_to_jumps(m) for m in mats]
         for got, want in zip(batched, single):
             assert (got == want).all()
+
+
+class TestDTWTieBreaking:
+    """whisper dtw_cpu resolves ties with strict <: equal costs move LEFT
+    (t=2), and when c0 == c1 < c2 the accumulated cost takes c2 — a known
+    quirk of the reference DP that flat regions (silence, cropped columns)
+    depend on. Fixture paths below were derived from that exact rule."""
+
+    FIXTURES = [
+        (np.zeros((3, 5)),
+         [0, 1, 2, 2, 2, 2, 2], [0, 0, 0, 1, 2, 3, 4]),
+        (np.array([[0., 0., 1., 1.],
+                   [0., 0., 1., 1.],
+                   [1., 1., 0., 0.]]),
+         [0, 1, 1, 2, 2], [0, 0, 1, 2, 3]),
+        (np.ones((3, 3)),
+         [0, 1, 2], [0, 1, 2]),
+    ]
+
+    @pytest.mark.parametrize('case', range(len(FIXTURES)))
+    def test_numpy_matches_whisper_rule(self, case):
+        x, want_t, want_f = self.FIXTURES[case]
+        ti, fi = dtw_numpy(x)
+        assert ti.tolist() == want_t
+        assert fi.tolist() == want_f
+
+    @pytest.mark.parametrize('case', range(len(FIXTURES)))
+    def test_device_traceback_matches_fixtures(self, case):
+        x, want_t, want_f = self.FIXTURES[case]
+        ti, fi = dtw(x, device=True)
+        assert ti.tolist() == want_t
+        assert fi.tolist() == want_f
+
+    def test_quirky_cost_accumulation(self):
+        # c0 == c1 < c2 at (2,2): whisper's rule takes c2, not the minimum.
+        x = np.array([[0., 5.],
+                      [0., 1.]])
+        from stable_ts_tpu.ops.dtw import _traceback_from_trace  # noqa: F401
+        ti, fi = dtw_numpy(x)
+        assert ti[0] == 0 and fi[0] == 0  # still a valid corner-to-corner path
