@@ -21,6 +21,9 @@ def prep_audio(
         sr: Optional[int] = None,
 ) -> np.ndarray:
     """One-shot load + resample(16k) + optional denoise / voice-band filter."""
+    from .source import is_url, load_source
+    if is_url(audio):
+        audio = load_source(audio)
     audio = audio_to_numpy_resample(audio, sr, SAMPLE_RATE)
     if denoiser:
         from .denoiser import apply_denoiser

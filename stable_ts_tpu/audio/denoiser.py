@@ -150,6 +150,33 @@ SUPPORTED_DENOISERS: Dict[str, Dict[str, Callable]] = {
 }
 
 
+def convert_demucs_kwargs(denoiser: Optional[str] = None,
+                          denoiser_options: Optional[dict] = None,
+                          demucs=None, demucs_options: Optional[dict] = None):
+    """Map the deprecated ``demucs``/``demucs_options`` kwargs onto
+    ``denoiser``/``denoiser_options`` (reference audio/__init__.py:42-71).
+
+    ``demucs`` may also be a preloaded model object, which is forwarded as
+    ``denoiser_options['model']``.
+    """
+    import warnings
+    if demucs:
+        warnings.warn('``demucs`` is deprecated. Use ``denoiser="demucs"`` '
+                      'instead.', stacklevel=2)
+        if denoiser and denoiser != 'demucs':
+            raise ValueError(f'Demucs is enabled but got "{denoiser}" for denoiser.')
+        denoiser = 'demucs'
+    denoiser_options = denoiser_options or {}
+    if demucs_options:
+        warnings.warn('``demucs_options`` is deprecated. Use '
+                      '``denoiser_options`` instead.', stacklevel=2)
+        if denoiser == 'demucs':
+            denoiser_options = demucs_options
+            if demucs is not None and not isinstance(demucs, (bool, str)):
+                denoiser_options['model'] = demucs  # preloaded model object
+    return denoiser, denoiser_options
+
+
 def register_denoiser(name: str, run: Callable, load: Optional[Callable] = None):
     """Register an external denoiser (e.g. a demucs wrapper)."""
     SUPPORTED_DENOISERS[name] = {
@@ -166,6 +193,8 @@ def apply_denoiser(name: str, audio: np.ndarray, **options) -> np.ndarray:
             f'stable_ts_tpu.audio.denoiser.register_denoiser)')
     entry = SUPPORTED_DENOISERS[name]
     cache = cached_model_instances.setdefault('denoisers', {})
+    preloaded = options.pop('model', None)  # user-supplied instance wins
     if name not in cache:
-        cache[name] = entry['load'](**options.pop('load_options', {}))
+        cache[name] = (preloaded if preloaded is not None
+                       else entry['load'](**options.pop('load_options', {})))
     return entry['run'](audio, model=cache[name], **options)

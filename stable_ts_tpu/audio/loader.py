@@ -52,6 +52,13 @@ class AudioLoader:
             negate_load: bool = False,
             post_prep_callback: Optional[Callable] = None,
     ):
+        from .source import is_url, load_source
+        if is_url(source):
+            # file:// -> local path; other URLs -> yt-dlp bytes, or the URL
+            # itself (direct link for ffmpeg) when yt-dlp is unavailable or
+            # only_ffmpeg is set (reference audio/utils.py:16-60)
+            source = load_source(source, verbose=verbose,
+                                 only_ffmpeg=only_ffmpeg)
         self._src = source
         self.verbose = verbose
         self.chunk_divisor = new_chunk_divisor

@@ -51,6 +51,59 @@ def audio_to_numpy_resample(
     return audio
 
 
+def get_metadata(audiofile) -> dict:
+    """Best-effort ``dict(sr=..., duration=...)`` without a full decode.
+
+    Counterpart of reference audio/utils.py:152-183. Arrays are assumed to
+    be 16 kHz; WAV/FLAC paths/bytes are probed from their headers (native,
+    no subprocess); other containers fall back to parsing ``ffmpeg -i``'s
+    banner, which works for any format/URL ffmpeg can open.
+    """
+    if isinstance(audiofile, np.ndarray):
+        return dict(sr=SAMPLE_RATE, duration=audiofile.shape[-1] / SAMPLE_RATE)
+    from .decode import get_metadata as probe_headers
+    try:
+        meta = probe_headers(audiofile)
+    except (OSError, ValueError):
+        meta = dict(sr=None, duration=None)
+    if meta.get('sr'):
+        return meta
+    return _ffmpeg_metadata(audiofile)
+
+
+def _ffmpeg_metadata(audiofile) -> dict:
+    """Parse sample rate + duration out of ``ffmpeg -i``'s stderr banner."""
+    import re
+    import subprocess
+    cmd = ['ffmpeg', '-hide_banner', '-i']
+    try:
+        if isinstance(audiofile, str):
+            banner = subprocess.run(cmd + [audiofile],
+                                    capture_output=True).stderr
+        else:
+            proc = subprocess.Popen(cmd + ['-'], stdin=subprocess.PIPE,
+                                    stderr=subprocess.PIPE)
+            try:
+                proc.stdin.write(audiofile)
+            except BrokenPipeError:
+                pass
+            banner = proc.communicate()[-1]
+    except FileNotFoundError:  # no ffmpeg on PATH
+        return dict(sr=None, duration=None)
+    banner = (banner or b'').decode(errors='ignore')
+    sr_match = re.findall(r'\n.+Stream.+Audio.+\D+(\d+) Hz', banner)
+    dur_match = re.findall(r'Duration: ([\d:]+\.\d+),', banner)
+    duration = None
+    if dur_match:
+        h, m, s = dur_match[0].split(':')
+        duration = int(h) * 3600 + int(m) * 60 + float(s)
+    return dict(sr=int(sr_match[0]) if sr_match else None, duration=duration)
+
+
+def get_samplerate(audiofile) -> Optional[int]:
+    return get_metadata(audiofile).get('sr')
+
+
 def voice_freq_filter(audio: np.ndarray, sr: int,
                       upper_freq: Optional[int] = None,
                       lower_freq: Optional[int] = None) -> np.ndarray:

@@ -295,6 +295,9 @@ def _save_result(result: WhisperResult, path: str, args, save_options: dict,
         raise NotImplementedError(f'unsupported output format: {fmt}')
     if not is_allow_overwrite(path, True if args.overwrite else None):
         return
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     method = getattr(result, OUTPUT_FORMATS_METHODS[fmt])
     kwargs = dict(save_options)
     if fmt in ('srt', 'vtt'):
@@ -387,18 +390,23 @@ def _run_once(args, cache: dict):
     model_key = (args.model, args.model_dir, args.dtype,
                  args.dynamic_quantization, args.shard, args.tp,
                  tuple(sorted(model_options.items())))
-    if cache.get('model_key') != model_key:
-        import jax.numpy as jnp
-        dtype = {None: None, 'float32': jnp.float32,
-                 'bfloat16': jnp.bfloat16}[args.dtype]
-        cache['model'] = _call(load_model, dict(
-            name_or_path=args.model, download_root=args.model_dir,
-            vocab_path=args.vocab, dtype=dtype,
-            dq=args.dynamic_quantization, **model_options), args.debug)
-        if args.shard:
-            cache['model'].shard(tp=args.tp)
-        cache['model_key'] = model_key
-    model = cache['model']
+
+    def model():
+        # Lazy: JSON-only reprocessing (no align/refine) never needs the
+        # checkpoint — same as the reference's cached-model closure
+        # (cli.py:671-698).
+        if cache.get('model_key') != model_key:
+            import jax.numpy as jnp
+            dtype = {None: None, 'float32': jnp.float32,
+                     'bfloat16': jnp.bfloat16}[args.dtype]
+            cache['model'] = _call(load_model, dict(
+                name_or_path=args.model, download_root=args.model_dir,
+                vocab_path=args.vocab, dtype=dtype,
+                dq=args.dynamic_quantization, **model_options), args.debug)
+            if args.shard:
+                cache['model'].shard(tp=args.tp)
+            cache['model_key'] = model_key
+        return cache['model']
 
     for inp, out_paths in zip(args.inputs, outputs):
         if inp.lower().endswith('.json'):
@@ -406,7 +414,7 @@ def _run_once(args, cache: dict):
         elif args.align is not None:
             text = (args.align[5:] if args.align.startswith('text:')
                     else open(args.align, encoding='utf-8').read())
-            result = _call(model.align, dict(
+            result = _call(model().align, dict(
                 audio=inp, text=text, language=args.language,
                 verbose=None if verbose == 0 else verbose == 2,
                 original_split='\n' in text,
@@ -419,12 +427,12 @@ def _run_once(args, cache: dict):
                 **transcribe_options), args.debug)
         elif args.align_words is not None:
             source = WhisperResult(args.align_words)
-            result = _call(model.align_words, dict(
+            result = _call(model().align_words, dict(
                 audio=inp, result=source, language=args.language,
                 verbose=None if verbose == 0 else verbose == 2,
                 **transcribe_options), args.debug)
         elif args.locate is not None:
-            matches = _call(model.locate, dict(
+            matches = _call(model().locate, dict(
                 audio=inp, text=args.locate, language=args.language or 'en',
                 verbose=verbose == 2, **locate_options), args.debug)
             for match in matches:
@@ -432,7 +440,7 @@ def _run_once(args, cache: dict):
                       else match.to_display_str())
             continue
         else:
-            method = getattr(model, args.transcribe_method)
+            method = getattr(model(), args.transcribe_method)
             tr_kwargs = dict(
                 audio=inp,
                 verbose=None if verbose == 0 else verbose == 2,
@@ -496,7 +504,7 @@ def _run_once(args, cache: dict):
         if result is None:
             continue
         if args.refine:
-            _call(model.refine, dict(
+            _call(model().refine, dict(
                 audio=inp, result=result,
                 verbose=None if verbose == 0 else verbose == 2,
                 **refine_options), args.debug)

@@ -14,7 +14,8 @@ the timestamp grammar are tracked incrementally as (last, penultimate,
 max-timestamp) state vectors instead of re-scanning the sequence, which is
 equivalent because sampled timestamps are non-decreasing by construction.
 Greedy and temperature sampling (+ best_of candidate selection) run in the
-same loop; beam search is not yet implemented.
+same loop; beam search runs in its own fixed-shape while_loop (``_beam_loop``)
+with the beam axis batched, selected via ``beam_size``.
 """
 import zlib
 from dataclasses import dataclass, field, replace

@@ -61,6 +61,8 @@ def transcribe_any(
         only_voice_freq: bool = False,
         force_order: bool = False,
         check_sorted: bool = True,
+        demucs=None,
+        demucs_options: Optional[dict] = None,
 ) -> WhisperResult:
     """Run ``inference_func`` on ``audio`` and stabilize the result.
 
@@ -77,6 +79,9 @@ def transcribe_any(
     if isinstance(audio, np.ndarray) and input_sr is None:
         raise ValueError('``input_sr`` is required when ``audio`` is an array')
 
+    from ..audio.denoiser import convert_demucs_kwargs
+    denoiser, denoiser_options = convert_demucs_kwargs(
+        denoiser, denoiser_options, demucs=demucs, demucs_options=demucs_options)
     inference_kwargs = dict(inference_kwargs or {})
     min_word_dur = get_min_word_dur(min_word_dur)
     if temp_file is None:

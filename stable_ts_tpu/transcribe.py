@@ -80,6 +80,8 @@ def transcribe_stable(
         clip_timestamps: Optional[Union[str, List[float]]] = None,
         resume: Optional[Union[str, WhisperResult]] = None,
         aligner: Union[str, dict] = 'legacy',
+        demucs=None,
+        demucs_options: Optional[dict] = None,
         **decode_options,
 ) -> WhisperResult:
     """Transcribe ``audio`` with stabilized word-level timestamps.
@@ -99,7 +101,10 @@ def transcribe_stable(
         pairs = list(clip_timestamps) + ([None] if len(clip_timestamps) % 2 else [])
         load_sections = [(pairs[i], pairs[i + 1]) for i in range(0, len(pairs), 2)]
 
-    denoiser_options = dict(denoiser_options or {})
+    from .audio.denoiser import convert_demucs_kwargs
+    denoiser, denoiser_options = convert_demucs_kwargs(
+        denoiser, denoiser_options, demucs=demucs, demucs_options=demucs_options)
+    denoiser_options = dict(denoiser_options)
     denoised_save_path = denoiser_options.pop('save_path', None)
     loader = audio if isinstance(audio, AudioLoader) else AudioLoader(
         audio,

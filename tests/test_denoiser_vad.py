@@ -99,3 +99,196 @@ class TestEnergyVAD:
     def test_unknown_vad_string_raises(self):
         with pytest.raises(ValueError):
             NonSpeechPredictor(vad='bogus')
+
+
+class TestDemucsDfnetAdapters:
+    """The optional demucs/dfnet adapters, exercised with fake packages
+    injected into sys.modules (the real networks never run offline)."""
+
+    def _install_fake_demucs(self, monkeypatch):
+        import sys, types
+        import torch
+
+        class FakeDemucs(torch.nn.Module):
+            samplerate = 16000
+            audio_channels = 2
+            sources = ['drums', 'bass', 'other', 'vocals']
+
+        pretrained = types.ModuleType('demucs.pretrained')
+        pretrained.get_model = lambda name: FakeDemucs()
+        apply = types.ModuleType('demucs.apply')
+
+        def apply_model(model, wav, device=None, **kw):
+            # (1, C, T) -> (1, n_sources, C, T): vocals = half the input
+            stems = wav[:, None].repeat(1, len(model.sources), 1, 1)
+            return stems * 0.5
+
+        apply.apply_model = apply_model
+        pkg = types.ModuleType('demucs')
+        pkg.pretrained, pkg.apply = pretrained, apply
+        for name, mod in [('demucs', pkg), ('demucs.pretrained', pretrained),
+                          ('demucs.apply', apply)]:
+            monkeypatch.setitem(sys.modules, name, mod)
+
+    def _install_fake_dfnet(self, monkeypatch):
+        import sys, types
+        import torch
+
+        class FakeState:
+            def sr(self):
+                return 48000
+
+        df = types.ModuleType('df')
+        df.init_df = lambda: ('net', FakeState(), None)
+        df.enhance = lambda net, state, wav, **kw: wav * 0.25
+        monkeypatch.setitem(sys.modules, 'df', df)
+
+    def _clear_cache(self):
+        from stable_ts_tpu.defaults import cached_model_instances
+        cached_model_instances.get('denoisers', {}).clear()
+
+    def test_demucs_dispatch(self, monkeypatch):
+        self._install_fake_demucs(monkeypatch)
+        self._clear_cache()
+        from stable_ts_tpu.audio.denoiser import apply_denoiser
+        audio = np.ones(16000, np.float32) * 0.8
+        out = apply_denoiser('demucs', audio)
+        assert out.shape == audio.shape
+        np.testing.assert_allclose(out, audio * 0.5, atol=1e-4)
+        self._clear_cache()
+
+    def test_dfnet_dispatch(self, monkeypatch):
+        self._install_fake_dfnet(monkeypatch)
+        self._clear_cache()
+        from stable_ts_tpu.audio.denoiser import apply_denoiser
+        audio = np.ones(16000, np.float32) * 0.8
+        out = apply_denoiser('dfnet', audio)
+        assert out.shape == audio.shape
+        # x0.25 through a 16k->48k->16k resample round trip
+        assert abs(float(np.median(out)) - 0.2) < 0.02
+        self._clear_cache()
+
+    def test_demucs_missing_package_message(self):
+        self._clear_cache()
+        from stable_ts_tpu.audio.denoiser import apply_denoiser
+        with pytest.raises(ModuleNotFoundError, match='demucs'):
+            apply_denoiser('demucs', np.zeros(1600, np.float32))
+        self._clear_cache()
+
+
+class TestConvertDemucsKwargs:
+    def test_no_deprecated_args_passthrough(self):
+        from stable_ts_tpu.audio.denoiser import convert_demucs_kwargs
+        d, opts = convert_demucs_kwargs('spectral_gate', {'a': 1})
+        assert d == 'spectral_gate' and opts == {'a': 1}
+        d, opts = convert_demucs_kwargs(None, None)
+        assert d is None and opts == {}
+
+    def test_demucs_flag_warns_and_maps(self):
+        from stable_ts_tpu.audio.denoiser import convert_demucs_kwargs
+        with pytest.warns(UserWarning, match='deprecated'):
+            d, opts = convert_demucs_kwargs(demucs=True)
+        assert d == 'demucs'
+
+    def test_conflicting_denoiser_raises(self):
+        from stable_ts_tpu.audio.denoiser import convert_demucs_kwargs
+        with pytest.warns(UserWarning):
+            with pytest.raises(ValueError, match='Demucs is enabled'):
+                convert_demucs_kwargs(denoiser='dfnet', demucs=True)
+
+    def test_demucs_options_and_model_object(self):
+        from stable_ts_tpu.audio.denoiser import convert_demucs_kwargs
+
+        class FakeModel:
+            pass
+
+        model = FakeModel()
+        with pytest.warns(UserWarning):
+            d, opts = convert_demucs_kwargs(
+                demucs=model, demucs_options={'shifts': 2})
+        assert d == 'demucs'
+        assert opts['shifts'] == 2 and opts['model'] is model
+
+    def test_preloaded_model_used_by_apply(self, monkeypatch):
+        from stable_ts_tpu.audio.denoiser import (apply_denoiser,
+                                                  register_denoiser)
+        from stable_ts_tpu.defaults import cached_model_instances
+        seen = {}
+
+        def run(audio, model=None, **kw):
+            seen['model'] = model
+            return audio
+
+        register_denoiser('fake_dn', run, load=lambda **kw: 'loaded-default')
+        cached_model_instances.get('denoisers', {}).pop('fake_dn', None)
+        sentinel = object()
+        apply_denoiser('fake_dn', np.zeros(4, np.float32), model=sentinel)
+        assert seen['model'] is sentinel
+        cached_model_instances.get('denoisers', {}).pop('fake_dn', None)
+
+
+class TestSileroVadFake:
+    """Silero-VAD strategy dispatch with a fake TorchScript-like module
+    (reference stabilization/silero_vad.py:36-62 windowing)."""
+
+    class FakeSilero:
+        """Callable returning high prob for loud windows, low for quiet."""
+
+        def __init__(self):
+            self.reset_calls = 0
+            self.windows_seen = []
+
+        def __call__(self, chunk, sr):
+            import torch
+            arr = chunk.numpy() if hasattr(chunk, 'numpy') else np.asarray(chunk)
+            self.windows_seen.append(arr.shape[-1])
+            return torch.tensor(0.9 if float(np.abs(arr).mean()) > 0.05 else 0.05)
+
+        def reset_states(self):
+            self.reset_calls += 1
+
+    def _audio(self):
+        rng = np.random.default_rng(0)
+        audio = np.zeros(16000 * 4, np.float32)
+        audio[16000:32000] = rng.standard_normal(16000).astype(np.float32) * 0.5
+        return audio
+
+    def test_predict_with_vad_windows_and_timings(self):
+        from stable_ts_tpu.stabilization import NonSpeechPredictor
+        fake = self.FakeSilero()
+        pred = NonSpeechPredictor(vad={'model': fake}, verbose=None,
+                                  store_timings=True)
+        out = pred.predict(self._audio(), offset=0.0)
+        # windows are 512 samples at 16 kHz
+        assert set(fake.windows_seen) == {512}
+        assert len(fake.windows_seen) == 16000 * 4 // 512
+        assert fake.reset_calls >= 1  # reset on model load
+        starts, ends = out['timings']
+        # silence detected around the quiet spans, speech span excluded
+        assert any(s <= 0.1 for s in starts)
+        assert all(not (1.2 < s < 1.8) for s in starts)
+        assert out['is_silent'] is False
+
+    def test_prep_callback_accumulates_probs(self):
+        from stable_ts_tpu.stabilization import NonSpeechPredictor
+        fake = self.FakeSilero()
+        pred = NonSpeechPredictor(vad={'model': fake}, verbose=None,
+                                  stream=True)
+        cb = pred.get_on_prep_callback()
+        audio = self._audio()
+        cb(audio[:32000])
+        cb(audio[32000:])
+        # each block contributes floor(block/512) probs (partial window dropped)
+        assert len(pred._default_probs) == 2 * (32000 // 512)
+        # chunk 2 s..4 s must slice the accumulated probs, not re-run the model
+        calls_before = len(fake.windows_seen)
+        out = pred.predict(audio[32000:], offset=2.0)
+        assert len(fake.windows_seen) == calls_before
+        assert out['timings'] is not None
+
+    def test_get_vad_silence_func_with_fake(self):
+        from stable_ts_tpu.stabilization import get_vad_silence_func
+        fake = self.FakeSilero()
+        detect = get_vad_silence_func(model=fake, verbose=None)
+        timings = detect(self._audio(), speech_threshold=0.5)
+        assert timings is not None and len(timings[0]) >= 1
