@@ -35,6 +35,27 @@ def _bucket(n: int, step: int = 64) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
+_NEXT_TOKEN_PROBS_FN = None
+
+
+def _next_token_probs(logits, tokens):
+    """(B, T, V) logits + (B, T) realized tokens -> (B, T-1) per-position
+    probability of the token that actually follows (device-side gather: the
+    word assembly never needs the full-vocab softmax on host)."""
+    global _NEXT_TOKEN_PROBS_FN
+    if _NEXT_TOKEN_PROBS_FN is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def fn(logits, tokens):
+            probs = jax.nn.softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+            return jnp.take_along_axis(probs, tokens[:, 1:, None],
+                                       axis=-1)[..., 0]
+        _NEXT_TOKEN_PROBS_FN = fn
+    return _NEXT_TOKEN_PROBS_FN(logits, tokens)
+
+
 @traced('transcribe_batched')
 def transcribe_batched(
         model,
@@ -158,9 +179,13 @@ def transcribe_batched(
         still_pending = []
         for chunk_start in range(0, len(pending), batch_size):
             chunk = pending[chunk_start:chunk_start + batch_size]
+            # Pad short chunks (tail batch, fallback re-decodes) up to
+            # batch_size by repeating window indices: every decode call then
+            # shares ONE compiled program instead of one per chunk shape.
+            padded = chunk + [chunk[-1]] * (batch_size - len(chunk))
             # On a mesh, the window batch is dp-sharded (padded to an even
             # split); slice the per-window results back to the real count.
-            chunk_mels, n_real = model.shard_batch(mels[chunk])
+            chunk_mels, n_real = model.shard_batch(mels[padded])
             chunk_results = model.decode(chunk_mels, options)[:n_real]
             for local, res in zip(chunk, chunk_results):
                 needs_fallback = False
@@ -259,7 +284,7 @@ def transcribe_batched(
         _batched_word_timestamps(
             model, tokenizer, mels, active, window_meta, per_window_segments,
             prepend_punctuations, append_punctuations, min_word_dur,
-            dynamic_heads, aligner)
+            dynamic_heads, aligner, batch_size)
 
     # -- assemble + suppress + regroup -------------------------------------------------------
     for local, w in enumerate(active):
@@ -297,7 +322,7 @@ def transcribe_batched(
 def _batched_word_timestamps(model, tokenizer, mels, active, window_meta,
                              per_window_segments, prepend_punctuations,
                              append_punctuations, min_word_dur,
-                             dynamic_heads, aligner):
+                             dynamic_heads, aligner, batch_size: int = 8):
     """One padded teacher-forced QK pass for many windows + vmapped DTW.
 
     Right-padding the token rows is exact: under the causal mask, padding
@@ -311,7 +336,8 @@ def _batched_word_timestamps(model, tokenizer, mels, active, window_meta,
                                         merge_punctuations, pop_empty_alignment,
                                         split_word_tokens, _dynamic_head_weights,
                                         legacy_head_weights, new_aligner_matrix,
-                                        find_alignment)
+                                        build_head_capture_table,
+                                        gather_captured_heads, find_alignment)
 
     # Collect per-window flattened tokens.
     prep = []
@@ -343,63 +369,124 @@ def _batched_word_timestamps(model, tokenizer, mels, active, window_meta,
         rows.append(row)
     tokens_arr = jnp.asarray(rows, jnp.int32)
 
-    mels_in, n_real = model.shard_batch(mels[todo])
-    tokens_in, _ = model.shard_batch(tokens_arr)
-    xa = encoder_apply(model.params['encoder'], mels_in,
-                       model.dims.n_audio_head)
-    logits, qks = decoder_apply(model.params['decoder'], tokens_in, xa,
-                                model.dims.n_text_head, capture_qk=True)
-    logits, qks = logits[:n_real], qks[:, :n_real]
-    # qks: (L, B, H, T, 1500); per-window processing below slices real lengths.
+    # Legacy mode with known heads: capture only the selected heads' QK
+    # rows — (L, B, n_slots, T, 1500) instead of all heads, the difference
+    # between the timing pass fitting in HBM or spilling at large batches.
+    legacy_known = (aligner == 'legacy' and not isinstance(aligner, dict)
+                    and model.alignment_heads is not None and not dynamic_heads)
+    capture_index = capture_slots = None
+    if legacy_known:
+        capture_index, capture_slots = build_head_capture_table(
+            model.alignment_heads, model.dims.n_text_layer)
+
+    # Run the teacher-forced pass in batch_size chunks (padded to a constant
+    # shape): device memory stays bounded no matter how long the audio is,
+    # and every chunk reuses one compiled program.
     sot_len = len(sot_seq)
-    probs_all = np.asarray(jax.nn.softmax(
-        logits[:, :, :tokenizer.eot].astype(jnp.float32), axis=-1))
-    qks_np = np.asarray(qks, np.float32)
+    n_windows = len(todo)
+    chunk_n = min(batch_size, n_windows)
+    max_qk_lens = [round(window_meta[active[i]]['samples'] / N_SAMPLES_PER_TOKEN)
+                   for i in todo]
+    row_counts = [len(prep[i][0]) + 1 for i in todo]  # n_text + 1
+    # Fast path (the default config): legacy aligner + known heads + full
+    # 30-s windows — head selection, normalization, and the DTW DP all stay
+    # on device; only per-token probs and the small DTW cost matrices come
+    # back to host. Short windows (reference crops BEFORE the median filter,
+    # which device masking can't reproduce at the boundary) and the
+    # dynamic/'new' modes take the per-window host path on downloaded QKs.
+    device_weights = (capture_slots is not None
+                      and all(m >= N_FRAMES // 2 for m in max_qk_lens))
 
-    # Phase A: per-window attention matrices (head selection is per-window).
-    matrices = []
-    for bi, i in enumerate(todo):
-        text_tokens, token_split, seg_indices = prep[i]
-        meta = window_meta[active[i]]
-        n_text = len(text_tokens)
-        qk = qks_np[:, bi, :, :sot_len + 1 + n_text + 1]  # crop padding rows
-        max_qk_len = round(meta['samples'] / N_SAMPLES_PER_TOKEN)
-        # Head selection: same modes as find_alignment, per window.
-        if aligner != 'legacy' or isinstance(aligner, dict):
-            kwargs = dict(topk=20, w_colnorm=1.0, w_rownorm=1.0, w_coverage=0.0)
-            if isinstance(aligner, dict):
-                kwargs.update(aligner)
-            matrix = new_aligner_matrix(
-                qk, max_qk_len, sot_len, 1.0,
-                medfilt_width=7,
-                topk=min(int(kwargs['topk']),
-                         model.dims.n_text_layer * model.dims.n_text_head),
-                w_colnorm=float(kwargs['w_colnorm']),
-                w_rownorm=float(kwargs['w_rownorm']),
-                w_coverage=float(kwargs['w_coverage']))
-        elif model.alignment_heads is not None and not dynamic_heads:
-            heads = np.asarray(model.alignment_heads)
-            sel = qk[heads[:, 0], heads[:, 1]]
-            weights = legacy_head_weights(sel, max_qk_len, sot_len, 1.0, 7)
-            matrix = weights.mean(axis=0)
+    tok_prob_parts, qk_parts, cost_parts = [], [], []
+    for cs in range(0, n_windows, chunk_n):
+        n_sub = min(chunk_n, n_windows - cs)
+        pos = list(range(cs, cs + n_sub)) + [cs + n_sub - 1] * (chunk_n - n_sub)
+        mels_in, _ = model.shard_batch(mels[[todo[k] for k in pos]])
+        tokens_in, _ = model.shard_batch(tokens_arr[np.asarray(pos)])
+        xa = encoder_apply(model.params['encoder'], mels_in,
+                           model.dims.n_audio_head)
+        logits, qks = decoder_apply(model.params['decoder'], tokens_in, xa,
+                                    model.dims.n_text_head, capture_qk=True,
+                                    capture_index=capture_index)
+        # per-position probability of the realized next token — the only
+        # thing the word assembly needs from the logits (downloading the
+        # full-vocab softmax would be ~0.5 GB per chunk)
+        next_tok_probs = _next_token_probs(logits, tokens_in)
+        tok_prob_parts.append(np.asarray(next_tok_probs[:n_sub]))
+        if device_weights:
+            from .models.whisper.timing import legacy_weights_batched
+            layers = np.array([l for l, _ in capture_slots])
+            cols = np.array([s for _, s in capture_slots])
+            sel = qks[layers, :, cols]  # (n_sel, B, T, 1500)
+            matrices_dev = legacy_weights_batched(
+                sel, jnp.asarray(max_qk_lens[cs:cs + n_sub]
+                                 + [1] * (chunk_n - n_sub), jnp.int32),
+                jnp.asarray(row_counts[cs:cs + n_sub]
+                            + [1] * (chunk_n - n_sub), jnp.int32),
+                sot_len, 1.0, 7)
+            from .ops.dtw import dtw_cost_jax, dtw_cost_pallas, _use_pallas
+            cost_fn = dtw_cost_pallas if _use_pallas() else jax.jit(
+                jax.vmap(dtw_cost_jax))
+            cost_parts.append(np.asarray(cost_fn(-matrices_dev)[:n_sub],
+                                         np.float64))
         else:
-            count = 6 if dynamic_heads in (None, True) else int(dynamic_heads)
-            weights = _dynamic_head_weights(qk, sot_len, max_qk_len, 1.0, 7,
-                                            count, None)
-            matrix = weights.mean(axis=0)
-        matrices.append(matrix)
+            # transfer the capture as bf16 (half the bytes) upcast on host
+            qk_parts.append(np.asarray(qks[:, :n_sub]).astype(np.float32))
+    tok_probs_all = np.concatenate(tok_prob_parts, axis=0)
 
-    # One batched DTW DP for every window (lockstep Pallas kernel on TPU).
-    all_jumps = _matrices_to_jumps(matrices)
+    if device_weights:
+        from .models.whisper.timing import _jumps_from_cost
+        cost_all = np.concatenate(cost_parts, axis=0)
+        all_jumps = [
+            _jumps_from_cost(cost_all[bi, :row_counts[bi] + 1,
+                                      :max_qk_lens[bi] + 1])
+            for bi in range(n_windows)
+        ]
+    else:
+        # qks: (L, B, H_or_slots, T, 1500); slice real rows per window.
+        qks_np = np.concatenate(qk_parts, axis=1)
+        matrices = []
+        for bi, i in enumerate(todo):
+            n_text = len(prep[i][0])
+            qk = qks_np[:, bi, :, :sot_len + 1 + n_text + 1]
+            max_qk_len = max_qk_lens[bi]
+            # Head selection: same modes as find_alignment, per window.
+            if aligner != 'legacy' or isinstance(aligner, dict):
+                kwargs = dict(topk=20, w_colnorm=1.0, w_rownorm=1.0,
+                              w_coverage=0.0)
+                if isinstance(aligner, dict):
+                    kwargs.update(aligner)
+                matrix = new_aligner_matrix(
+                    qk, max_qk_len, sot_len, 1.0,
+                    medfilt_width=7,
+                    topk=min(int(kwargs['topk']),
+                             model.dims.n_text_layer * model.dims.n_text_head),
+                    w_colnorm=float(kwargs['w_colnorm']),
+                    w_rownorm=float(kwargs['w_rownorm']),
+                    w_coverage=float(kwargs['w_coverage']))
+            elif model.alignment_heads is not None and not dynamic_heads:
+                if capture_slots is not None:
+                    sel = gather_captured_heads(qk, capture_slots)
+                else:
+                    heads = np.asarray(model.alignment_heads)
+                    sel = qk[heads[:, 0], heads[:, 1]]
+                weights = legacy_head_weights(sel, max_qk_len, sot_len, 1.0, 7)
+                matrix = weights.mean(axis=0)
+            else:
+                count = 6 if dynamic_heads in (None, True) else int(dynamic_heads)
+                weights = _dynamic_head_weights(qk, sot_len, max_qk_len, 1.0, 7,
+                                                count, None)
+                matrix = weights.mean(axis=0)
+            matrices.append(matrix)
+        # One batched DTW DP for every window (lockstep Pallas kernel on TPU).
+        all_jumps = _matrices_to_jumps(matrices)
 
     # Phase B: per-window word assembly from the jump times.
     for bi, i in enumerate(todo):
         text_tokens, token_split, seg_indices = prep[i]
         meta = window_meta[active[i]]
         n_text = len(text_tokens)
-        token_probs = probs_all[bi, sot_len:sot_len + n_text]
-        text_token_probs = token_probs[np.arange(n_text),
-                                       np.asarray(text_tokens)].tolist()
+        text_token_probs = tok_probs_all[bi, sot_len:sot_len + n_text].tolist()
 
         words, word_tokens = token_split
         words = list(words) + [tokenizer.decode([tokenizer.eot])]

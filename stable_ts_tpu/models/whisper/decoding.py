@@ -49,8 +49,12 @@ class DecodingOptions:
     suppress_blank: bool = True
     without_timestamps: bool = False
     max_initial_timestamp: Optional[float] = 1.0
-    kv_quant: bool = False                   # int8 cross-KV (halves the
-                                             # dominant per-step HBM stream)
+    kv_quant: Optional[bool] = None          # int8 cross-KV (halves the
+                                             # dominant per-step HBM stream);
+                                             # None = auto: on for medium+
+                                             # models (n_audio_state >= 1024)
+                                             # where it is strictly faster,
+                                             # off for small ones
 
 
 @dataclass
@@ -123,13 +127,14 @@ def build_initial_tokens(tokenizer: WhisperTokenizer, options: DecodingOptions,
 @partial(jax.jit, static_argnames=(
     'n_head', 'sample_begin', 'sample_len', 'n_text_ctx', 'eot', 'ts_begin',
     'n_vocab', 'max_initial_ts_index', 'suppress_blank', 'without_timestamps',
-    'temperature'))
+    'greedy'))
 def _sample_loop(params, cross_kv, kv_cache, init_logits, tokens_init, rng,
                  suppress_mask, blank_mask, ts_silence_mask,
                  n_head: int, sample_begin: int, sample_len: int,
                  n_text_ctx: int, eot: int, ts_begin: int, n_vocab: int,
                  max_initial_ts_index: int, suppress_blank: bool,
-                 without_timestamps: bool, temperature: float):
+                 without_timestamps: bool, greedy: bool,
+                 temperature=1.0):
     """Run the sampling loop.
 
     init_logits: (B, V) logits at the last prefill position.
@@ -192,9 +197,11 @@ def _sample_loop(params, cross_kv, kv_cache, init_logits, tokens_init, rng,
          max_ts, key) = state
         filtered = apply_filters(logits, i, last_tok, penult_tok, max_ts)
         logprobs = jax.nn.log_softmax(filtered, axis=-1)
-        if temperature == 0.0:
+        if greedy:
             next_tok = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
         else:
+            # traced temperature: every rung of the fallback ladder shares
+            # ONE compiled sampler instead of compiling per temperature
             key, sub = jax.random.split(key)
             next_tok = jax.random.categorical(
                 sub, filtered / temperature, axis=-1).astype(jnp.int32)
@@ -517,8 +524,10 @@ def decode(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
     tokens0 = jnp.asarray(initial_tokens, jnp.int32)[None].repeat(full_batch, 0)
     prefill_logits, kv_cache = decoder_prefill(
         params['decoder'], tokens0, xa_rep, dims.n_text_head, cache_len)
+    kv_quant = (dims.n_audio_state >= 1024 if options.kv_quant is None
+                else options.kv_quant)
     cross_kv = precompute_cross_kv(params['decoder'], xa_rep,
-                                   quantize=options.kv_quant)
+                                   quantize=kv_quant)
 
     sot_logits = prefill_logits[:, sot_index]
     no_speech_probs = np.asarray(
@@ -563,7 +572,8 @@ def decode(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
         max_initial_ts_index=max_initial_ts_index,
         suppress_blank=options.suppress_blank,
         without_timestamps=options.without_timestamps,
-        temperature=float(options.temperature))
+        greedy=options.temperature == 0,
+        temperature=jnp.float32(options.temperature or 1.0))
 
     tokens_np = np.asarray(tokens_out)
     sum_logprobs = np.asarray(sum_logprobs)

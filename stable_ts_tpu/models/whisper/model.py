@@ -257,19 +257,30 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=('n_head', 'capture_qk'))
 def decoder_apply(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
-                  n_head: int, capture_qk: bool = False):
+                  n_head: int, capture_qk: bool = False,
+                  capture_index: Optional[jnp.ndarray] = None):
     """Full (teacher-forced) decoder pass.
 
     tokens: (batch, n_tok) int32; xa: (batch, 1500, d).
     Returns (logits (batch, n_tok, n_vocab),
              cross_qk (n_layers, batch, n_head, n_tok, 1500) bf16 or None).
+
+    ``capture_index`` (n_layers, max_heads) int32 restricts the capture to
+    chosen heads per layer (build with
+    :func:`timing.build_head_capture_table`); the returned cross_qk is then
+    (n_layers, batch, max_heads, n_tok, 1500). With the canonical alignment
+    heads (~10 of large-v3's 640) this shrinks the capture HBM footprint
+    ~60x, which is what keeps the batched word-timing pass on-chip at large
+    batch sizes. Padding slots duplicate head 0 of their layer — callers
+    select only valid (layer, slot) entries.
     """
     b, n_tok = tokens.shape
     x = params['token_emb'][tokens] + params['pos_emb'][:n_tok]
     x = x.astype(params['token_emb'].dtype)
     causal = jnp.triu(jnp.full((n_tok, n_tok), -jnp.inf, jnp.float32), k=1)
 
-    def block(carry, layer_params):
+    def block(carry, layer_inputs):
+        layer_params, head_idx = layer_inputs
         h = carry
         attn_out, _, _ = _mha(
             layer_params['attn'],
@@ -286,12 +297,15 @@ def decoder_apply(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
                      layer_norm(h, layer_params['mlp_ln']['g'],
                                 layer_params['mlp_ln']['b']))
         if qk is not None:
-            # bf16 capture halves the (L, B, H, T, 1500) QK footprint — the
-            # head-selection/softmax math downstream runs in f32 anyway.
+            if head_idx is not None:
+                qk = qk[:, head_idx]  # (B, max_heads, T, 1500)
+            # bf16 capture halves the QK footprint — the head-selection/
+            # softmax math downstream runs in f32 anyway.
             qk = qk.astype(jnp.bfloat16)
         return h, qk
 
-    x, cross_qks = jax.lax.scan(block, x, params['blocks'])
+    xs = (params['blocks'], capture_index)
+    x, cross_qks = jax.lax.scan(block, x, xs)
     x = layer_norm(x, params['ln']['g'], params['ln']['b'])
     logits = jnp.dot(x, params['token_emb'].T,
                      preferred_element_type=jnp.float32)

@@ -43,15 +43,46 @@ class WordTimingRaw:
     probability: float
 
 
+def build_head_capture_table(alignment_heads, n_layers: int):
+    """Pack (layer, head) pairs into a per-layer slot table for selective
+    QK capture.
+
+    Returns (capture_index (L, max_slots) int32, slot_of_pair list aligned
+    with ``alignment_heads``: each entry is the slot column holding that
+    pair's QK row). Unused slots duplicate head 0 and are never read back.
+    """
+    per_layer: List[List[int]] = [[] for _ in range(n_layers)]
+    slots = []
+    for layer, head in alignment_heads:
+        slots.append((int(layer), len(per_layer[int(layer)])))
+        per_layer[int(layer)].append(int(head))
+    width = max(1, max(len(heads) for heads in per_layer))
+    table = np.zeros((n_layers, width), np.int32)
+    for layer, heads in enumerate(per_layer):
+        table[layer, :len(heads)] = heads
+    return jnp.asarray(table), slots
+
+
+def gather_captured_heads(qks, slots):
+    """(L, max_slots, T, F) selective capture -> (n_sel, T, F) rows."""
+    layers = np.array([layer for layer, _ in slots])
+    cols = np.array([slot for _, slot in slots])
+    return qks[layers, cols]
+
+
 def compute_qks_and_probs(params, dims: ModelDimensions,
                           tokenizer: WhisperTokenizer,
                           text_tokens: Sequence[int],
                           mel: Optional[jnp.ndarray] = None,
-                          audio_features: Optional[jnp.ndarray] = None):
+                          audio_features: Optional[jnp.ndarray] = None,
+                          capture_index=None):
     """One teacher-forced pass -> (qks (L, H, T, 1500) bf16, text_token_probs).
 
     Replaces the reference's forward hooks (timing.py:50-57) with explicit
-    aux outputs.
+    aux outputs. ``capture_index`` (from :func:`build_head_capture_table`)
+    narrows the capture to chosen heads per layer — (L, max_slots, T, 1500)
+    instead of all (L, H, ...), a ~60x smaller HBM footprint with the
+    canonical large-v3 heads.
     """
     if audio_features is None:
         assert mel is not None, 'need mel or audio_features'
@@ -63,13 +94,14 @@ def compute_qks_and_probs(params, dims: ModelDimensions,
               *text_tokens, tokenizer.eot]
     tokens_arr = jnp.asarray(tokens, jnp.int32)[None]
     logits, qks = decoder_apply(params['decoder'], tokens_arr, audio_features,
-                                dims.n_text_head, capture_qk=True)
+                                dims.n_text_head, capture_qk=True,
+                                capture_index=capture_index)
     sot_len = len(tokenizer.sot_sequence)
     sampled_logits = logits[0, sot_len:, :tokenizer.eot]
     token_probs = jax.nn.softmax(sampled_logits, axis=-1)
     text_token_probs = np.asarray(
         token_probs[np.arange(len(text_tokens)), np.asarray(text_tokens)])
-    # qks: (L, 1, H, T, 1500) -> (L, H, T, 1500)
+    # qks: (L, 1, H_or_slots, T, 1500) -> (L, H_or_slots, T, 1500)
     return qks[:, 0], text_token_probs.tolist(), audio_features
 
 
@@ -110,6 +142,41 @@ def _legacy_head_weights_host(qks_sel: np.ndarray, max_qk_len: int,
     mean = w.mean(axis=-2, keepdims=True)
     w = (w - mean) / np.where(std > 0, std, 1.0)
     return _np_median_filter(w, medfilt_width)
+
+
+@partial(jax.jit, static_argnames=('medfilt_width', 'sot_len'))
+def legacy_weights_batched(qks_sel: jnp.ndarray, qk_lens: jnp.ndarray,
+                           row_counts: jnp.ndarray, sot_len: int,
+                           qk_scale: float,
+                           medfilt_width: int) -> jnp.ndarray:
+    """Batched on-device legacy attention matrices for many windows at once.
+
+    qks_sel: (n_sel_heads, B, T, 1500) selected-head QKs (bf16);
+    qk_lens: (B,) valid audio frames per window; row_counts: (B,) valid token
+    rows per window (n_text + 1) after the sot slice. Column masking
+    reproduces the reference's frame crop and row masking confines the
+    per-column normalization stats to each window's real tokens, so for
+    full 30-s windows the output equals the per-window host path exactly.
+    Returns (B, T', 1500) f32 matrices, already meaned over heads — feed
+    ``-matrix`` straight to the batched DTW without the QK capture ever
+    leaving the device.
+    """
+    w = qks_sel[:, :, sot_len:-1, :].astype(jnp.float32)
+    n_frames, n_rows = w.shape[-1], w.shape[-2]
+    col_ok = jnp.arange(n_frames)[None, None, None, :] < \
+        qk_lens[None, :, None, None]
+    w = jnp.where(col_ok, w * qk_scale, -jnp.inf)
+    w = jax.nn.softmax(w, axis=-1)
+    w = jnp.where(col_ok, w, 0.0)
+    row_ok = (jnp.arange(n_rows)[None, :] <
+              row_counts[:, None])[None, :, :, None]
+    count = row_counts.astype(jnp.float32)[None, :, None, None]
+    mean = jnp.sum(jnp.where(row_ok, w, 0.0), axis=-2, keepdims=True) / count
+    var = jnp.sum(jnp.where(row_ok, (w - mean) ** 2, 0.0),
+                  axis=-2, keepdims=True) / count
+    std = jnp.sqrt(var)
+    w = (w - mean) / jnp.where(std > 0, std, 1.0)
+    return median_filter(w, medfilt_width).mean(axis=0)
 
 
 def legacy_head_weights(qks_sel, max_qk_len: int, sot_len: int,
@@ -274,23 +341,14 @@ def find_alignment(
         word_tokens = list(word_tokens) + [[tokenizer.eot]]
     word_boundaries = np.pad(np.cumsum([len(t) for t in word_tokens[:-1]]), (1, 0))
 
-    if precomputed is not None:
-        # (qks (L, H, T, 1500), text_token_probs) from an external batched
-        # forward — the lockstep align_words path (alignment.py)
-        qks, text_token_probs = precomputed
-        qks = jnp.asarray(qks)
-    else:
-        qks, text_token_probs, audio_features = compute_qks_and_probs(
-            params, dims, tokenizer, text_tokens, mel=mel,
-            audio_features=audio_features)
-
     # Rows kept: [no_timestamps, text...] (T+1 rows) so every word boundary
     # (including the final end) has a jump time — matches reference
     # timing.py:90 slicing from len(sot_sequence).
     sot_len = len(tokenizer.sot_sequence)
     max_qk_len = round(num_samples / N_SAMPLES_PER_TOKEN)
 
-    # Resolve head-selection mode.
+    # Resolve head-selection mode BEFORE the QK pass: the legacy+known-heads
+    # mode only needs the selected heads, so the capture can be narrowed.
     use_new = aligner != 'legacy'
     new_kwargs = dict(topk=20, w_colnorm=1.0, w_rownorm=1.0, w_coverage=0.0)
     if isinstance(aligner, dict):
@@ -312,6 +370,24 @@ def find_alignment(
         else:
             dynamic_count = None
 
+    legacy_known_heads = (not use_new and not dynamic_count
+                          and alignment_heads is not None)
+    selective = legacy_known_heads and precomputed is None
+    capture_slots = None
+    if precomputed is not None:
+        # (qks (L, H, T, 1500), text_token_probs) from an external batched
+        # forward — the lockstep align_words path (alignment.py)
+        qks, text_token_probs = precomputed
+        qks = jnp.asarray(qks)
+    else:
+        capture_index = None
+        if selective:
+            capture_index, capture_slots = build_head_capture_table(
+                alignment_heads, dims.n_text_layer)
+        qks, text_token_probs, audio_features = compute_qks_and_probs(
+            params, dims, tokenizer, text_tokens, mel=mel,
+            audio_features=audio_features, capture_index=capture_index)
+
     if use_new:
         matrix = new_aligner_matrix(
             qks, max_qk_len, sot_len, qk_scale,
@@ -332,8 +408,11 @@ def find_alignment(
             matrix = weights.mean(axis=0)
             jump_indices = _matrix_to_jumps(matrix)
     else:
-        heads = np.asarray(alignment_heads)
-        qks_sel = qks[heads[:, 0], heads[:, 1]]  # (n_heads, T, 1500)
+        if capture_slots is not None:
+            qks_sel = gather_captured_heads(qks, capture_slots)
+        else:
+            heads = np.asarray(alignment_heads)
+            qks_sel = qks[heads[:, 0], heads[:, 1]]  # (n_heads, T, 1500)
         weights = legacy_head_weights(qks_sel, max_qk_len, sot_len, qk_scale,
                                       medfilt_width)
         matrix = weights.mean(axis=0)

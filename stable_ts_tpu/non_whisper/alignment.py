@@ -184,51 +184,45 @@ class Aligner:
         if failure_threshold is not None and not 0 <= failure_threshold <= 1:
             raise ValueError(
                 f'``failure_threshold`` ({failure_threshold}) must be between 0 and 1.')
-        self.options = AllOptions(options)
         if isinstance(max_segment_length, str):
             if not max_segment_length.endswith('s'):
                 raise ValueError('string ``max_segment_length`` must end with "s"')
             max_segment_length = int(float(max_segment_length[:-1]) * sample_rate)
 
-        self.sample_rate = sample_rate
-        self.n_samples = max_segment_length
-        self.tokens_per_sec = round(1 / time_precision)
+        self.options = AllOptions(options)
+        self.options.post.min_word_dur = get_min_word_dur(
+            self.options.post.min_word_dur)
         self._prepend_punctuations = get_prepend_punctuations(
             self.options.post.prepend_punctuations)
         self._append_punctuations = get_append_punctuations(
             self.options.post.append_punctuations)
         self._all_punctuations = self._prepend_punctuations + self._append_punctuations
-        self.options.post.min_word_dur = get_min_word_dur(
-            self.options.post.min_word_dur)
 
+        self.sample_rate, self.n_samples = sample_rate, max_segment_length
+        self.tokens_per_sec = round(1 / time_precision)
         self.inference_func = inference_func
         self.batch_inference_func = batch_inference_func
-        self.decode = decode
-        self.encode = encode
+        self.decode, self.encode = decode, encode
         self.split_words_by_space = split_words_by_space
-
         self.remove_instant_words = remove_instant_words
-        self.token_step = token_step
-        self.original_split = original_split
-        self.word_dur_factor = word_dur_factor
-        self.max_word_dur = max_word_dur
-        self.nonspeech_skip = nonspeech_skip
-        self.fast_mode = fast_mode
+        self.token_step, self.original_split = token_step, original_split
+        self.word_dur_factor, self.max_word_dur = word_dur_factor, max_word_dur
+        self.nonspeech_skip, self.fast_mode = nonspeech_skip, fast_mode
         self.failure_threshold = failure_threshold
+        self.failure_count = self.max_fail = 0
+        self.audio_loader: Optional[AudioLoader] = None
+        self.nonspeech_predictor: Optional[NonSpeechPredictor] = None
+        self._reset_queue_state()
 
+    def _reset_queue_state(self):
+        """Clear the per-align() word queue and seek bookkeeping."""
         self._pad_mask = None
-        self.failure_count = 0
-        self.max_fail = 0
         self._text = ''
         self._split_indices_by_char: List[int] = []
         self._all_word_tokens: List[WordToken] = []
         self._total_words = 0
         self._remaining_len = 0
-
-        self.audio_loader: Optional[AudioLoader] = None
-        self.nonspeech_predictor: Optional[NonSpeechPredictor] = None
         self._initial_duration = 0
-
         self._seek_sample = 0
         self._time_offset = 0.0
         self._pending = _PendingWord()
@@ -494,26 +488,36 @@ class Aligner:
         return result, segment_tokens
 
     def _get_pad_mask(self, presplit) -> Optional[List[bool]]:
-        """Per-character mask marking where gap padding may be inserted."""
+        """Per-character mask marking where gap padding may be inserted.
+
+        With an original split (line breaks / prior segments), a word's
+        characters are markable iff the word closes one of the recorded
+        split points; otherwise any word ending in a presplit punctuation
+        marks a boundary.
+        """
         if not presplit:
             return None
         if isinstance(presplit, bool):
             presplit = get_append_punctuations(self.options.post.append_punctuations)
-        if len(self._split_indices_by_char):
-            pad_mask = []
-            cumsums = list(self._split_indices_by_char)
-            cumsum_len = 0
-            for word in self._all_word_tokens:
-                cumsum_len += len(word.word)
-                if cumsums and cumsum_len >= cumsums[0]:
-                    cumsums.pop(0)
-                    pad_mask.extend([True] * len(word.word))
-                else:
-                    pad_mask.extend([False] * len(word.word))
-        else:
-            pad_mask = [b for w in self._all_word_tokens
-                        for b in [any(map(w.word.endswith, presplit))] * len(w.word)]
-        return pad_mask
+
+        def char_flags(flag_of_word):
+            return [flag for wt in self._all_word_tokens
+                    for flag in [flag_of_word(wt)] * len(wt.word)]
+
+        if not self._split_indices_by_char:
+            return char_flags(lambda wt: any(map(wt.word.endswith, presplit)))
+        boundaries = list(self._split_indices_by_char)
+        consumed = 0
+
+        def closes_split(wt) -> bool:
+            nonlocal consumed
+            consumed += len(wt.word)
+            if boundaries and consumed >= boundaries[0]:
+                boundaries.pop(0)
+                return True
+            return False
+
+        return char_flags(closes_split)
 
     def _load_audio(self, audio):
         if isinstance(audio, AudioLoader):
@@ -666,38 +670,39 @@ class Aligner:
                         word_sources: List[BasicWordTiming],
                         second_target: Optional[BasicWordTiming] = None):
         """Merge held-back words so they line up with the new pass's words."""
-        first_word_src = word_sources[0]
-        assert target_word.word.startswith(first_word_src.word)
-        if target_word.word != first_word_src.word:
-            if len(word_sources) < 2:
-                return None, []
-            src_probs = [first_word_src.probability]
-            if first_word_src.word.strip() in self.all_punctuations:
-                first_word_src.start = word_sources[1].start
-                first_word_src.end = word_sources[1].end
-            for _ in range(len(word_sources) - 1):
-                tw = word_sources.pop(1)
-                fullword = first_word_src.word + tw.word
-                assert target_word.word.startswith(fullword)
-                first_word_src.word = fullword
-                first_word_src.tokens += tw.tokens
-                src_probs.append(tw.probability)
-                if tw.word.strip() not in self.all_punctuations:
-                    first_word_src.end = tw.end
-                if target_word.word == first_word_src.word:
-                    break
-            if target_word.word != first_word_src.word:
-                return None, []
-            first_word_src.probability = float(np.mean(src_probs))
-        elif second_target:
-            if len(word_sources) == 1:
-                return first_word_src, []
-            second_word_src, word_sources = self._fix_temp_words(
-                second_target, word_sources[1:])
-            if second_word_src is not None:
-                word_sources = [second_word_src] + word_sources
-            return first_word_src, word_sources
-        return first_word_src, word_sources[1:]
+        head = word_sources[0]
+        assert target_word.word.startswith(head.word)
+        if target_word.word == head.word:
+            if second_target and len(word_sources) > 1:
+                # align the remainder against the following target word too
+                tail_head, tail = self._fix_temp_words(second_target,
+                                                       word_sources[1:])
+                return head, ([tail_head] + tail if tail_head is not None
+                              else tail)
+            return head, [] if second_target else word_sources[1:]
+        # head is a fragment of the target: absorb followers until the texts
+        # match (punctuation-only fragments don't advance the time span)
+        if len(word_sources) < 2:
+            return None, []
+        probs = [head.probability]
+        if head.word.strip() in self.all_punctuations:
+            head.start = word_sources[1].start
+            head.end = word_sources[1].end
+        while len(word_sources) > 1:
+            follower = word_sources.pop(1)
+            grown = head.word + follower.word
+            assert target_word.word.startswith(grown)
+            head.word = grown
+            head.tokens += follower.tokens
+            probs.append(follower.probability)
+            if follower.word.strip() not in self.all_punctuations:
+                head.end = follower.end
+            if target_word.word == head.word:
+                break
+        if target_word.word != head.word:
+            return None, []
+        head.probability = float(np.mean(probs))
+        return head, word_sources[1:]
 
     def _update_curr_words(self):
         if self._pending.word is None:
@@ -806,64 +811,71 @@ class Aligner:
             audio_segment = audio_segment[:new_count]
         return audio_segment
 
+    def _duration_caps(self, med_dur: float):
+        """(local cap, global cap, capped median) for this pass.
+
+        The local cap is ``word_dur_factor`` x the pass median, tightened by
+        the absolute ``max_word_dur``; the global cap is the absolute limit
+        (falling back to the local one when no absolute limit is set).
+        """
+        if self.fast_mode:
+            return None, None, med_dur
+        local_cap = (round(med_dur * self.word_dur_factor, 3)
+                     if self.word_dur_factor else None)
+        if self.max_word_dur:
+            global_cap = self.max_word_dur
+            local_cap = min(local_cap, global_cap) if local_cap else global_cap
+        else:
+            global_cap = local_cap or None
+        if global_cap and med_dur > global_cap:
+            med_dur = global_cap
+        return local_cap, global_cap, med_dur
+
     def _fallback(self, segment_samples: int) -> float:
         """Keep words up to the last trustworthy timestamp; requeue the rest."""
         durations = np.array([w.end - w.start for w in self._curr_words]).round(3)
-        nonzero_mask = durations > 0
-        nonzero_indices = np.flatnonzero(nonzero_mask)
-        if len(nonzero_indices):
-            redo_index = nonzero_indices[-1] + 1
-            if (self._all_word_tokens and len(nonzero_indices) > 1
-                    and (self._curr_words[nonzero_indices[-1]].end
-                         >= np.floor(self._time_offset
-                                     + segment_samples / self.sample_rate))):
-                # Last nonzero word ends at the window edge: distrust it.
-                nonzero_mask[nonzero_indices[-1]] = False
-                nonzero_indices = nonzero_indices[:-1]
-                redo_index = nonzero_indices[-1] + 1
-            med_dur = np.median(durations[:redo_index])
-
-            if self.fast_mode:
-                new_start = None
-                global_max_dur = None
-            else:
-                local_max_dur = (round(med_dur * self.word_dur_factor, 3)
-                                 if self.word_dur_factor else None)
-                if self.max_word_dur:
-                    local_max_dur = (min(local_max_dur, self.max_word_dur)
-                                     if local_max_dur else self.max_word_dur)
-                    global_max_dur = self.max_word_dur
-                else:
-                    global_max_dur = local_max_dur or None
-                if global_max_dur and med_dur > global_max_dur:
-                    med_dur = global_max_dur
-                if local_max_dur and durations[nonzero_indices[0]] > global_max_dur:
-                    new_start = round(max(
-                        (self._curr_words[nonzero_indices[0]].end
-                         - (med_dur * nonzero_indices[0] + local_max_dur)),
-                        self._curr_words[nonzero_indices[0]].start), 3)
-                    if new_start <= self._time_offset:
-                        new_start = None
-                else:
-                    new_start = None
-            if new_start is None:
-                if global_max_dur:
-                    index_offset = nonzero_indices[0] + 1
-                    redo_indices = np.flatnonzero(
-                        durations[index_offset:redo_index] > global_max_dur
-                    ) + index_offset
-                    if len(redo_indices):
-                        redo_index = redo_indices[0]
-                last_ts = self._curr_words[redo_index - 1].end
-                self._redo_words(redo_index)
-            else:
-                last_ts = new_start
-                self._redo_words()
-            self._seek_sample = round(last_ts * self.sample_rate)
-        else:
+        timed = np.flatnonzero(durations > 0)
+        if not len(timed):
+            # no word got a usable span: skip the window, redo everything
             self._seek_sample += segment_samples
-            last_ts = round(self._seek_sample / self.sample_rate, 2)
             self._redo_words()
+            return round(self._seek_sample / self.sample_rate, 2)
+
+        # a final word running into the window edge is not trustworthy
+        window_end = np.floor(self._time_offset
+                              + segment_samples / self.sample_rate)
+        if (self._all_word_tokens and len(timed) > 1
+                and self._curr_words[timed[-1]].end >= window_end):
+            timed = timed[:-1]
+        keep_until = timed[-1] + 1
+        local_cap, global_cap, med_dur = self._duration_caps(
+            np.median(durations[:keep_until]))
+
+        # an over-long FIRST timed word means the whole window started too
+        # late — rewind the seek instead of keeping any of this pass
+        # (note: gated on the local cap, compared against the global one,
+        # mirroring reference alignment.py:975)
+        rewind_to = None
+        if local_cap and durations[timed[0]] > global_cap:
+            first = self._curr_words[timed[0]]
+            rewind_to = round(max(first.end - (med_dur * timed[0] + local_cap),
+                                  first.start), 3)
+            if rewind_to <= self._time_offset:
+                rewind_to = None
+
+        if rewind_to is not None:
+            last_ts = rewind_to
+            self._redo_words()
+        else:
+            if global_cap:
+                scan_from = timed[0] + 1
+                too_long = np.flatnonzero(
+                    durations[scan_from:keep_until] > global_cap)
+                if len(too_long):
+                    keep_until = too_long[0] + scan_from
+            last_ts = self._curr_words[keep_until - 1].end
+            self._redo_words(keep_until)
+        self._seek_sample = round(last_ts * self.sample_rate)
         return last_ts
 
     # -- post ------------------------------------------------------------------------------

@@ -91,3 +91,100 @@ class TestShortWindowAlignment:
         limit = num_samples / N_SAMPLES_PER_TOKEN / 50 + 0.1
         for t in timings:
             assert t.end <= limit, (aligner, t)
+
+
+class TestSelectiveCapture:
+    """Selective QK capture (only the alignment heads' rows) must produce
+    bit-identical word timings to the full-capture path."""
+
+    def test_capture_table_layout(self):
+        from stable_ts_tpu.models.whisper.timing import (
+            build_head_capture_table, gather_captured_heads)
+        heads = [(0, 3), (2, 1), (2, 4), (3, 0)]
+        table, slots = build_head_capture_table(heads, n_layers=4)
+        assert table.shape == (4, 2)
+        assert slots == [(0, 0), (2, 0), (2, 1), (3, 0)]
+        # gather returns rows in the original (layer, head) pair order
+        rng = np.random.default_rng(0)
+        qks = rng.standard_normal((4, 2, 5, 7)).astype(np.float32)
+        rows = gather_captured_heads(qks, slots)
+        assert rows.shape == (4, 5, 7)
+        np.testing.assert_array_equal(rows[1], qks[2, 0])
+        np.testing.assert_array_equal(rows[2], qks[2, 1])
+
+    def test_find_alignment_selective_matches_full(self, model):
+        import jax.numpy as jnp
+        from stable_ts_tpu.ops.mel import log_mel_spectrogram
+        from stable_ts_tpu.models.whisper.timing import find_alignment
+        rng = np.random.default_rng(17)
+        audio = (rng.standard_normal(16000 * 6) * 0.2).astype(np.float32)
+        mel = log_mel_spectrogram(
+            np.pad(audio, (0, 30 * 16000 - audio.shape[0])),
+            model.dims.n_mels)
+        tokenizer = model.get_tokenizer()
+        tokens = tokenizer.encode(' quick brown fox jumps')
+        heads = [(0, 1), (1, 0), (1, 3)]
+        selective = find_alignment(
+            model.params, model.dims, tokenizer, tokens, jnp.asarray(mel),
+            16000 * 6, alignment_heads=heads)
+        # force the full-capture path by precomputing all-head QKs
+        from stable_ts_tpu.models.whisper.timing import compute_qks_and_probs
+        qks, probs, _ = compute_qks_and_probs(
+            model.params, model.dims, tokenizer, tokens, mel=jnp.asarray(mel))
+        full = find_alignment(
+            model.params, model.dims, tokenizer, tokens, None, 16000 * 6,
+            alignment_heads=heads, precomputed=(qks, probs))
+        assert len(selective) == len(full)
+        for a, b in zip(selective, full):
+            assert a.word == b.word
+            assert abs(a.start - b.start) < 1e-6
+            assert abs(a.end - b.end) < 1e-6
+
+    def test_batched_transcribe_with_heads_matches_schema(self, model):
+        """transcribe_batched with known alignment heads (selective capture
+        in the batched timing pass) still produces a full result."""
+        model.alignment_heads = [(0, 0), (1, 2)]
+        try:
+            rng = np.random.default_rng(23)
+            audio = (rng.standard_normal(16000 * 45) * 0.15).astype(np.float32)
+            res = model.transcribe_batched(audio, verbose=None)
+            for seg in res.segments:
+                for w in seg.words:
+                    assert w.end <= 45.5
+        finally:
+            model.alignment_heads = None
+
+    def test_device_timing_path_matches_host(self, model, monkeypatch):
+        """Full-window batched timing: the on-device weights+DTW fast path
+        must produce the same words as the per-window host path."""
+        import stable_ts_tpu.batched as B
+        model.alignment_heads = [(0, 0), (1, 2), (1, 5)]
+        try:
+            rng = np.random.default_rng(31)
+            audio = (rng.standard_normal(16000 * 60) * 0.15).astype(np.float32)
+
+            res_fast = model.transcribe_batched(audio, verbose=None,
+                                                regroup=False)
+
+            # force the host path by pretending a window is short
+            import stable_ts_tpu.models.whisper.timing as T
+            real_batched = T.legacy_weights_batched
+
+            def poisoned(*a, **kw):
+                raise AssertionError('device path must be disabled')
+            monkeypatch.setattr(T, 'legacy_weights_batched', poisoned)
+            monkeypatch.setattr(B, 'N_FRAMES', 10 ** 9)  # no window is "full"
+            res_host = model.transcribe_batched(audio, verbose=None,
+                                                regroup=False)
+            monkeypatch.setattr(T, 'legacy_weights_batched', real_batched)
+
+            fast = [(w.word, w.start, w.end) for s in res_fast.segments
+                    for w in s.words]
+            host = [(w.word, w.start, w.end) for s in res_host.segments
+                    for w in s.words]
+            assert [w[0] for w in fast] == [w[0] for w in host]
+            for (_, fs, fe), (_, hs, he) in zip(fast, host):
+                assert abs(fs - hs) <= 0.021 and abs(fe - he) <= 0.021, \
+                    (fs, hs, fe, he)
+        finally:
+            model.alignment_heads = None
