@@ -65,6 +65,17 @@ def synth_speech_like(seconds: float, sr: int = 16000):
     return out
 
 
+def _enable_cache():
+    try:
+        from stable_ts_tpu.utils import enable_compilation_cache
+        cache_dir = enable_compilation_cache()
+        n = len([f for f in os.listdir(cache_dir)]) if os.path.isdir(cache_dir) else 0
+        print(f'[bench] compilation cache at {cache_dir}: {n} entries '
+              f'({"warm" if n else "cold"})', file=sys.stderr)
+    except Exception as exc:  # cache is an optimization, never a failure
+        print(f'[bench] compilation cache unavailable: {exc}', file=sys.stderr)
+
+
 def main_e2e():
     import numpy as np
     import jax.numpy as jnp
@@ -92,12 +103,13 @@ def main_e2e():
     audio_seconds = audio.shape[-1] / 16000.0
 
     # coarse phase breakdown: wall time at the module-function boundaries
-    # inside transcribe_batched (async dispatch means boundaries where no
-    # host materialization happens under-report; totals are still exact)
+    # inside transcribe_batched. The pipeline dispatches decode/timing
+    # asynchronously, so launch stages cost ~0 and the *_wait/finish stages
+    # show where the host actually blocks; totals are still exact.
     import stable_ts_tpu.batched as batched_mod
     phases = {}
 
-    def instrument(name):
+    def instrument_module(name):
         orig = getattr(batched_mod, name)
 
         def inner(*a, **kw):
@@ -107,18 +119,25 @@ def main_e2e():
             return out
         setattr(batched_mod, name, inner)
 
-    for fn_name in ('log_mel_spectrogram', '_batched_word_timestamps'):
+    for fn_name in ('log_mel_spectrogram', '_launch_word_timing',
+                    '_finish_word_timing'):
         if hasattr(batched_mod, fn_name):
-            instrument(fn_name)
+            instrument_module(fn_name)
 
-    real_decode = model.decode
+    def instrument_model(name, phase):
+        orig = getattr(model, name)
 
-    def timed_decode(*a, **kw):
-        t0 = time.perf_counter()
-        out = real_decode(*a, **kw)
-        phases['decode'] = phases.get('decode', 0.0) + time.perf_counter() - t0
-        return out
-    model.decode = timed_decode
+        def inner(*a, **kw):
+            t0 = time.perf_counter()
+            out = orig(*a, **kw)
+            phases[phase] = phases.get(phase, 0.0) + time.perf_counter() - t0
+            return out
+        setattr(model, name, inner)
+
+    instrument_model('embed_audio', 'encode_dispatch')
+    instrument_model('decode_launch', 'decode_dispatch')
+    instrument_model('decode_collect', 'decode_wait')
+    instrument_model('decode', 'decode_fallback')
 
     # Random weights produce gibberish that fails the compression-ratio
     # test on EVERY window, so the default fallback ladder would re-decode
@@ -261,4 +280,5 @@ def main_kernel():
 
 
 if __name__ == '__main__':
+    _enable_cache()
     main_e2e() if MODE == 'e2e' else main_kernel()

@@ -5,29 +5,46 @@ batch_size=24, faster-whisper BatchedInferencePipeline — SURVEY §2.3); its
 own loop decodes one 30-s window at a time. Here the window axis IS the
 batch axis (SURVEY §5.7's TPU-native plan):
 
-- fixed-stride 30-s windows (no seek feedback -> windows are independent,
-  like the reference's batched pipelines; prompt conditioning is off)
-- ONE batched encoder + sampling-loop call per batch of windows
-- temperature fallback re-decodes only the failed windows, batched
+- fixed-stride 30-s windows read in ``batch_size`` groups straight from the
+  streaming :class:`AudioLoader` (bounded RAM for hours-long / live / URL
+  sources; ``clip_timestamps`` restricts processing like the reference's
+  load_sections, original_whisper.py:280-287)
+- each group is encoded ONCE; the cached encoder features feed every
+  temperature-fallback rung AND the word-timing pass (the reference caches
+  ``audio_features`` the same way across retries, decode.py:27-30 — here it
+  also saves the timing pass's re-encode)
+- groups run through a 3-stage software pipeline: while the device decodes
+  group g, the host segmentizes group g-1 (whose timing pass is already
+  queued) and assembles group g-2's words — JAX's async dispatch makes the
+  host work free instead of serial
 - the word-timing teacher-forced pass runs batched with right-padded token
-  rows (exact under the causal mask) and a vmapped DTW cost kernel
+  rows (exact under the causal mask); full 30-s windows take the on-device
+  weights+DTW fast path while short tail windows take the reference-order
+  host path, per window
+- ``condition_on_previous_text=True`` chains GROUPS: every window in group
+  g is prompted with the decoded tail of group g-1 (within a group, windows
+  stay independent so the batch keeps its parallelism), with the
+  reference's T>0.5 prompt reset (original_whisper.py:706-708)
 
 On multi-chip meshes, shard the window axis with
 ``stable_ts_tpu.parallel.data_sharding`` — the batch here is the dp axis.
 """
 import warnings
+from functools import partial
 from typing import Callable, List, Optional, Union
 
 import numpy as np
 
+from .audio.loader import AudioLoader
 from .constants import (N_FRAMES, N_SAMPLES, N_SAMPLES_PER_TOKEN, SAMPLE_RATE,
                         TOKENS_PER_SECOND)
 from .defaults import (get_append_punctuations, get_min_word_dur,
                        get_prepend_punctuations)
-from .models.whisper.decoding import DecodingOptions, decode
+from .models.whisper.decoding import DecodingOptions
 from .ops.mel import log_mel_spectrogram
 from .result import Segment, WhisperResult
 from .stabilization import NonSpeechPredictor
+from .utils import safe_print
 from .profiling import traced
 
 
@@ -36,24 +53,63 @@ def _bucket(n: int, step: int = 64) -> int:
 
 
 _NEXT_TOKEN_PROBS_FN = None
+_DTW_BATCH_FN = None
 
 
-def _next_token_probs(logits, tokens):
+def _next_token_probs(logits, tokens, eot: int):
     """(B, T, V) logits + (B, T) realized tokens -> (B, T-1) per-position
-    probability of the token that actually follows (device-side gather: the
-    word assembly never needs the full-vocab softmax on host)."""
+    probability of the token that actually follows.
+
+    The softmax runs over the TEXT vocabulary only (``[:eot]``), matching
+    the reference's ``logits[sot_len:, :tokenizer.eot]`` normalization
+    (timing.py:62-63) and this package's own per-window path
+    (timing.compute_qks_and_probs) — including special/timestamp mass in
+    the denominator would systematically deflate every word probability.
+    Positions whose realized next token is not a text token are discarded
+    by the caller's slice, so the clipped gather index is never read.
+    """
     global _NEXT_TOKEN_PROBS_FN
     if _NEXT_TOKEN_PROBS_FN is None:
         import jax
         import jax.numpy as jnp
 
-        @jax.jit
-        def fn(logits, tokens):
-            probs = jax.nn.softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
-            return jnp.take_along_axis(probs, tokens[:, 1:, None],
-                                       axis=-1)[..., 0]
+        @partial(jax.jit, static_argnames=('eot',))
+        def fn(logits, tokens, eot):
+            probs = jax.nn.softmax(
+                logits[:, :-1, :eot].astype(jnp.float32), axis=-1)
+            idx = jnp.clip(tokens[:, 1:, None], 0, eot - 1)
+            return jnp.take_along_axis(probs, idx, axis=-1)[..., 0]
         _NEXT_TOKEN_PROBS_FN = fn
-    return _NEXT_TOKEN_PROBS_FN(logits, tokens)
+    return _NEXT_TOKEN_PROBS_FN(logits, tokens, eot=eot)
+
+
+def _dtw_cost_batched(neg_matrices):
+    """Batched DTW cost DP; one jitted program reused across every chunk."""
+    global _DTW_BATCH_FN
+    from .ops.dtw import _use_pallas, dtw_cost_jax, dtw_cost_pallas
+    if _use_pallas():
+        return dtw_cost_pallas(neg_matrices)
+    if _DTW_BATCH_FN is None:
+        import jax
+        _DTW_BATCH_FN = jax.jit(jax.vmap(dtw_cost_jax))
+    return _DTW_BATCH_FN(neg_matrices)
+
+
+class _Group:
+    """One batch of non-silent 30-s windows moving through the pipeline."""
+    __slots__ = ('metas', 'windows', 'features', 'pending', 'results',
+                 'segments', 'timing', 'prompt', 'end_sample')
+
+    def __init__(self, metas, windows):
+        self.metas = metas          # [{seek, samples, silence_timings}]
+        self.windows = windows      # (n, N_SAMPLES) float32
+        self.features = None        # (batch_size, 1500, d) device array
+        self.pending = None         # PendingDecode
+        self.results = None         # [DecodingResult] per window
+        self.segments = None        # [[segment dict]] per window
+        self.timing = None          # dispatched word-timing work
+        self.prompt = None          # prompt tokens used for this group
+        self.end_sample = metas[-1]['seek'] + metas[-1]['samples']
 
 
 @traced('transcribe_batched')
@@ -68,6 +124,8 @@ def transcribe_batched(
         compression_ratio_threshold: Optional[float] = 2.4,
         logprob_threshold: Optional[float] = -1.0,
         no_speech_threshold: Optional[float] = 0.6,
+        condition_on_previous_text: bool = False,
+        initial_prompt: Optional[str] = None,
         word_timestamps: bool = True,
         regroup: Union[bool, str] = True,
         suppress_silence: bool = True,
@@ -83,33 +141,84 @@ def transcribe_batched(
         min_word_dur: Optional[float] = None,
         min_silence_dur: Optional[float] = None,
         nonspeech_error: float = 0.1,
+        nonspeech_skip: Optional[float] = None,
         prepend_punctuations: Optional[str] = None,
         append_punctuations: Optional[str] = None,
         verbose: Optional[bool] = False,
         progress_callback: Optional[Callable] = None,
         dynamic_heads: Optional[Union[bool, int, str]] = None,
         aligner: Union[str, dict] = 'legacy',
+        clip_timestamps: Optional[Union[str, List[float]]] = None,
+        stream: Optional[bool] = None,
+        only_ffmpeg: bool = False,
         **decode_options,
 ) -> WhisperResult:
     """Transcribe with all 30-s windows batched (throughput-optimized).
 
-    Semantics match :func:`transcribe_stable` with
-    ``condition_on_previous_text=False`` and fixed-stride windows.
+    Semantics match :func:`transcribe_stable` with fixed-stride windows.
+    ``condition_on_previous_text`` defaults to False (independent windows);
+    True chains prompts at GROUP granularity (see module docstring).
+    ``nonspeech_skip`` skips long silences only at window boundaries (the
+    sequential driver additionally trims mid-window — a data-dependent
+    re-seek that fixed-stride batching forgoes).
+
+    Unknown keyword arguments are rejected loudly (they raise here, not
+    deep inside decoding) — nothing is silently ignored.
     """
-    from .audio import prep_audio
+    valid_extra = {'sample_len', 'best_of', 'beam_size', 'patience',
+                   'length_penalty', 'prefix', 'suppress_tokens',
+                   'suppress_blank', 'without_timestamps',
+                   'max_initial_timestamp', 'kv_quant', 'prompt'}
+    unknown = set(decode_options) - valid_extra
+    if unknown:
+        raise TypeError(
+            f'transcribe_batched got unsupported keyword argument(s): '
+            f'{", ".join(sorted(unknown))}. Supported decode options: '
+            f'{", ".join(sorted(valid_extra - {"prompt"}))}.')
+    if decode_options.get('prompt') is not None:
+        if initial_prompt is not None:
+            raise TypeError('pass either prompt= or initial_prompt=, not both')
+        initial_prompt = decode_options.pop('prompt')
+    else:
+        decode_options.pop('prompt', None)
+    if decode_options.get('beam_size') is None:
+        decode_options.pop('beam_size', None)
+
     min_word_dur = get_min_word_dur(min_word_dur)
     prepend_punctuations = get_prepend_punctuations(prepend_punctuations)
     append_punctuations = get_append_punctuations(append_punctuations)
     punctuations = prepend_punctuations + append_punctuations
+    temperatures = ([temperature] if isinstance(temperature, (int, float))
+                    else list(temperature))
+    time_precision = 1.0 / TOKENS_PER_SECOND
 
-    audio = prep_audio(audio, denoiser=denoiser,
-                       denoiser_options=denoiser_options,
-                       only_voice_freq=only_voice_freq)
-    total_samples = int(audio.shape[-1])
-    total_duration = total_samples / SAMPLE_RATE
-    n_windows = max(1, int(np.ceil(total_samples / N_SAMPLES)))
+    if isinstance(clip_timestamps, str):
+        clip_timestamps = [float(t) for t in clip_timestamps.split(',') if t]
+    load_sections = None
+    if clip_timestamps:
+        pairs = list(clip_timestamps) + ([None] if len(clip_timestamps) % 2
+                                         else [])
+        load_sections = [(pairs[i], pairs[i + 1])
+                         for i in range(0, len(pairs), 2)]
 
-    # -- silence prediction per window (host) ------------------------------------
+    from .audio.denoiser import convert_demucs_kwargs
+    denoiser, denoiser_options = convert_demucs_kwargs(
+        denoiser, denoiser_options)
+    denoiser_options = dict(denoiser_options or {})
+    denoised_save_path = denoiser_options.pop('save_path', None)
+    loader = audio if isinstance(audio, AudioLoader) else AudioLoader(
+        audio,
+        stream=stream,
+        denoiser=denoiser,
+        denoiser_options=denoiser_options,
+        only_voice_freq=only_voice_freq,
+        only_ffmpeg=only_ffmpeg,
+        verbose=verbose,
+        new_chunk_divisor=512 if vad else None,
+        load_sections=load_sections,
+        save_path=denoised_save_path,
+    )
+
     predictor = NonSpeechPredictor(
         vad=vad if suppress_silence else None,
         min_word_dur=min_word_dur,
@@ -120,98 +229,159 @@ def transcribe_batched(
         store_timings=True,
         min_silence_dur=min_silence_dur,
     )
-    windows = []
-    window_meta = []
-    for w in range(n_windows):
-        seek = w * N_SAMPLES
-        seg = audio[seek:seek + N_SAMPLES]
-        preds = predictor.predict(seg, offset=seek / SAMPLE_RATE)
-        window_meta.append(dict(
-            seek=seek,
-            samples=int(seg.shape[-1]),
-            silence_timings=preds['timings'] if suppress_silence else None,
-            is_silent=preds['is_silent'],
-        ))
-        if seg.shape[-1] < N_SAMPLES:
-            seg = np.pad(seg, (0, N_SAMPLES - seg.shape[-1]))
-        windows.append(seg)
-    windows = np.stack(windows)  # (W, N_SAMPLES)
+    loader.update_post_prep_callback(
+        predictor.get_on_prep_callback(loader.stream))
 
-    active = [w for w in range(n_windows) if not window_meta[w]['is_silent']]
-    if not active:
-        result = WhisperResult(dict(text='', segments=[], language=language))
-        predictor.finalize_timings()
-        if predictor.nonspeech_timings:
-            result.update_nonspeech_sections(*predictor.nonspeech_timings)
-        warnings.warn(f'Failed to {task} audio. Result contains no text.')
-        return result
+    total_duration = loader.get_duration(2)
+    seek_sample = 0
+    tokenizer = None
+    initial_prompt_tokens: List[int] = []
+    all_tokens: List[int] = []          # conditioning context
+    prompt_reset_since = 0
+    all_segments: List[dict] = []
+    first_group = True
 
-    # -- batched mel + language detection -------------------------------------------
-    mels = np.asarray(log_mel_spectrogram(windows[active], model.dims.n_mels))
-    mels = mels[..., :N_FRAMES]
+    # -- pipeline stages -----------------------------------------------------------
 
-    if language is None:
-        if model.is_multilingual:
-            langs, _ = model.detect_language(mels[:1])
-            language = langs[0]
-            if verbose is not None:
-                print(f'Detected language: {language}')
+    def read_group() -> Optional[_Group]:
+        """Host: next ``batch_size`` non-silent windows from the loader."""
+        nonlocal seek_sample
+        metas, wins = [], []
+        while len(wins) < batch_size:
+            chunk, new_seek = loader.next_valid_chunk(seek_sample, N_SAMPLES)
+            if chunk is None:
+                break
+            seek_sample = new_seek
+            offset = seek_sample / SAMPLE_RATE
+            preds = predictor.predict(chunk, offset=offset)
+            samples = int(chunk.shape[-1])
+            if preds['is_silent']:
+                seek_sample += samples
+                continue
+            if nonspeech_skip and preds['timings'] is not None:
+                # jump over a long silence that starts the window (the
+                # reference's re-seek rule, original_whisper.py:513-527)
+                sil_starts = preds['timings'][0] - offset
+                sil_ends = preds['timings'][1] - offset
+                long_idx = np.flatnonzero(
+                    (sil_ends - sil_starts) >= nonspeech_skip)
+                if len(long_idx):
+                    i = long_idx[0]
+                    if (sil_starts[i] < min_word_dur
+                            or int(sil_starts[i] * SAMPLE_RATE) == 0):
+                        seek_sample += min(
+                            samples, round(sil_ends[i] * SAMPLE_RATE))
+                        continue
+            metas.append(dict(
+                seek=seek_sample, samples=samples,
+                silence_timings=(preds['timings'] if suppress_silence
+                                 else None)))
+            if samples < N_SAMPLES:
+                chunk = np.pad(chunk, (0, N_SAMPLES - samples))
+            wins.append(chunk)
+            seek_sample += samples
+        if not wins:
+            return None
+        return _Group(metas, np.stack(wins))
+
+    def launch_decode(grp: _Group):
+        """Encode the group ONCE and dispatch its t=0 decode (async)."""
+        nonlocal tokenizer, language, initial_prompt_tokens, first_group
+        wins = grp.windows
+        grp.windows = None
+        if wins.shape[0] < batch_size:
+            wins = np.concatenate(
+                [wins, np.repeat(wins[-1:], batch_size - wins.shape[0], 0)])
+        mels = np.asarray(
+            log_mel_spectrogram(wins, model.dims.n_mels))[..., :N_FRAMES]
+        mels_in, _ = model.shard_batch(mels)
+        grp.features = model.embed_audio(mels_in)
+        if tokenizer is None:
+            if language is None:
+                if model.is_multilingual:
+                    langs, _ = model.detect_language(grp.features[:1])
+                    language = langs[0]
+                    if verbose is not None:
+                        print(f'Detected language: {language}')
+                else:
+                    language = 'en'
+            tokenizer = model.get_tokenizer(language=language, task=task)
+            if initial_prompt is not None:
+                initial_prompt_tokens = (
+                    tokenizer.encode(' ' + str(initial_prompt).strip())
+                    if isinstance(initial_prompt, str)
+                    else list(initial_prompt))
+                all_tokens.extend(initial_prompt_tokens)
+        if condition_on_previous_text:
+            prompt = all_tokens[prompt_reset_since:]
         else:
-            language = 'en'
-    tokenizer = model.get_tokenizer(language=language, task=task)
+            prompt = initial_prompt_tokens if first_group else []
+        first_group = False
+        grp.prompt = prompt or None
+        grp.pending = model.decode_launch(
+            grp.features, _make_options(temperatures[0], grp.prompt))
 
-    # -- batched decode with per-window temperature fallback --------------------------
-    temperatures = ([temperature] if isinstance(temperature, (int, float))
-                    else list(temperature))
-    results: List = [None] * len(active)
-    pending = list(range(len(active)))
-    for t in temperatures:
-        if not pending:
-            break
+    def _make_options(t: float, prompt) -> DecodingOptions:
         kwargs = dict(decode_options)
         if t > 0:
             kwargs.pop('beam_size', None)
             kwargs.pop('patience', None)
         else:
             kwargs.pop('best_of', None)
-        options = DecodingOptions(task=task, language=language,
-                                  temperature=t, **kwargs)
-        still_pending = []
-        for chunk_start in range(0, len(pending), batch_size):
-            chunk = pending[chunk_start:chunk_start + batch_size]
-            # Pad short chunks (tail batch, fallback re-decodes) up to
-            # batch_size by repeating window indices: every decode call then
-            # shares ONE compiled program instead of one per chunk shape.
-            padded = chunk + [chunk[-1]] * (batch_size - len(chunk))
-            # On a mesh, the window batch is dp-sharded (padded to an even
-            # split); slice the per-window results back to the real count.
-            chunk_mels, n_real = model.shard_batch(mels[padded])
-            chunk_results = model.decode(chunk_mels, options)[:n_real]
-            for local, res in zip(chunk, chunk_results):
-                needs_fallback = False
-                if (compression_ratio_threshold is not None
-                        and res.compression_ratio > compression_ratio_threshold):
-                    needs_fallback = True
-                if (logprob_threshold is not None
-                        and res.avg_logprob < logprob_threshold):
-                    needs_fallback = True
-                if (no_speech_threshold is not None
-                        and res.no_speech_prob > no_speech_threshold):
-                    needs_fallback = False
-                results[local] = res
-                if needs_fallback:
-                    still_pending.append(local)
-        pending = still_pending
-        if progress_callback is not None:
-            progress_callback(min(total_duration, total_duration), total_duration)
+        return DecodingOptions(task=task, language=language, temperature=t,
+                               prompt=prompt, **kwargs)
 
-    # -- split tokens into segments per window (host) ----------------------------------
-    all_segments: List[dict] = []
-    per_window_segments: List[List[dict]] = []
-    time_precision = 1.0 / TOKENS_PER_SECOND
-    for local, w in enumerate(active):
-        res = results[local]
-        meta = window_meta[w]
+    def _needs_fallback(res) -> bool:
+        needs = False
+        if (compression_ratio_threshold is not None
+                and res.compression_ratio > compression_ratio_threshold):
+            needs = True
+        if (logprob_threshold is not None
+                and res.avg_logprob < logprob_threshold):
+            needs = True
+        if (no_speech_threshold is not None
+                and res.no_speech_prob > no_speech_threshold):
+            needs = False  # silence: don't retry
+        return needs
+
+    def finish_decode(grp: _Group):
+        """Collect the decode; retry failed windows from CACHED features;
+        segmentize; dispatch the word-timing pass (async)."""
+        nonlocal prompt_reset_since
+        n = len(grp.metas)
+        results = model.decode_collect(grp.pending)[:n]
+        grp.pending = None
+        for t in temperatures[1:]:
+            pending_idx = [i for i, r in enumerate(results)
+                           if _needs_fallback(r)]
+            if not pending_idx:
+                break
+            # re-decode ONLY the failed windows, from the cached features —
+            # the encoder never runs again (reference decode.py:27-30)
+            rows = pending_idx + [pending_idx[-1]] * (batch_size
+                                                      - len(pending_idx))
+            feats, _ = model.shard_batch(grp.features[np.asarray(rows)])
+            retry = model.decode(feats, _make_options(t, grp.prompt))
+            for i, r in zip(pending_idx, retry):
+                results[i] = r
+        grp.results = results
+        grp.segments = [_segmentize(res, meta)
+                        for res, meta in zip(results, grp.metas)]
+        if condition_on_previous_text:
+            all_tokens.extend(t for segs in grp.segments for s in segs
+                              for t in s['tokens'])
+            if any(r.temperature is not None and r.temperature > 0.5
+                   for r in results):
+                prompt_reset_since = len(all_tokens)
+        if word_timestamps:
+            grp.timing = _launch_word_timing(
+                model, tokenizer, grp.features, grp.metas, grp.segments,
+                dynamic_heads, aligner, batch_size)
+        grp.features = None
+
+    def _segmentize(res, meta) -> List[dict]:
+        """Host: split one window's tokens into segments at timestamp pairs
+        (same rules as the sequential driver / original_whisper.py:550-602)."""
         time_offset = meta['seek'] / SAMPLE_RATE
         segment_duration = meta['samples'] / SAMPLE_RATE
         tokens = np.array(res.tokens)
@@ -223,10 +393,7 @@ def transcribe_batched(
                     and res.avg_logprob > logprob_threshold):
                 should_skip = False
             if should_skip:
-                per_window_segments.append([])
-                continue
-
-        current_segments: List[dict] = []
+                return []
 
         def new_segment(start, end, seg_tokens):
             seg_tokens = [int(x) for x in seg_tokens]
@@ -242,6 +409,7 @@ def transcribe_batched(
                 'no_speech_prob': res.no_speech_prob,
             }
 
+        current_segments: List[dict] = []
         if len(tokens):
             ts_mask = tokens >= ts_begin
             consecutive = np.flatnonzero(ts_mask[:-1] & ts_mask[1:]) + 1
@@ -266,8 +434,8 @@ def transcribe_batched(
                 duration = segment_duration
                 stamps = tokens[ts_mask]
                 if len(stamps) > 0 and int(stamps[-1]) != ts_begin:
-                    duration = min((int(stamps[-1]) - ts_begin) * time_precision,
-                                   segment_duration)
+                    duration = min((int(stamps[-1]) - ts_begin)
+                                   * time_precision, segment_duration)
                 current_segments.append(new_segment(
                     round(time_offset, 3),
                     round(time_offset + duration, 3), tokens))
@@ -277,71 +445,120 @@ def transcribe_batched(
             if seg['text'].strip() in punctuations or \
                     (word_timestamps and seg['start'] == seg['end']):
                 del current_segments[i]
-        per_window_segments.append(current_segments)
+        return current_segments
 
-    # -- batched word timing --------------------------------------------------------------
-    if word_timestamps:
-        _batched_word_timestamps(
-            model, tokenizer, mels, active, window_meta, per_window_segments,
-            prepend_punctuations, append_punctuations, min_word_dur,
-            dynamic_heads, aligner, batch_size)
-
-    # -- assemble + suppress + regroup -------------------------------------------------------
-    for local, w in enumerate(active):
-        meta = window_meta[w]
-        segs = per_window_segments[local]
-        if word_timestamps:
-            segs = [s for s in segs if s.get('words')]
-        if meta['silence_timings'] is not None and segs:
+    def finish_group(grp: _Group):
+        """Host: materialize timing, assemble words, suppress, emit."""
+        if grp.timing is not None:
+            _finish_word_timing(model, tokenizer, grp.timing, grp.metas,
+                                grp.segments, prepend_punctuations,
+                                append_punctuations, min_word_dur)
+            grp.timing = None
+        for meta, segs in zip(grp.metas, grp.segments):
+            if word_timestamps:
+                segs = [s for s in segs if s.get('words')]
             for i, seg in enumerate(segs):
-                seg_obj = Segment(**seg, ignore_unused_args=True).suppress_silence(
-                    *meta['silence_timings'],
-                    min_word_dur=min_word_dur,
-                    word_level=suppress_word_ts,
-                    nonspeech_error=nonspeech_error,
-                    use_word_position=use_word_position)
-                segs[i] = seg_obj.to_dict()
-        all_segments.extend({'id': len(all_segments) + i, **s}
-                            for i, s in enumerate(segs))
+                seg_obj = Segment(**seg, ignore_unused_args=True)
+                if meta['silence_timings'] is not None:
+                    seg_obj = seg_obj.suppress_silence(
+                        *meta['silence_timings'],
+                        min_word_dur=min_word_dur,
+                        word_level=suppress_word_ts,
+                        nonspeech_error=nonspeech_error,
+                        use_word_position=use_word_position)
+                    segs[i] = seg_obj.to_dict()
+                if verbose:
+                    safe_print(seg_obj.to_display_str())
+            all_segments.extend({'id': len(all_segments) + i, **s}
+                                for i, s in enumerate(segs))
+        if progress_callback is not None:
+            done = grp.end_sample / SAMPLE_RATE
+            total = total_duration or done
+            progress_callback(min(done, total), total)
+
+    # -- run the pipeline ------------------------------------------------------------
+    # Stage slots: p_decode awaits finish_decode, p_timing awaits finish_group.
+    # Dispatch order per iteration (unconditioned): decode(g) -> timing(g-1)
+    # -> host assembly of g-2 — assembly overlaps the device running
+    # decode(g); the device never waits on the host.
+    p_decode: Optional[_Group] = None
+    p_timing: Optional[_Group] = None
+    eof = False
+    try:
+        while True:
+            grp = None if eof else read_group()
+            if grp is None:
+                eof = True
+            if condition_on_previous_text:
+                # decode(g) needs g-1's text: collect it before launching
+                if p_decode is not None:
+                    finish_decode(p_decode)
+                done_grp, p_timing, p_decode = p_timing, p_decode, None
+                if grp is not None:
+                    launch_decode(grp)
+                    p_decode = grp
+                if done_grp is not None:
+                    finish_group(done_grp)
+            else:
+                if grp is not None:
+                    launch_decode(grp)
+                if p_decode is not None:
+                    finish_decode(p_decode)
+                if p_timing is not None:
+                    finish_group(p_timing)
+                p_timing, p_decode = p_decode, grp
+            if eof and p_decode is None and p_timing is None:
+                break
+    finally:
+        loader.terminate()
+
+    predictor.finalize_timings()
+
+    if tokenizer is None:  # nothing decodable (all-silent or empty input)
+        result = WhisperResult(dict(text='', segments=[], language=language))
+        if predictor.nonspeech_timings:
+            result.update_nonspeech_sections(*predictor.nonspeech_timings)
+        warnings.warn(f'Failed to {task} audio. Result contains no text.')
+        return result
 
     text = ''.join(s['text'] for s in all_segments)
     final_result = WhisperResult(
         dict(text=text, segments=all_segments, language=language),
         force_order=not word_timestamps)
 
-    predictor.finalize_timings()
     if suppress_silence and predictor.nonspeech_timings is not None:
         final_result.update_nonspeech_sections(*predictor.nonspeech_timings)
     if word_timestamps and regroup:
         final_result.regroup(regroup)
+    if progress_callback is not None and total_duration:
+        progress_callback(total_duration, total_duration)
     if len(final_result.text) == 0:
         warnings.warn(f'Failed to {task} audio. Result contains no text.')
     return final_result
 
 
-def _batched_word_timestamps(model, tokenizer, mels, active, window_meta,
-                             per_window_segments, prepend_punctuations,
-                             append_punctuations, min_word_dur,
-                             dynamic_heads, aligner, batch_size: int = 8):
-    """One padded teacher-forced QK pass for many windows + vmapped DTW.
+# -- batched word timing ---------------------------------------------------------------
+
+
+def _launch_word_timing(model, tokenizer, features, metas,
+                        per_window_segments, dynamic_heads, aligner,
+                        batch_size: int):
+    """Dispatch one padded teacher-forced QK pass for the group (async).
 
     Right-padding the token rows is exact: under the causal mask, padding
     appended AFTER a window's real tokens cannot affect those tokens'
-    logits or attention rows.
+    logits or attention rows. Returns the in-flight device work + host
+    bookkeeping for :func:`_finish_word_timing`, or None if no window in
+    the group produced segments.
     """
-    import jax
     import jax.numpy as jnp
-    from .models.whisper.model import decoder_apply, encoder_apply
-    from .models.whisper.timing import (WordTimingRaw, _matrices_to_jumps,
-                                        merge_punctuations, pop_empty_alignment,
-                                        split_word_tokens, _dynamic_head_weights,
-                                        legacy_head_weights, new_aligner_matrix,
-                                        build_head_capture_table,
-                                        gather_captured_heads, find_alignment)
+    from .models.whisper.model import decoder_apply
+    from .models.whisper.timing import (build_head_capture_table,
+                                        legacy_weights_batched,
+                                        split_word_tokens)
 
-    # Collect per-window flattened tokens.
     prep = []
-    for local, segs in enumerate(per_window_segments):
+    for segs in per_window_segments:
         if not segs:
             prep.append(None)
             continue
@@ -349,25 +566,23 @@ def _batched_word_timestamps(model, tokenizer, mels, active, window_meta,
             seg['words'] = []
         text_tokens, token_split, seg_indices = split_word_tokens(
             segs, tokenizer, padding=' ...')
-        if not text_tokens:
-            prep.append(None)
-            continue
-        prep.append((text_tokens, token_split, seg_indices))
+        prep.append((text_tokens, token_split, seg_indices)
+                    if text_tokens else None)
 
     todo = [i for i, p in enumerate(prep) if p is not None]
     if not todo:
-        return
+        return None
     sot_seq = list(tokenizer.sot_sequence)
+    sot_len = len(sot_seq)
     max_len = max(len(prep[i][0]) for i in todo)
-    padded_len = _bucket(len(sot_seq) + 1 + max_len + 1, 64)
+    padded_len = _bucket(sot_len + 1 + max_len + 1, 64)
 
     rows = []
     for i in todo:
-        text_tokens = prep[i][0]
-        row = sot_seq + [tokenizer.no_timestamps] + list(text_tokens) + [tokenizer.eot]
-        row = row + [tokenizer.eot] * (padded_len - len(row))
-        rows.append(row)
-    tokens_arr = jnp.asarray(rows, jnp.int32)
+        row = (sot_seq + [tokenizer.no_timestamps] + list(prep[i][0])
+               + [tokenizer.eot])
+        rows.append(row + [tokenizer.eot] * (padded_len - len(row)))
+    tokens_arr = np.asarray(rows, np.int32)
 
     # Legacy mode with known heads: capture only the selected heads' QK
     # rows — (L, B, n_slots, T, 1500) instead of all heads, the difference
@@ -379,133 +594,131 @@ def _batched_word_timestamps(model, tokenizer, mels, active, window_meta,
         capture_index, capture_slots = build_head_capture_table(
             model.alignment_heads, model.dims.n_text_layer)
 
-    # Run the teacher-forced pass in batch_size chunks (padded to a constant
-    # shape): device memory stays bounded no matter how long the audio is,
-    # and every chunk reuses one compiled program.
-    sot_len = len(sot_seq)
-    n_windows = len(todo)
-    chunk_n = min(batch_size, n_windows)
-    max_qk_lens = [round(window_meta[active[i]]['samples'] / N_SAMPLES_PER_TOKEN)
+    max_qk_lens = [round(metas[i]['samples'] / N_SAMPLES_PER_TOKEN)
                    for i in todo]
     row_counts = [len(prep[i][0]) + 1 for i in todo]  # n_text + 1
-    # Fast path (the default config): legacy aligner + known heads + full
-    # 30-s windows — head selection, normalization, and the DTW DP all stay
-    # on device; only per-token probs and the small DTW cost matrices come
-    # back to host. Short windows (reference crops BEFORE the median filter,
-    # which device masking can't reproduce at the boundary) and the
-    # dynamic/'new' modes take the per-window host path on downloaded QKs.
-    device_weights = (capture_slots is not None
-                      and all(m >= N_FRAMES // 2 for m in max_qk_lens))
 
-    tok_prob_parts, qk_parts, cost_parts = [], [], []
-    for cs in range(0, n_windows, chunk_n):
-        n_sub = min(chunk_n, n_windows - cs)
-        pos = list(range(cs, cs + n_sub)) + [cs + n_sub - 1] * (chunk_n - n_sub)
-        mels_in, _ = model.shard_batch(mels[[todo[k] for k in pos]])
-        tokens_in, _ = model.shard_batch(tokens_arr[np.asarray(pos)])
-        xa = encoder_apply(model.params['encoder'], mels_in,
-                           model.dims.n_audio_head)
-        logits, qks = decoder_apply(model.params['decoder'], tokens_in, xa,
-                                    model.dims.n_text_head, capture_qk=True,
-                                    capture_index=capture_index)
-        # per-position probability of the realized next token — the only
-        # thing the word assembly needs from the logits (downloading the
-        # full-vocab softmax would be ~0.5 GB per chunk)
-        next_tok_probs = _next_token_probs(logits, tokens_in)
-        tok_prob_parts.append(np.asarray(next_tok_probs[:n_sub]))
-        if device_weights:
-            from .models.whisper.timing import legacy_weights_batched
-            layers = np.array([l for l, _ in capture_slots])
-            cols = np.array([s for _, s in capture_slots])
-            sel = qks[layers, :, cols]  # (n_sel, B, T, 1500)
+    pos = todo + [todo[-1]] * (batch_size - len(todo))
+    feats_in, _ = model.shard_batch(features[np.asarray(pos)])
+    tokens_in, _ = model.shard_batch(tokens_arr[np.asarray(
+        list(range(len(todo))) + [len(todo) - 1] * (batch_size - len(todo)))])
+    logits, qks = decoder_apply(model.params['decoder'], tokens_in, feats_in,
+                                model.dims.n_text_head, capture_qk=True,
+                                capture_index=capture_index)
+    # per-position probability of the realized next token — the only thing
+    # the word assembly needs from the logits (downloading the full-vocab
+    # softmax would be ~0.5 GB per chunk)
+    tok_probs = _next_token_probs(logits, tokens_in, tokenizer.eot)
+
+    out = dict(prep=prep, todo=todo, sot_len=sot_len,
+               max_qk_lens=max_qk_lens, row_counts=row_counts,
+               tok_probs=tok_probs, capture_slots=capture_slots,
+               aligner_mode=aligner, dynamic_heads=dynamic_heads)
+    if capture_slots is not None:
+        # Per-window dispatch: full 30-s windows go through the on-device
+        # weights+DTW fast path (head selection, normalization, DTW DP all
+        # on device); short windows (usually just the file's tail — the
+        # reference crops BEFORE the median filter, which device masking
+        # can't reproduce at the boundary) take the host path on their
+        # downloaded selected-head QKs.
+        layers = np.array([l for l, _ in capture_slots])
+        cols = np.array([s for _, s in capture_slots])
+        sel = qks[layers, :, cols]  # (n_sel, B, T, 1500)
+        full = [k for k, m in enumerate(max_qk_lens) if m >= N_FRAMES // 2]
+        short = [k for k in range(len(todo)) if k not in full]
+        out['full'] = full
+        out['short'] = short
+        if full:
+            pad_b = sel.shape[1]
+            qk_lens_in = jnp.asarray(
+                max_qk_lens + [1] * (pad_b - len(todo)), jnp.int32)
+            rows_in = jnp.asarray(
+                row_counts + [1] * (pad_b - len(todo)), jnp.int32)
             matrices_dev = legacy_weights_batched(
-                sel, jnp.asarray(max_qk_lens[cs:cs + n_sub]
-                                 + [1] * (chunk_n - n_sub), jnp.int32),
-                jnp.asarray(row_counts[cs:cs + n_sub]
-                            + [1] * (chunk_n - n_sub), jnp.int32),
-                sot_len, 1.0, 7)
-            from .ops.dtw import dtw_cost_jax, dtw_cost_pallas, _use_pallas
-            cost_fn = dtw_cost_pallas if _use_pallas() else jax.jit(
-                jax.vmap(dtw_cost_jax))
-            cost_parts.append(np.asarray(cost_fn(-matrices_dev)[:n_sub],
-                                         np.float64))
-        else:
-            # transfer the capture as bf16 (half the bytes) upcast on host
-            qk_parts.append(np.asarray(qks[:, :n_sub]).astype(np.float32))
-    tok_probs_all = np.concatenate(tok_prob_parts, axis=0)
-
-    if device_weights:
-        from .models.whisper.timing import _jumps_from_cost
-        cost_all = np.concatenate(cost_parts, axis=0)
-        all_jumps = [
-            _jumps_from_cost(cost_all[bi, :row_counts[bi] + 1,
-                                      :max_qk_lens[bi] + 1])
-            for bi in range(n_windows)
-        ]
+                sel, qk_lens_in, rows_in, sot_len, 1.0, 7)
+            out['cost'] = _dtw_cost_batched(-matrices_dev)
+        if short:
+            out['sel_short'] = sel[:, np.asarray(short)]
     else:
-        # qks: (L, B, H_or_slots, T, 1500); slice real rows per window.
-        qks_np = np.concatenate(qk_parts, axis=1)
+        out['qks'] = qks
+    return out
+
+
+def _finish_word_timing(model, tokenizer, pending, metas,
+                        per_window_segments, prepend_punctuations,
+                        append_punctuations, min_word_dur):
+    """Materialize the dispatched timing work and assemble per-word dicts."""
+    from .models.whisper.timing import (WordTimingRaw, _jumps_from_cost,
+                                        _matrices_to_jumps,
+                                        legacy_head_weights,
+                                        merge_punctuations,
+                                        pop_empty_alignment)
+
+    prep, todo = pending['prep'], pending['todo']
+    sot_len = pending['sot_len']
+    max_qk_lens, row_counts = pending['max_qk_lens'], pending['row_counts']
+    n_todo = len(todo)
+    tok_probs_all = np.asarray(pending['tok_probs'])[:n_todo]
+
+    all_jumps: List[Optional[np.ndarray]] = [None] * n_todo
+    if pending['capture_slots'] is not None:
+        if pending['full']:
+            cost = np.asarray(pending['cost'], np.float64)
+            for k in pending['full']:
+                all_jumps[k] = _jumps_from_cost(
+                    cost[k, :row_counts[k] + 1, :max_qk_lens[k] + 1])
+        if pending['short']:
+            # bf16 transfer, f32 upcast on host (halves the download)
+            sel_short = np.asarray(pending['sel_short']).astype(np.float32)
+            short_matrices = []
+            for j, k in enumerate(pending['short']):
+                n_text = row_counts[k] - 1
+                qk = sel_short[:, j, :sot_len + 1 + n_text + 1]
+                weights = legacy_head_weights(qk, max_qk_lens[k], sot_len,
+                                              1.0, 7)
+                short_matrices.append(weights.mean(axis=0))
+            for k, jumps in zip(pending['short'],
+                                _matrices_to_jumps(short_matrices)):
+                all_jumps[k] = jumps
+    else:
+        # full-head capture: (L, B, H, T, 1500) downloaded, per-window host
+        # head selection (dynamic / 'new' aligner modes)
+        qks_np = np.asarray(pending['qks'][:, :n_todo]).astype(np.float32)
         matrices = []
-        for bi, i in enumerate(todo):
-            n_text = len(prep[i][0])
-            qk = qks_np[:, bi, :, :sot_len + 1 + n_text + 1]
-            max_qk_len = max_qk_lens[bi]
-            # Head selection: same modes as find_alignment, per window.
-            if aligner != 'legacy' or isinstance(aligner, dict):
-                kwargs = dict(topk=20, w_colnorm=1.0, w_rownorm=1.0,
-                              w_coverage=0.0)
-                if isinstance(aligner, dict):
-                    kwargs.update(aligner)
-                matrix = new_aligner_matrix(
-                    qk, max_qk_len, sot_len, 1.0,
-                    medfilt_width=7,
-                    topk=min(int(kwargs['topk']),
-                             model.dims.n_text_layer * model.dims.n_text_head),
-                    w_colnorm=float(kwargs['w_colnorm']),
-                    w_rownorm=float(kwargs['w_rownorm']),
-                    w_coverage=float(kwargs['w_coverage']))
-            elif model.alignment_heads is not None and not dynamic_heads:
-                if capture_slots is not None:
-                    sel = gather_captured_heads(qk, capture_slots)
-                else:
-                    heads = np.asarray(model.alignment_heads)
-                    sel = qk[heads[:, 0], heads[:, 1]]
-                weights = legacy_head_weights(sel, max_qk_len, sot_len, 1.0, 7)
-                matrix = weights.mean(axis=0)
-            else:
-                count = 6 if dynamic_heads in (None, True) else int(dynamic_heads)
-                weights = _dynamic_head_weights(qk, sot_len, max_qk_len, 1.0, 7,
-                                                count, None)
-                matrix = weights.mean(axis=0)
-            matrices.append(matrix)
-        # One batched DTW DP for every window (lockstep Pallas kernel on TPU).
+        for k, i in enumerate(todo):
+            n_text = row_counts[k] - 1
+            qk = qks_np[:, k, :, :sot_len + 1 + n_text + 1]
+            matrices.append(_select_matrix_host(
+                model, qk, max_qk_lens[k], sot_len,
+                pending['dynamic_heads'], pending['aligner_mode']))
         all_jumps = _matrices_to_jumps(matrices)
 
-    # Phase B: per-window word assembly from the jump times.
-    for bi, i in enumerate(todo):
+    for k, i in enumerate(todo):
         text_tokens, token_split, seg_indices = prep[i]
-        meta = window_meta[active[i]]
+        meta = metas[i]
         n_text = len(text_tokens)
-        text_token_probs = tok_probs_all[bi, sot_len:sot_len + n_text].tolist()
+        text_token_probs = tok_probs_all[k, sot_len:sot_len + n_text].tolist()
 
         words, word_tokens = token_split
         words = list(words) + [tokenizer.decode([tokenizer.eot])]
         word_tokens = list(word_tokens) + [[tokenizer.eot]]
-        word_boundaries = np.pad(np.cumsum([len(t) for t in word_tokens[:-1]]),
-                                 (1, 0))
+        word_boundaries = np.pad(
+            np.cumsum([len(t) for t in word_tokens[:-1]]), (1, 0))
 
-        jump_indices = all_jumps[bi]
-        jump_times = jump_indices / TOKENS_PER_SECOND
+        jump_times = all_jumps[k] / TOKENS_PER_SECOND
         start_times = jump_times[word_boundaries[:-1]]
         end_times = jump_times[word_boundaries[1:]]
         word_probs = [float(np.mean(text_token_probs[a:b]))
-                      for a, b in zip(word_boundaries[:-1], word_boundaries[1:])]
+                      for a, b in zip(word_boundaries[:-1],
+                                      word_boundaries[1:])]
         alignment = [WordTimingRaw(wd, tk, float(s), float(e), p)
-                     for wd, tk, s, e, p in zip(words, word_tokens, start_times,
-                                                end_times, word_probs)]
+                     for wd, tk, s, e, p in zip(words, word_tokens,
+                                                start_times, end_times,
+                                                word_probs)]
         segs = per_window_segments[i]
         alt_begin = pop_empty_alignment(alignment, seg_indices)
-        merge_punctuations(alignment, prepend_punctuations, append_punctuations)
+        merge_punctuations(alignment, prepend_punctuations,
+                           append_punctuations)
         time_offset = meta['seek'] / SAMPLE_RATE
         for si, timing in zip(seg_indices, alignment):
             if len(timing.tokens) == 0:
@@ -524,3 +737,32 @@ def _batched_word_timestamps(model, tokenizer, mels, active, window_meta,
             if seg['words']:
                 seg['start'] = seg['words'][0]['start']
                 seg['end'] = seg['words'][-1]['end']
+
+
+def _select_matrix_host(model, qk, max_qk_len, sot_len, dynamic_heads,
+                        aligner):
+    """Per-window host head selection for the non-selective capture modes
+    (same dispatch as find_alignment, timing.py)."""
+    from .models.whisper.timing import (_dynamic_head_weights,
+                                        legacy_head_weights,
+                                        new_aligner_matrix)
+    if aligner != 'legacy' or isinstance(aligner, dict):
+        kwargs = dict(topk=20, w_colnorm=1.0, w_rownorm=1.0, w_coverage=0.0)
+        if isinstance(aligner, dict):
+            kwargs.update(aligner)
+        return new_aligner_matrix(
+            qk, max_qk_len, sot_len, 1.0, medfilt_width=7,
+            topk=min(int(kwargs['topk']),
+                     model.dims.n_text_layer * model.dims.n_text_head),
+            w_colnorm=float(kwargs['w_colnorm']),
+            w_rownorm=float(kwargs['w_rownorm']),
+            w_coverage=float(kwargs['w_coverage']))
+    if model.alignment_heads is not None and not dynamic_heads:
+        heads = np.asarray(model.alignment_heads)
+        sel = qk[heads[:, 0], heads[:, 1]]
+        weights = legacy_head_weights(sel, max_qk_len, sot_len, 1.0, 7)
+        return weights.mean(axis=0)
+    count = 6 if dynamic_heads in (None, True) else int(dynamic_heads)
+    weights = _dynamic_head_weights(qk, sot_len, max_qk_len, 1.0, 7,
+                                    count, None)
+    return weights.mean(axis=0)

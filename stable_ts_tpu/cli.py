@@ -518,6 +518,13 @@ def _run_once(args, cache: dict):
 def cli(argv: Optional[List[str]] = None):
     parser = build_parser()
     args = parser.parse_args(argv)
+    try:
+        # persistent XLA compilation cache: a fresh CLI process replays
+        # compiles from disk instead of paying minutes of warmup
+        from .utils import enable_compilation_cache
+        enable_compilation_cache()
+    except Exception:
+        pass
     cache: dict = {}
     try:
         _run_once(args, cache)

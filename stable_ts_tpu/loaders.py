@@ -16,7 +16,10 @@ from .models.whisper.load import (OPENAI_MODEL_DIMS, load_hf_checkpoint,
                                   load_openai_checkpoint)
 from .models.whisper.model import ModelDimensions, encoder_apply, init_params
 from .models.whisper.tokenizer import WhisperTokenizer, get_tokenizer
-from .models.whisper.decoding import DecodingOptions, decode as _decode, detect_language
+from .models.whisper.decoding import (DecodingOptions, decode as _decode,
+                                      decode_collect as _decode_collect,
+                                      decode_launch as _decode_launch,
+                                      detect_language)
 
 _VOCAB_CANDIDATES = ('multilingual.tiktoken', 'gpt2.tiktoken', 'vocab.json')
 
@@ -154,6 +157,28 @@ class WhisperTPU:
             task=options.task)
         return _decode(self.params, self.dims, tokenizer, mel_or_features,
                        options, ts_silence_mask=ts_silence_mask)
+
+    def decode_launch(self, mel_or_features,
+                      options: Optional[DecodingOptions] = None,
+                      ts_silence_mask=None, language: Optional[str] = None,
+                      **kwargs):
+        """Dispatch a batched decode without blocking (see PendingDecode).
+
+        Pass precomputed encoder features to reuse them across temperature
+        fallbacks; pair with :meth:`decode_collect`.
+        """
+        if options is None:
+            options = DecodingOptions(**kwargs)
+        tokenizer = self.get_tokenizer(
+            language=options.language or language or ('en' if not self.is_multilingual else 'en'),
+            task=options.task)
+        return _decode_launch(self.params, self.dims, tokenizer,
+                              mel_or_features, options,
+                              ts_silence_mask=ts_silence_mask)
+
+    def decode_collect(self, pending):
+        """Block on a dispatched decode and return its DecodingResults."""
+        return _decode_collect(pending)
 
     def detect_language(self, mel):
         tokenizer = self.get_tokenizer(language=None, task=None)

@@ -465,6 +465,30 @@ def _finalize_beam(tokens_act, cum_lp, fin_tokens, fin_scores, batch,
     return results
 
 
+@dataclass
+class PendingDecode:
+    """A dispatched (not yet materialized) batched decode.
+
+    ``decode_launch`` returns immediately after queueing the device work —
+    JAX dispatch is asynchronous — so callers can overlap host work (or
+    launch the next batch) with the sampling loop. ``decode_collect`` blocks
+    on the outputs and builds the DecodingResults. This two-phase seam is
+    the reference's cached-``audio_features`` trick (decode.py:27-30) taken
+    one step further: features live in ``xa`` for fallback reuse AND the
+    host never synchronizes mid-decode.
+    """
+    kind: str                      # 'sample' | 'beam'
+    xa: jnp.ndarray                # (B, 1500, d) encoder features
+    batch: int
+    n_group: int
+    options: DecodingOptions
+    tokenizer: WhisperTokenizer
+    sample_begin: int
+    sample_len: int
+    no_speech_probs: jnp.ndarray   # (rows,) device array
+    outputs: tuple                 # loop outputs, still on device
+
+
 def decode(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
            mel_or_features, options: DecodingOptions = DecodingOptions(),
            ts_silence_mask: Optional[np.ndarray] = None,
@@ -473,6 +497,23 @@ def decode(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
 
     ``ts_silence_mask``: optional bool (B, 1501) — True marks timestamp
     tokens to suppress (the reference's silence-mask rule, decode.py:54).
+    """
+    return decode_collect(decode_launch(
+        params, dims, tokenizer, mel_or_features, options,
+        ts_silence_mask=ts_silence_mask, rng=rng))
+
+
+def decode_launch(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
+                  mel_or_features,
+                  options: DecodingOptions = DecodingOptions(),
+                  ts_silence_mask: Optional[np.ndarray] = None,
+                  rng: Optional[jax.Array] = None) -> PendingDecode:
+    """Dispatch a batched decode; see :class:`PendingDecode`.
+
+    ``mel_or_features`` may be precomputed encoder features — callers doing
+    temperature fallback should encode once and pass features on every rung
+    (the reference reuses ``audio_features`` the same way,
+    decode.py:27-30, original_whisper.py:534).
     """
     xa = _audio_features(params, dims, mel_or_features)
     batch = xa.shape[0]
@@ -529,9 +570,10 @@ def decode(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
     cross_kv = precompute_cross_kv(params['decoder'], xa_rep,
                                    quantize=kv_quant)
 
+    # no_speech prob stays a device array: materializing it here would be a
+    # host sync in the middle of the dispatch stream.
     sot_logits = prefill_logits[:, sot_index]
-    no_speech_probs = np.asarray(
-        jax.nn.softmax(sot_logits, axis=-1)[:, tokenizer.no_speech])
+    no_speech_probs = jax.nn.softmax(sot_logits, axis=-1)[:, tokenizer.no_speech]
 
     tokens_buf = jnp.zeros((full_batch, dims.n_text_ctx), jnp.int32)
     tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, tokens0, (0, 0))
@@ -555,11 +597,11 @@ def decode(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
             suppress_blank=options.suppress_blank,
             without_timestamps=options.without_timestamps,
             beam_size=int(options.beam_size), max_candidates=max_candidates)
-        return _finalize_beam(
-            np.asarray(tokens_act), np.asarray(cum_lp),
-            np.asarray(fin_tokens), np.asarray(fin_scores),
-            batch, options, tokenizer, xa, np.asarray(no_speech_probs),
-            sample_begin, int(sample_len))
+        return PendingDecode(
+            kind='beam', xa=xa, batch=batch, n_group=n_group, options=options,
+            tokenizer=tokenizer, sample_begin=sample_begin,
+            sample_len=int(sample_len), no_speech_probs=no_speech_probs,
+            outputs=(tokens_act, cum_lp, fin_tokens, fin_scores))
 
     tokens_out, sum_logprobs, _ = _sample_loop(
         params['decoder'], cross_kv, kv_cache, prefill_logits[:, -1],
@@ -575,6 +617,30 @@ def decode(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
         greedy=options.temperature == 0,
         temperature=jnp.float32(options.temperature or 1.0))
 
+    return PendingDecode(
+        kind='sample', xa=xa, batch=batch, n_group=n_group, options=options,
+        tokenizer=tokenizer, sample_begin=sample_begin,
+        sample_len=int(sample_len), no_speech_probs=no_speech_probs,
+        outputs=(tokens_out, sum_logprobs))
+
+
+def decode_collect(pending: PendingDecode) -> List[DecodingResult]:
+    """Materialize a :class:`PendingDecode` into DecodingResults (blocks)."""
+    options, tokenizer = pending.options, pending.tokenizer
+    batch, n_group = pending.batch, pending.n_group
+    sample_begin, sample_len = pending.sample_begin, pending.sample_len
+    xa = pending.xa
+    no_speech_probs = np.asarray(pending.no_speech_probs)
+
+    if pending.kind == 'beam':
+        tokens_act, cum_lp, fin_tokens, fin_scores = pending.outputs
+        return _finalize_beam(
+            np.asarray(tokens_act), np.asarray(cum_lp),
+            np.asarray(fin_tokens), np.asarray(fin_scores),
+            batch, options, tokenizer, xa, no_speech_probs,
+            sample_begin, sample_len)
+
+    tokens_out, sum_logprobs = pending.outputs
     tokens_np = np.asarray(tokens_out)
     sum_logprobs = np.asarray(sum_logprobs)
 

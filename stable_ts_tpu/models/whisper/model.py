@@ -62,8 +62,19 @@ def layer_norm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
 
 
 def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    if hasattr(w, 'dequantize'):  # int8 QuantizedArray (quantization.py)
-        w = w.dequantize()
+    if hasattr(w, 'q'):  # int8 QuantizedArray (quantization.py)
+        # The per-output-channel scale factors OUT of the contraction:
+        # x @ (q * s) == (x @ q) * s. Rescaling AFTER the matmul means the
+        # dot's weight operand is the int8 tensor itself (cast fused into
+        # the MXU operand read) — XLA never materializes a bf16 copy of the
+        # weights in HBM, which is the whole point of int8 weights on a
+        # bandwidth-bound decode step.
+        out = jnp.dot(x, w.q.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+        out = out * w.scale
+        if b is not None:
+            out = out + b
+        return out.astype(x.dtype)
     out = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if b is not None:
         out = out + b

@@ -152,7 +152,7 @@ def transcribe_stable(
 
     punctuations = prepend_punctuations + append_punctuations
 
-    def ensure_tokenizer(mel_segment):
+    def ensure_tokenizer(audio_features):
         nonlocal tokenizer, language, initial_prompt_tokens
         if tokenizer is not None:
             return
@@ -160,7 +160,7 @@ def transcribe_stable(
             if not model.is_multilingual:
                 decode_options['language'] = 'en'
             else:
-                langs, _ = model.detect_language(mel_segment)
+                langs, _ = model.detect_language(audio_features)
                 decode_options['language'] = langs[0]
                 if verbose is not None:
                     print(f'Detected language: {decode_options["language"]}')
@@ -170,7 +170,10 @@ def transcribe_stable(
             initial_prompt_tokens = tokenizer.encode(' ' + initial_prompt.strip())
             all_tokens.extend(initial_prompt_tokens)
 
-    def decode_with_fallback(mel_segment, ts_token_mask=None) -> DecodingResult:
+    def decode_with_fallback(audio_features, ts_token_mask=None) -> DecodingResult:
+        # The encoder ran exactly once per window (inner_transcribe);
+        # every temperature rung re-decodes from the same cached features
+        # (the reference's DecodingTaskStable trick, decode.py:27-30).
         temperatures = ([temperature] if isinstance(temperature, (int, float))
                         else list(temperature))
         decode_result = None
@@ -186,7 +189,7 @@ def transcribe_stable(
                 task=task, language=decode_options.get('language'),
                 temperature=t, **kwargs)
             decode_result = model.decode(
-                mel_segment, options,
+                audio_features, options,
                 ts_silence_mask=ts_token_mask if suppress_ts_tokens else None)[0]
             needs_fallback = False
             if (compression_ratio_threshold is not None
@@ -286,10 +289,13 @@ def transcribe_stable(
                                           padding=sample_padding)
         mel_segment = np.asarray(mel_segment)[..., :N_FRAMES]
 
-        ensure_tokenizer(mel_segment)
+        # ONE encoder pass per window: language detection, every fallback
+        # rung, and the word-timing pass below all reuse these features.
+        audio_features = model.embed_audio(mel_segment)
+        ensure_tokenizer(audio_features)
         prompt = all_tokens[prompt_reset_since:]
         decode_options['prompt'] = prompt if prompt else None
-        result = decode_with_fallback(mel_segment, ts_token_mask=ts_token_mask)
+        result = decode_with_fallback(audio_features, ts_token_mask=ts_token_mask)
         tokens = np.array(result.tokens)
 
         if no_speech_threshold is not None:

@@ -1,84 +1,107 @@
-"""Small cross-cutting helpers (reference: stable_whisper/utils.py)."""
+"""Small cross-cutting helpers.
+
+Behavioral counterpart of the reference's ``stable_whisper/utils.py``
+(console-safe printing, the regroup-DSL scalar parser, kwarg filtering,
+timestamp rendering) plus TPU-side additions (the persistent XLA
+compilation cache switch).
+"""
 import inspect
 import sys
 from typing import Optional
 
-_SYS_ENCODING = sys.getdefaultencoding()
-
-
-def make_safe(string: str) -> str:
-    """Replace characters unrepresentable in the console encoding with '?'."""
-    if _SYS_ENCODING == 'utf-8':
-        return string
-    return string.encode(_SYS_ENCODING, errors='replace').decode(_SYS_ENCODING)
+_CONSOLE_ENCODING = sys.getdefaultencoding()
 
 
 def safe_print(msg: str, _print=None):
-    if msg:
-        (_print or print)(make_safe(msg))
+    """Print ``msg``, degrading characters the console encoding cannot
+    represent to ``?`` instead of raising UnicodeEncodeError."""
+    if not msg:
+        return
+    if _CONSOLE_ENCODING != 'utf-8':
+        msg = (msg.encode(_CONSOLE_ENCODING, errors='replace')
+               .decode(_CONSOLE_ENCODING))
+    (_print or print)(msg)
 
 
 def str_to_valid_type(val: str):
-    """Parse a regroup-DSL argument string into None/list/int/float/str.
+    """Parse a regroup-DSL / CLI option argument into its value.
 
-    Mirrors the reference parser (utils.py:20-30): empty string -> None;
-    '/' splits into a list whose items may be '*'-split into nested lists;
-    otherwise numeric if possible ('.' selects float), else the raw string.
+    Grammar (reference utils.py:20-30): '' -> None; '/'-separated values
+    become a list whose items are further '*'-split into sublists when they
+    contain '*'; otherwise the value is numeric when parseable ('.' selects
+    float over int) and the raw string when not.
     """
-    if len(val) == 0:
+    if not val:
         return None
     if '/' in val:
-        return [item.split('*') if '*' in item else item for item in val.split('/')]
+        return [item.split('*') if '*' in item else item
+                for item in val.split('/')]
+    caster = float if '.' in val else int
     try:
-        return float(val) if '.' in val else int(val)
+        return caster(val)
     except ValueError:
         return val
 
 
-def get_func_parameters(func):
-    return inspect.signature(func).parameters.keys()
-
-
 def isolate_useful_options(options: dict, method, pop: bool = False) -> dict:
-    getter = dict.pop if pop else dict.get
-    return {k: getter(options, k) for k in get_func_parameters(method) if k in options}
-
-
-def update_options(_options: Optional[dict] = None, _reversed: bool = False, **kwargs) -> dict:
-    if _options is None:
-        _options = {}
-    if _reversed:
-        _options, kwargs = kwargs, _options
-    _options.update(kwargs)
-    return _options
+    """Pick out (optionally removing) the entries of ``options`` that
+    ``method``'s signature accepts."""
+    accepted = inspect.signature(method).parameters
+    picked = {}
+    for key in list(options):
+        if key in accepted:
+            picked[key] = options.pop(key) if pop else options[key]
+    return picked
 
 
 def format_timestamp(seconds: float, always_include_hours: bool = False,
                      decimal_marker: str = '.') -> str:
-    """Render seconds as [HH:]MM:SS.mmm (reference: utils.py:47-65)."""
+    """Render seconds as [HH:]MM:SS.mmm."""
     assert seconds >= 0, 'non-negative timestamp expected'
-    ms = round(seconds * 1000.0)
-    hours, ms = divmod(ms, 3_600_000)
-    minutes, ms = divmod(ms, 60_000)
-    secs, ms = divmod(ms, 1_000)
-    hours_marker = f'{hours:02d}:' if always_include_hours or hours > 0 else ''
-    return f'{hours_marker}{minutes:02d}:{secs:02d}{decimal_marker}{ms:03d}'
-
-
-def exact_div(x: int, y: int) -> int:
-    assert x % y == 0
-    return x // y
+    total_ms = round(seconds * 1000.0)
+    hours, rem = divmod(total_ms, 3_600_000)
+    minutes, rem = divmod(rem, 60_000)
+    secs, ms = divmod(rem, 1_000)
+    body = f'{minutes:02d}:{secs:02d}{decimal_marker}{ms:03d}'
+    return f'{hours:02d}:{body}' if (hours or always_include_hours) else body
 
 
 class UnsortedException(Exception):
-    """Raised when a result's timestamps are not in ascending order."""
+    """A result's timestamps are not in ascending order.
 
-    def __init__(self, message: Optional[str] = None, data: Optional[dict] = None):
-        if not message:
-            message = ('Timestamps are not in ascending order. '
-                       'If data is produced by this library, please submit an issue.')
-        super().__init__(message)
+    Carries the offending data (``.data``) so callers can dump a diagnostic
+    JSON, mirroring the reference's raise_for_unsorted contract.
+    """
+    default_message = ('Timestamps are not in ascending order. If data is '
+                       'produced by this library, please submit an issue.')
+
+    def __init__(self, message: Optional[str] = None,
+                 data: Optional[dict] = None):
+        super().__init__(message or self.default_message)
         self.data = data
 
     def get_data(self):
         return self.data
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:
+    """Turn on JAX's persistent compilation cache (project-wide default off
+    in JAX itself). First-process compiles of the large-v3 pipeline cost
+    minutes; with the cache a fresh process replays them from disk.
+
+    Resolution order: explicit arg > $STABLE_TS_TPU_COMPILE_CACHE >
+    ~/.cache/stable_ts_tpu/xla. Returns the cache directory.
+    """
+    import os
+    cache_dir = (cache_dir
+                 or os.environ.get('STABLE_TS_TPU_COMPILE_CACHE')
+                 or os.path.join(os.path.expanduser('~'), '.cache',
+                                 'stable_ts_tpu', 'xla'))
+    os.makedirs(cache_dir, exist_ok=True)
+    import jax
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    # default thresholds skip small programs; cache everything — the many
+    # sub-second host-side jits (masks, probs gathers) add up too
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    return cache_dir
