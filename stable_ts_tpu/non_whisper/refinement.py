@@ -10,12 +10,18 @@ probability drops, a probability floor, and best-token-rank changes.
 
 ``inference_func(audio[2, T], tokens) -> probs[2, n_tokens(, vocab)]``.
 
-TPU redesign (SURVEY §7 P5): each span's bisection is a generator-based
-state machine that *yields* its probe request; with a
-``batch_inference_func`` every pending span's probe is evaluated in ONE
-batched forward per bisection round (lockstep), instead of a sequential
-per-span loop of batch-2 forwards. Sequential semantics are bit-identical —
-the machines encapsulate the exact same control flow either way.
+TPU redesign (SURVEY §7 P5), two layers:
+
+- :class:`_SpanBisect` holds each span's bisection state as numpy ARRAYS
+  (lo/hi/mid boundary intervals, accept/fail history, last committed mid)
+  and advances every word of the span in one vectorized update per probe —
+  there is no per-word Python state machine.
+- ``_span_machine`` wraps a span in a generator that *yields* its probe
+  request; with a ``batch_inference_func`` every pending span's probe is
+  evaluated in ONE batched forward per bisection round (lockstep), instead
+  of a sequential per-span loop of batch-2 forwards. Sequential semantics
+  are bit-identical (tests/test_refine_parity.py drives this refiner and
+  the reference's against the same fake backend and compares timestamps).
 """
 import copy
 from typing import Callable, List, Optional, Union
@@ -25,6 +31,189 @@ import numpy as np
 from ..audio import prep_audio
 from ..options import AllOptions
 from ..result import WhisperResult, WordTiming
+
+
+class _SpanBisect:
+    """Vectorized mute-and-bisect state for ONE span of words.
+
+    Per-word arrays: ``lo``/``hi``/``mid`` bound the boundary's search
+    interval in samples (start step: [earliest allowed start, word end];
+    end step: [word start, latest allowed end]); ``done`` marks words whose
+    interval collapsed below the sample precision; ``ever_fail``/``ever_ok``
+    record which branch outcomes occurred (the commit rule needs them);
+    ``last_good`` is the most recent probe position whose best-token rank
+    held (-1 = never).
+
+    Probe audio layout: even words are muted in row 0, odd words in row 1,
+    so one (2, T) forward measures every word's response at once.
+    """
+
+    def __init__(self, refiner: 'Refiner', span, is_end: bool):
+        words, lower, upper, edge_mask = span
+        r = self.refiner = refiner
+        self.is_end = is_end
+        self.words: List[WordTiming] = list(words)
+        n = len(self.words)
+
+        self.time_offset = float(lower[0])
+        a = round(self.time_offset * r.sample_rate)
+        b = round(float(upper[-1]) * r.sample_rate)
+        self.clean = r._audio[a:b + 1]              # unmuted source (1-D)
+        self.audio = np.repeat(self.clean[None], 2, axis=0)
+
+        word_starts = r.second_to_sample([w.start for w in self.words],
+                                         self.time_offset)
+        word_ends = r.second_to_sample([w.end for w in self.words],
+                                       self.time_offset)
+        if is_end:
+            self.lo, self.hi = word_starts, r.second_to_sample(
+                upper, self.time_offset)
+            self.anchor = word_ends       # current boundary position
+        else:
+            self.lo = r.second_to_sample(lower, self.time_offset)
+            self.hi = word_ends
+            self.anchor = word_starts
+        self.mid = self.lo + ((self.hi - self.lo) / 2).round().astype(np.int32)
+
+        self.text_tokens = [t for w in self.words for t in w.tokens]
+        self.word_tokens = [list(w.tokens) for w in self.words]
+        self.prob_indices = [i % 2 for i, w in enumerate(self.words)
+                             for _ in w.tokens]
+        # NOTE: the bisect rounds index the per-TOKEN row list by WORD
+        # index (reference refinement.py:425 does the same) — for
+        # multi-token words this picks the row of the word owning token
+        # #idx, not word #idx's own row. Kept for exactness; the parity
+        # suite pins it.
+        self.rows = np.asarray(self.prob_indices[:n], np.int32)
+
+        self.done = np.less([w.probability for w in self.words],
+                            r.prob_threshold)
+        self.done |= np.array([w.duration == 0 for w in self.words])
+        if not r.word_level:
+            self.done[edge_mask != (2 if is_end else 1)] = True
+
+        self.ever_fail = np.zeros(n, bool)
+        self.ever_ok = np.zeros(n, bool)
+        self.last_good = np.full(n, -1, np.int64)
+        self.base_probs = self.base_ranks = self.prev_probs = None
+
+        # initial mutes: silence everything OUTSIDE each live word's span
+        # on its row (end step: from the word's end to the next word's
+        # probe mid; start step: from the previous word's probe mid to the
+        # word's start)
+        for idx in np.flatnonzero(~self.done):
+            row = idx % 2
+            if is_end:
+                stop = (self.audio.shape[-1] if idx == n - 1
+                        else self.mid[idx + 1])
+                self.audio[row, self.anchor[idx]:stop] = 0
+            else:
+                begin = 0 if idx == 0 else self.mid[idx - 1]
+                self.audio[row, begin:self.anchor[idx]] = 0
+
+    def request(self):
+        """The probe: (audio(2, T), text_tokens, word_tokens, prob_indices)."""
+        return self.audio, self.text_tokens, self.word_tokens, self.prob_indices
+
+    def set_baseline(self, probs, ranks):
+        """Record the unprobed response, then mute up to each word's first
+        probe position (anchor..mid / mid..anchor)."""
+        self.base_probs = np.asarray(probs, np.float64)
+        self.prev_probs = self.base_probs
+        self.base_ranks = np.asarray(ranks)
+        for idx in np.flatnonzero(~self.done):
+            row = idx % 2
+            if self.is_end:
+                self.audio[row, self.mid[idx]:self.anchor[idx]] = 0
+            else:
+                self.audio[row, self.anchor[idx]:self.mid[idx]] = 0
+
+    @property
+    def unfinished(self) -> bool:
+        return not self.done.all()
+
+    def apply_round(self, probs, ranks):
+        """One vectorized bisection round over every live word."""
+        r = self.refiner
+        probs = np.asarray(probs, np.float64)
+        ranks = np.asarray(ranks)
+        act = ~self.done
+
+        with np.errstate(divide='ignore', invalid='ignore'):
+            drop = self.base_probs - probs
+            rel_drop = drop / self.base_probs
+            accel = (self.prev_probs - probs) / self.prev_probs
+        self.prev_probs = probs
+
+        rank_worse = self.base_ranks > ranks
+        fail = (drop > r.abs_prob_decrease) | (rel_drop > r.rel_prob_decrease)
+        if r.rel_rel_prob_decrease is not None:
+            fail = fail | (accel > r.rel_rel_prob_decrease)
+        fail = fail | (probs < r.prob_threshold) | rank_worse
+
+        # shrink: a failed probe keeps the boundary nearer the word (end
+        # step raises lo, start step lowers hi); success moves it outward
+        lo_moves = act & (fail if self.is_end else ~fail)
+        hi_moves = act & ~lo_moves
+        self.lo = np.where(lo_moves, self.mid, self.lo)
+        self.hi = np.where(hi_moves, self.mid, self.hi)
+        self.ever_fail |= act & fail
+        self.ever_ok |= act & ~fail
+
+        half = ((self.hi - self.lo) / 2).round().astype(np.int64)
+        collapsed = act & (half < r.sample_precision)
+        live = act & ~collapsed
+        new_mid = (self.lo + half).astype(np.int32)
+
+        self.done |= collapsed
+        for idx in np.flatnonzero(collapsed):
+            self._commit(idx)
+
+        for idx in np.flatnonzero(live):
+            row = self.rows[idx]
+            m = new_mid[idx]
+            if fail[idx]:
+                # went too far: restore the span between the kept bound
+                # and the new probe position
+                if self.is_end:
+                    self.audio[row, self.lo[idx]:m] = self.clean[self.lo[idx]:m]
+                else:
+                    self.audio[row, m:self.hi[idx]] = self.clean[m:self.hi[idx]]
+            else:
+                if self.is_end:
+                    self.audio[row, m:self.hi[idx]] = 0
+                else:
+                    self.audio[row, self.lo[idx]:m] = 0
+
+        self.mid = np.where(live, new_mid, self.mid)
+        self.last_good = np.where(live & ~rank_worse, new_mid, self.last_good)
+        self.base_probs = np.where(live, probs, self.base_probs)
+
+    def _commit(self, idx: int):
+        """Write the refined boundary back to the word (collapse time)."""
+        if self.last_good[idx] == -1:
+            return
+        r = self.refiner
+        word = self.words[idx]
+        new_ts = round(
+            self.time_offset + float(self.last_good[idx]) / r.sample_rate, 3)
+        if self.ever_fail[idx] and not self.ever_ok[idx]:
+            # every probe failed: only accept a TIGHTENING move
+            if self.is_end:
+                if new_ts <= word.end:
+                    return
+            elif new_ts >= word.start:
+                return
+        old_ts = word.end if self.is_end else word.start
+        if self.is_end:
+            word.end = new_ts
+        else:
+            word.start = new_ts
+        if r.options.progress.verbose and old_ts != new_ts:
+            info = (f'[Word="{word.word}"] [Segment ID: {word.segment_id}] '
+                    f'[Word ID: {word.id}]')
+            print(f'{"End" if self.is_end else "Start"}: '
+                  f'{old_ts} -> {new_ts}  {info}')
 
 
 class Refiner:
@@ -114,60 +303,72 @@ class Refiner:
 
     # -- batching -----------------------------------------------------------------------
 
-    def curr_segments(self, result: WhisperResult, total_duration: float):
-        """Yield (words, min_starts, max_ends, edge_mask) batches.
+    def _movement_bounds(self, all_words: List[WordTiming],
+                         total_duration: float):
+        """Per-word (earliest start, latest end) the refinement may reach.
 
-        Bounds: each word may move at most ``abs_dur_change`` /
-        ``rel_dur_change`` x duration, never across its neighbors, and at
-        most +-14.5 s (half a window) from its current span.
+        Three caps, combined elementwise: the configured absolute/relative
+        duration change, the neighboring words' boundaries, and +-14.5 s
+        (half an inference window) from the word's current span.
         """
+        starts = np.array([w.start for w in all_words], np.float64)
+        ends = np.array([w.end for w in all_words], np.float64)
+        # w.duration, not ends - starts: the property rounds to ms, and the
+        # relative-change cap must use the same value to stay bit-identical
+        durs = np.array([w.duration for w in all_words], np.float64)
+
+        lower = np.zeros(len(all_words), np.float64)
+        if self.abs_dur_change is not None:
+            lower = np.maximum(lower, starts - self.abs_dur_change)
+        if self.rel_dur_change is not None:
+            lower = np.maximum(lower, starts - durs * self.rel_dur_change)
+        prev_floor = np.maximum(ends - 14.5, 0)
+        prev_floor[1:] = np.maximum(prev_floor[1:], ends[:-1])
+        prev_floor[0] = 0
+        lower = np.maximum(lower, prev_floor)
+
+        upper = np.full(len(all_words), total_duration, np.float64)
+        if self.abs_dur_change is not None:
+            upper = np.minimum(upper, ends + self.abs_dur_change)
+        if self.rel_dur_change is not None:
+            upper = np.minimum(upper, ends + durs * self.rel_dur_change)
+        next_ceil = np.minimum(starts + 14.5, total_duration)
+        next_ceil[:-1] = np.minimum(next_ceil[:-1], starts[1:])
+        next_ceil[-1] = total_duration
+        upper = np.minimum(upper, next_ceil)
+        return lower, upper
+
+    def curr_segments(self, result: WhisperResult, total_duration: float):
+        """Yield (words, min_starts, max_ends, edge_mask) spans, each
+        bounded by ``max_segment_seconds`` of reachable audio and
+        ``max_inference_tokens`` tokens."""
         all_words = result.all_words()
-        seg_edge_mask = np.array([
-            1 if i == 0 else (2 if i == len(seg.words) - 1 else 0)
-            for seg in result.segments
-            for i, _ in enumerate(seg.words)
-        ])
-        start_times = [
-            max(
-                0 if self.abs_dur_change is None else w.start - self.abs_dur_change,
-                0 if self.rel_dur_change is None
-                else w.start - w.duration * self.rel_dur_change,
-                0 if i == 0 else max(all_words[i - 1].end, w.end - 14.5, 0),
-            )
-            for i, w in enumerate(all_words)
-        ]
-        end_times = [
-            min(
-                total_duration if self.abs_dur_change is None
-                else w.end + self.abs_dur_change,
-                total_duration if self.rel_dur_change is None
-                else w.end + w.duration * self.rel_dur_change,
-                total_duration if i == len(all_words)
-                else min(all_words[i].start, w.start + 14.5, total_duration),
-            )
-            for i, w in enumerate(all_words, 1)
-        ]
-        start = start_times[0]
-        prev_i = 0
-        curr_words, curr_starts, curr_ends = [], [], []
-        curr_token_count = 0
-        for i, w in enumerate(all_words, 1):
-            if (end_times[0] - start > self.max_segment_seconds
-                    or curr_token_count + len(w.tokens) > self.max_inference_tokens):
-                if curr_words:
-                    yield (curr_words, curr_starts, curr_ends,
-                           seg_edge_mask[prev_i:prev_i + len(curr_words)])
-                    curr_words, curr_starts, curr_ends = [], [], []
-                start = start_times[0]
-                prev_i = i - 1
-                curr_token_count = 0
-            curr_words.append(w)
-            curr_starts.append(start_times.pop(0))
-            curr_ends.append(end_times.pop(0))
-            curr_token_count += len(w.tokens)
-            if i == len(all_words):
-                yield (curr_words, curr_starts, curr_ends,
-                       seg_edge_mask[prev_i:prev_i + len(curr_words)])
+        if not all_words:
+            return
+        lower, upper = self._movement_bounds(all_words, total_duration)
+        masks = []
+        for seg in result.segments:
+            if not seg.words:
+                continue
+            m = np.zeros(len(seg.words), np.int64)
+            m[-1] = 2
+            m[0] = 1  # a single-word segment counts as a segment START
+            masks.append(m)
+        edge_mask = np.concatenate(masks)
+
+        first = 0       # index of the open span's first word
+        used_tokens = 0
+        for i, w in enumerate(all_words):
+            if (upper[i] - lower[first] > self.max_segment_seconds
+                    or used_tokens + len(w.tokens) > self.max_inference_tokens):
+                if i > first:
+                    yield (all_words[first:i], lower[first:i], upper[first:i],
+                           edge_mask[first:i])
+                first = i
+                used_tokens = 0
+            used_tokens += len(w.tokens)
+        yield (all_words[first:], lower[first:], upper[first:],
+               edge_mask[first:])
 
     def second_to_sample(self, timestamps, offset: Optional[float] = None
                          ) -> np.ndarray:
@@ -181,13 +382,19 @@ class Refiner:
                  is_end_ts: bool):
         """One batched forward -> (per-word probs, per-word best-token ranks)."""
         token_probs = np.asarray(self.inference_func(audio_segment, text_tokens))
-        return self._postprocess_probs(token_probs, text_tokens, word_tokens,
-                                       prob_indices, is_end_ts)
+        return self._probs_and_ranks(token_probs, text_tokens, word_tokens,
+                                     prob_indices, is_end_ts)
 
-    def _postprocess_probs(self, token_probs: np.ndarray,
-                           text_tokens: List[int],
-                           word_tokens: List[List[int]],
-                           prob_indices: List[int], is_end_ts: bool):
+    def _probs_and_ranks(self, token_probs: np.ndarray,
+                         text_tokens: List[int],
+                         word_tokens: List[List[int]],
+                         prob_indices: List[int], is_end_ts: bool):
+        """Reduce raw inference output to one (prob, rank) per word.
+
+        The per-word representative token is the word's LAST token for the
+        end step and its FIRST token for the start step; each token's value
+        is read from the batch row that had that word's mute pattern.
+        """
         if token_probs.shape[0] != 2:
             raise RuntimeError(
                 f'expected dim 0 to be length of 2 but got {token_probs.shape[0]}')
@@ -198,60 +405,22 @@ class Refiner:
         if token_probs.ndim not in (2, 3):
             raise RuntimeError('expected inference_func output to have 2 or 3 '
                                f'dimensions but got {token_probs.ndim}')
-        tokens = np.asarray(text_tokens)
-        word_idxs = np.arange(len(text_tokens))
+        rows = np.asarray(prob_indices)
+        cols = np.arange(len(text_tokens))
+        bounds = np.pad(np.cumsum([len(t) for t in word_tokens]), (1, 0))
+        pick = (bounds[1:] - 1) if is_end_ts else bounds[:-1]
+
         if token_probs.ndim == 2:
-            text_token_probs = token_probs
-            token_positions = None
+            per_token = token_probs[rows, cols]
+            word_ranks = np.zeros(len(word_tokens), np.int64)
         else:
-            text_token_probs = token_probs[:, word_idxs, tokens]
-            token_positions = token_probs[:, word_idxs]  # (2, n_tok, vocab)
-
-        word_boundaries = np.pad(np.cumsum([len(t) for t in word_tokens]), (1, 0))
-        text_token_probs = text_token_probs[prob_indices, word_idxs].tolist()
-        word_probabilities = np.array([
-            text_token_probs[j - 1] if is_end_ts else text_token_probs[i]
-            for i, j in zip(word_boundaries[:-1], word_boundaries[1:])
-        ])
-
-        if token_positions is None:
-            token_positions = [0] * len(word_tokens)
-        else:
-            per_token = token_positions[prob_indices, word_idxs]  # (n_tok, vocab)
-            order = np.argsort(per_token, axis=-1)
-            ranks = [int(np.flatnonzero(order[i] == tokens[i])[0])
-                     for i in range(len(tokens))]
-            token_positions = [
-                ranks[j - 1] if is_end_ts else ranks[i]
-                for i, j in zip(word_boundaries[:-1], word_boundaries[1:])
-            ]
-        return word_probabilities, token_positions
-
-    # -- timestamp updates --------------------------------------------------------------------
-
-    def update_ts(self, idx: int, is_finish: np.ndarray, changes: np.ndarray,
-                  is_end_ts: bool, time_offset: float, words: List[WordTiming]):
-        if not is_finish[idx] or changes[idx, -1] == -1:
-            return
-        new_ts = round(time_offset + float(changes[idx, -1]) / self.sample_rate, 3)
-        if changes[idx, 0] and not changes[idx, 1]:
-            # Only ever failed: accept the change only if it tightens the span.
-            if is_end_ts:
-                if new_ts <= words[idx].end:
-                    return
-            elif new_ts >= words[idx].start:
-                return
-        if is_end_ts:
-            old_ts = words[idx].end
-            words[idx].end = new_ts
-        else:
-            old_ts = words[idx].start
-            words[idx].start = new_ts
-        if self.options.progress.verbose and old_ts != new_ts:
-            info = (f'[Word="{words[idx].word}"] '
-                    f'[Segment ID: {words[idx].segment_id}] '
-                    f'[Word ID: {words[idx].id}]')
-            print(f'{"End" if is_end_ts else "Start"}: {old_ts} -> {new_ts}  {info}')
+            tokens = np.asarray(text_tokens)
+            dist = token_probs[rows, cols]                  # (n_tok, vocab)
+            per_token = dist[cols, tokens]
+            order = np.argsort(dist, axis=-1)
+            ranks = np.argmax(order == tokens[:, None], axis=-1)
+            word_ranks = ranks[pick]
+        return per_token[pick], word_ranks
 
     # -- the bisection loop -----------------------------------------------------------------------
 
@@ -294,7 +463,7 @@ class Refiner:
             nxt = []
             for (machine, req), raw in zip(active, raw_list):
                 _, text_tokens, word_tokens, prob_indices = req
-                reply = self._postprocess_probs(
+                reply = self._probs_and_ranks(
                     np.asarray(raw), text_tokens, word_tokens, prob_indices,
                     is_end_ts)
                 try:
@@ -304,133 +473,13 @@ class Refiner:
             active = nxt
 
     def _span_machine(self, span, step: str, total_duration: float):
-        """Generator: the per-span mute-and-bisect state machine.
-
-        Yields (audio_segment(2, T), text_tokens, word_tokens, prob_indices)
-        probe requests; receives (word_probs, token_ranks) via ``send``.
-        """
-        words, min_starts, max_ends, edge_mask = span
-        time_offset = min_starts[0]
-        start_sample = round(time_offset * self.sample_rate)
-        end_sample = round(max_ends[-1] * self.sample_rate)
-        orig_audio_segment = self._audio[start_sample:end_sample + 1][None]
-
-        max_starts = self.second_to_sample([w.end for w in words], time_offset)
-        min_ends = self.second_to_sample([w.start for w in words], time_offset)
-        min_starts = self.second_to_sample(min_starts, time_offset)
-        max_ends = self.second_to_sample(max_ends, time_offset)
-        mid_starts = min_starts + ((max_starts - min_starts) / 2).round().astype(np.int32)
-        mid_ends = min_ends + ((max_ends - min_ends) / 2).round().astype(np.int32)
-
-        text_tokens = [t for w in words for t in w.tokens]
-        word_tokens = [list(w.tokens) for w in words]
-
-        audio_segment = np.repeat(orig_audio_segment.copy(), 2, axis=0)
-        is_end_ts = step == 'e'
-
-        prob_indices: List[int] = []
-        is_finish = np.less([w.probability for w in words], self.prob_threshold)
-        is_finish = np.logical_or(is_finish, [w.duration == 0 for w in words])
-        if not self.word_level:
-            is_finish[edge_mask != (2 if is_end_ts else 1)] = True
-        for idx, boundary in enumerate(max_starts if is_end_ts else min_ends):
-            row = idx % 2
-            prob_indices.extend([row] * len(words[idx].tokens))
-            if is_finish[idx]:
-                continue
-            if is_end_ts:
-                stop = (audio_segment.shape[-1] if idx == len(words) - 1
-                        else mid_ends[idx + 1])
-                audio_segment[row, boundary:stop] = 0
-            else:
-                start_p = 0 if idx == 0 else mid_starts[idx - 1]
-                audio_segment[row, start_p:boundary] = 0
-
-        orig_probs, orig_tk_poss = yield (audio_segment, text_tokens,
-                                          word_tokens, prob_indices)
-        changes = np.zeros((orig_probs.shape[-1], 3), dtype=np.int32)
-        changes[:, -1] = -1
-        frame_indices = (mid_ends, max_starts) if is_end_ts else (min_ends, mid_starts)
-        for idx, (s, e) in enumerate(zip(*frame_indices)):
-            row = idx % 2
-            if is_finish[idx]:
-                continue
-            audio_segment[row, s:e] = 0
-
-        new_probs = prev_probs = orig_probs
-        while not np.all(is_finish):
-            probs, tk_poss = yield (audio_segment, text_tokens,
-                                    word_tokens, prob_indices)
-            abs_diffs = orig_probs - probs
-            rel_diffs = abs_diffs / orig_probs
-            rel_change_diffs = (prev_probs - probs) / prev_probs
-            prev_probs = probs
-            for idx, (abs_diff, rel_diff, rel_change_diff, prob) in enumerate(
-                    zip(abs_diffs, rel_diffs, rel_change_diffs, probs)):
-                if is_finish[idx]:
-                    continue
-                if is_end_ts:
-                    curr_min, curr_max, curr_mid = (min_ends[idx],
-                                                    max_ends[idx], mid_ends[idx])
-                else:
-                    curr_min, curr_max, curr_mid = (min_starts[idx],
-                                                    max_starts[idx],
-                                                    mid_starts[idx])
-                row = prob_indices[idx]
-                best_tks_changed = orig_tk_poss[idx] > tk_poss[idx]
-                failed_requirements = (
-                    abs_diff > self.abs_prob_decrease
-                    or rel_diff > self.rel_prob_decrease
-                    or (self.rel_rel_prob_decrease is not None
-                        and rel_change_diff > self.rel_rel_prob_decrease)
-                    or prob < self.prob_threshold
-                    or best_tks_changed
-                )
-                if failed_requirements:
-                    changes[idx][0] = 1
-                    if is_end_ts:
-                        curr_min = curr_mid
-                    else:
-                        curr_max = curr_mid
-                else:
-                    changes[idx][1] = 1
-                    if is_end_ts:
-                        curr_max = curr_mid
-                    else:
-                        curr_min = curr_mid
-
-                new_mid_change = round((curr_max - curr_min) / 2)
-                if new_mid_change < self.sample_precision:
-                    is_finish[idx] = True
-                    self.update_ts(idx, is_finish, changes, is_end_ts,
-                                   time_offset, words)
-                    continue
-
-                new_mid = curr_min + new_mid_change
-                if failed_requirements:
-                    # Un-mute the span we went too far on.
-                    if is_end_ts:
-                        audio_segment[row, curr_min:new_mid] = \
-                            orig_audio_segment[0, curr_min:new_mid]
-                    else:
-                        audio_segment[row, new_mid:curr_max] = \
-                            orig_audio_segment[0, new_mid:curr_max]
-                else:
-                    if is_end_ts:
-                        audio_segment[row, new_mid:curr_max] = 0
-                    else:
-                        audio_segment[row, curr_min:new_mid] = 0
-
-                if is_end_ts:
-                    min_ends[idx], max_ends[idx], mid_ends[idx] = \
-                        curr_min, curr_max, new_mid
-                else:
-                    min_starts[idx], max_starts[idx], mid_starts[idx] = \
-                        curr_min, curr_max, new_mid
-                if not best_tks_changed:
-                    changes[idx][-1] = new_mid
-                new_probs[idx] = prob
+        """Generator shell around :class:`_SpanBisect`: yields probe
+        requests, feeds replies into the vectorized state."""
+        state = _SpanBisect(self, span, step == 'e')
+        state.set_baseline(*(yield state.request()))
+        while state.unfinished:
+            state.apply_round(*(yield state.request()))
 
         if self.options.progress.progress_callback is not None:
             self.options.progress.progress_callback(
-                min(words[-1].end, total_duration), total_duration)
+                min(state.words[-1].end, total_duration), total_duration)

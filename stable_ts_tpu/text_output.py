@@ -81,35 +81,56 @@ def segment2tsvblock(segment: dict, strip: bool = True) -> str:
 
 # -- word-level renderings ----------------------------------------------------------
 
+def _word_timeline(words: List[dict]) -> List[Tuple[str, float, float]]:
+    """Flatten a word list into contiguous (text, start, end) spans.
+
+    Every word contributes one span; every nonzero gap between consecutive
+    words contributes an empty-text span, so a highlight cycling through the
+    timeline dwells on silences instead of jumping early to the next word.
+    Times are rounded to ms so zero-length gaps introduced by float noise
+    are dropped.
+    """
+    spans = []
+    for i, word in enumerate(words):
+        t0, t1 = round(word['start'], 3), round(word['end'], 3)
+        spans.append((word['word'], t0, t1))
+        if i + 1 < len(words):
+            gap_end = round(words[i + 1]['start'], 3)
+            if gap_end != t1:
+                spans.append(('', t1, gap_end))
+    return spans
+
+
 def words2segments(words: List[dict], tag: Tuple[str, str],
                    reverse_text: bool = False) -> List[dict]:
-    """One sub-segment per word (plus gap fillers), with ``tag`` highlighting it."""
-    def render(highlight_idx: int) -> str:
-        parts = []
-        for idx, w in idx_filled_words:
-            if w['word'] not in ('', ' ') and idx == highlight_idx:
-                if w['word'].startswith(' '):
-                    parts.append(f" {tag[0]}{w['word'][1:]}{tag[1]}")
-                else:
-                    parts.append(f"{tag[0]}{w['word']}{tag[1]}")
-            else:
-                parts.append(w['word'])
-        return ''.join(parts)
+    """One sub-segment per timeline span, with ``tag`` highlighting it.
 
-    filled_words = []
-    for i, word in enumerate(words):
-        curr_end = round(word['end'], 3)
-        filled_words.append(dict(word=word['word'], start=round(word['start'], 3), end=curr_end))
-        if word != words[-1]:
-            next_start = round(words[i + 1]['start'], 3)
-            if next_start - curr_end != 0:
-                filled_words.append(dict(word='', start=curr_end, end=next_start))
-    idx_filled_words = list(enumerate(filled_words))
+    Each output cue carries the FULL segment text; only the tag placement
+    differs between cues. The highlighted form of every span is precomputed
+    once (``lit``) so emitting N cues is N joins, not N re-renders. A
+    leading space is hoisted outside the opening tag; blank spans (gap
+    fillers / whitespace-only words) are never tagged. ``reverse_text``
+    reverses the display (join) order while cue times stay ascending.
+    """
+    spans = _word_timeline(words)
+    plain = [text for text, _, _ in spans]
+    lit = []
+    for text in plain:
+        if text in ('', ' '):
+            lit.append(text)
+        elif text.startswith(' '):
+            lit.append(f' {tag[0]}{text[1:]}{tag[1]}')
+        else:
+            lit.append(f'{tag[0]}{text}{tag[1]}')
+
+    order = list(range(len(spans)))
     if reverse_text:
-        idx_filled_words = list(reversed(idx_filled_words))
-
-    return [dict(text=render(i), start=filled_words[i]['start'], end=filled_words[i]['end'])
-            for i in range(len(filled_words))]
+        order.reverse()
+    return [
+        dict(text=''.join(lit[j] if j == i else plain[j] for j in order),
+             start=spans[i][1], end=spans[i][2])
+        for i in range(len(spans))
+    ]
 
 
 def to_word_level_segments(segments: List[dict], tag: Tuple[str, str]) -> List[dict]:
@@ -121,22 +142,29 @@ def to_word_level_segments(segments: List[dict], tag: Tuple[str, str]) -> List[d
 
 def to_vtt_word_level_segments(segments: List[dict],
                                tag: Optional[Tuple[str, str]] = None) -> List[dict]:
-    """VTT inline cue timestamps: ``word<00:00:01.000> next``."""
+    """VTT inline cue timestamps: ``word<00:00:01.000> next``.
+
+    A single ``<t>`` marks a seamless word boundary; when the words do not
+    touch, the pause is rendered as ``<end> <start>`` and the cue pair
+    replaces one flanking space (trailing space of the text so far, else
+    the next word's leading space) so playback highlighting stays aligned.
+    """
     def render(segment: dict) -> str:
         out = ''
-        prev_end = 0
-        for i, word in enumerate(segment['words']):
-            if i != 0:
-                curr_start = word['start']
-                if prev_end == curr_start:
-                    out += f'<{sec2vtt(curr_start)}>'
+        prev_end = None
+        for word in segment['words']:
+            text = word['word']
+            if prev_end is not None:
+                start = word['start']
+                if prev_end == start:
+                    out += f'<{sec2vtt(start)}>'
                 else:
                     if out.endswith(' '):
                         out = out[:-1]
-                    elif segment['words'][i]['word'].startswith(' '):
-                        segment['words'][i]['word'] = segment['words'][i]['word'][1:]
-                    out += f'<{sec2vtt(prev_end)}> <{sec2vtt(curr_start)}>'
-            out += word['word']
+                    elif text.startswith(' '):
+                        text = text[1:]
+                    out += f'<{sec2vtt(prev_end)}> <{sec2vtt(start)}>'
+            out += text
             prev_end = word['end']
         return out
 
@@ -145,20 +173,21 @@ def to_vtt_word_level_segments(segments: List[dict],
 
 def to_ass_word_level_segments(segments: List[dict], tag: Tuple[str, str],
                                karaoke: bool = False) -> List[dict]:
-    r"""ASS ``{\k<centisec>}`` (or ``{\kf}`` for progressive fill) word timing tags."""
-    def render(segment: dict) -> str:
-        out = ''
-        for word in segment['words']:
-            if word['word'].startswith(' '):
-                curr_word, space = word['word'][1:], ' '
-            else:
-                curr_word, space = word['word'], ''
-            duration_cs = sec2centiseconds(word['end'] - word['start'])
-            out += (space + r'{\k' + ('f' if karaoke else '') + f'{duration_cs}' + r'}'
-                    + curr_word)
-        return out
+    r"""ASS ``{\k<centisec>}`` (or ``{\kf}`` for progressive fill) word timing tags.
 
-    return [dict(text=render(s), start=s['start'], end=s['end']) for s in segments]
+    Each word becomes one fragment: optional space, the duration tag, then
+    the word with its leading space (if any) hoisted before the tag.
+    """
+    marker = r'{\kf' if karaoke else r'{\k'
+
+    def fragment(word: dict) -> str:
+        text = word['word']
+        lead = ' ' if text.startswith(' ') else ''
+        cs = sec2centiseconds(word['end'] - word['start'])
+        return f'{lead}{marker}{cs}}}{text[len(lead):]}'
+
+    return [dict(text=''.join(fragment(w) for w in s['words']),
+                 start=s['start'], end=s['end']) for s in segments]
 
 
 def to_word_level(segments: List[dict]) -> List[dict]:
@@ -194,6 +223,34 @@ def _confirm_word_level(segments: List[dict]) -> bool:
     return True
 
 
+def _resolve_target(filepath: Optional[str], filetype: Optional[str]):
+    """Infer the format from the path (or default to srt), validate it, and
+    make sure the save path carries the matching extension."""
+    if filetype is None:
+        filetype = os.path.splitext(filepath)[-1][1:] or 'srt'
+    if filetype.lower() not in SUPPORTED_FORMATS:
+        raise NotImplementedError(f'{filetype} not supported')
+    if filepath and not filepath.lower().endswith(f'.{filetype}'):
+        filepath = f'{filepath}.{filetype}'
+    return filepath, filetype
+
+
+def _expand_words(segments: List[dict], filetype: str, segment_level: bool,
+                  tag, default_tag, renderer: Optional[Callable]) -> List[dict]:
+    """Turn segment dicts into word-level cues.
+
+    With ``segment_level`` the cues keep full segment text and a highlight
+    tag (format default: SRT green <font>, otherwise underline); without it
+    each word becomes its own bare cue.
+    """
+    if not segment_level:
+        return to_word_level(segments)
+    if tag is None:
+        tag = default_tag or (('<font color="#00ff00">', '</font>')
+                              if filetype == 'srt' else ('<u>', '</u>'))
+    return (renderer or to_word_level_segments)(segments, tag)
+
+
 def result_to_any(result,
                   filepath: Optional[str] = None,
                   filetype: Optional[str] = None,
@@ -209,38 +266,21 @@ def result_to_any(result,
     """Render ``result`` to a subtitle/text format; save if ``filepath`` given."""
     assert segment_level or word_level, '`segment_level` or `word_level` must be True'
     segments = _get_segments(result, min_dur, reverse_text=reverse_text)
+    word_level = word_level and _confirm_word_level(segments)
+    filepath, filetype = _resolve_target(filepath, filetype)
+
     if word_level:
-        word_level = _confirm_word_level(segments)
-
-    if filetype is None:
-        filetype = os.path.splitext(filepath)[-1][1:] or 'srt'
-    if filetype.lower() not in SUPPORTED_FORMATS:
-        raise NotImplementedError(f'{filetype} not supported')
-    if filepath and not filepath.lower().endswith(f'.{filetype}'):
-        filepath += f'.{filetype}'
-
-    if word_level and segment_level:
-        if tag is None:
-            if default_tag is None:
-                tag = (('<font color="#00ff00">', '</font>') if filetype == 'srt'
-                       else ('<u>', '</u>'))
-            else:
-                tag = default_tag
-        if to_word_level_string_callback is None:
-            to_word_level_string_callback = to_word_level_segments
-        segments = to_word_level_string_callback(segments, tag)
-    elif word_level:
-        segments = to_word_level(segments)
-
+        segments = _expand_words(segments, filetype, segment_level, tag,
+                                 default_tag, to_word_level_string_callback)
     if not valid_ts(segments, warn=False):
         warnings.warn('Result contains out of order timestamp(s). '
                       'Output file may not playback properly.')
 
-    if segments2blocks is None:
+    if segments2blocks is not None:
+        sub_str = segments2blocks(segments)
+    else:
         sub_str = '\n\n'.join(segment2srtblock(s, i, strip=strip)
                               for i, s in enumerate(segments, 1))
-    else:
-        sub_str = segments2blocks(segments)
 
     if filepath:
         _save_as_file(sub_str, filepath)
@@ -248,46 +288,33 @@ def result_to_any(result,
     return sub_str
 
 
-def result_to_srt_vtt(result,
-                      filepath: Optional[str] = None,
-                      segment_level: bool = True,
-                      word_level: bool = True,
+def result_to_srt_vtt(result, filepath: Optional[str] = None,
+                      segment_level: bool = True, word_level: bool = True,
                       min_dur: float = 0.02,
                       tag: Optional[Tuple[str, str]] = None,
-                      vtt: Optional[bool] = None,
-                      strip: bool = True,
+                      vtt: Optional[bool] = None, strip: bool = True,
                       reverse_text: Union[bool, tuple] = False):
     """Generate SRT/VTT subtitles with optional word-level highlighting."""
-    is_srt = (filepath is None or not filepath.lower().endswith('.vtt')) if vtt is None else not vtt
-    if is_srt:
-        segments2blocks = None
-        to_word_level_string_callback = None
-    else:
-        def segments2blocks(segments):
-            return 'WEBVTT\n\n' + '\n\n'.join(segment2vttblock(s, strip=strip)
-                                              for s in segments)
-        to_word_level_string_callback = to_vtt_word_level_segments if tag is None else None
+    if vtt is None:
+        vtt = bool(filepath) and filepath.lower().endswith('.vtt')
+    blocks = word_cb = None
+    if vtt:
+        def blocks(segments):
+            return 'WEBVTT\n\n' + '\n\n'.join(
+                segment2vttblock(s, strip=strip) for s in segments)
+        if tag is None:
+            word_cb = to_vtt_word_level_segments
 
-    return result_to_any(
-        result=result,
-        filepath=filepath,
-        filetype=('vtt', 'srt')[is_srt],
-        segments2blocks=segments2blocks,
-        segment_level=segment_level,
-        word_level=word_level,
-        min_dur=min_dur,
-        tag=tag,
-        strip=strip,
-        reverse_text=reverse_text,
-        to_word_level_string_callback=to_word_level_string_callback,
-    )
+    return result_to_any(result, filepath, 'vtt' if vtt else 'srt', blocks,
+                         segment_level=segment_level, word_level=word_level,
+                         min_dur=min_dur, tag=tag, strip=strip,
+                         reverse_text=reverse_text,
+                         to_word_level_string_callback=word_cb)
 
 
-def result_to_tsv(result,
-                  filepath: Optional[str] = None,
+def result_to_tsv(result, filepath: Optional[str] = None,
                   segment_level: Optional[bool] = None,
-                  word_level: Optional[bool] = None,
-                  min_dur: float = 0.02,
+                  word_level: Optional[bool] = None, min_dur: float = 0.02,
                   strip: bool = True,
                   reverse_text: Union[bool, tuple] = False):
     """Generate TSV (start-ms, end-ms, text) lines."""
@@ -296,20 +323,12 @@ def result_to_tsv(result,
     assert word_level is not segment_level, \
         '[word_level] and [segment_level] cannot be the same since [tag] is not supported'
 
-    def segments2blocks(segments):
-        return '\n\n'.join(segment2tsvblock(s, strip=strip) for s in segments)
-
     return result_to_any(
-        result=result,
-        filepath=filepath,
-        filetype='tsv',
-        segments2blocks=segments2blocks,
-        segment_level=segment_level,
-        word_level=word_level,
-        min_dur=min_dur,
-        strip=strip,
-        reverse_text=reverse_text,
-    )
+        result, filepath, 'tsv',
+        lambda segments: '\n\n'.join(segment2tsvblock(s, strip=strip)
+                                     for s in segments),
+        segment_level=segment_level, word_level=word_level, min_dur=min_dur,
+        strip=strip, reverse_text=reverse_text)
 
 
 _ASS_DEFAULT_STYLE = {
@@ -323,95 +342,75 @@ _ASS_DEFAULT_STYLE = {
 }
 
 
-def result_to_ass(result,
-                  filepath: Optional[str] = None,
-                  segment_level: bool = True,
-                  word_level: bool = True,
+def _ass_style_header(style_overrides: dict, tag, highlight_color: str,
+                      font: Optional[str], font_size) -> str:
+    """Script-info + style preamble for an ASS document."""
+    style = dict(_ASS_DEFAULT_STYLE)
+    for k, v in style_overrides.items():
+        if 'colour' in k.lower() and not str(v).startswith('&H'):
+            v = f'&H{v}'
+        if k in style:
+            style[k] = v
+    if tag is None and 'PrimaryColour' not in style_overrides:
+        style['PrimaryColour'] = (highlight_color if highlight_color.startswith('&H')
+                                  else f'&H{highlight_color}')
+    if font:
+        style['Fontname'] = font
+    if font_size:
+        style['Fontsize'] = font_size
+
+    return ('[Script Info]\nScriptType: v4.00+\nPlayResX: 384\nPlayResY: 288\n'
+            'ScaledBorderAndShadow: yes\n\n'
+            f'[V4+ Styles]\nFormat: {", ".join(map(str, style.keys()))}\n'
+            f'Style: {",".join(map(str, style.values()))}\n\n'
+            '[Events]\nFormat: Layer, Start, End, Style, Name, MarginL, MarginR, '
+            'MarginV, Effect, Text\n\n')
+
+
+def result_to_ass(result, filepath: Optional[str] = None,
+                  segment_level: bool = True, word_level: bool = True,
                   min_dur: float = 0.02,
                   tag: Union[Tuple[str, str], int, None] = None,
-                  font: Optional[str] = None,
-                  font_size: int = 24,
-                  strip: bool = True,
-                  highlight_color: Optional[str] = None,
+                  font: Optional[str] = None, font_size: int = 24,
+                  strip: bool = True, highlight_color: Optional[str] = None,
                   karaoke: bool = False,
-                  reverse_text: Union[bool, tuple] = False,
-                  **kwargs):
+                  reverse_text: Union[bool, tuple] = False, **kwargs):
     """Generate an Advanced SubStation Alpha (ASS) subtitle file."""
     if tag == ['-1']:  # CLI passes tags as string lists
         tag = -1
-    if highlight_color is None:
-        highlight_color = '00ff00'
+    highlight_color = highlight_color or '00ff00'
 
-    def segments2blocks(segments):
-        style = dict(_ASS_DEFAULT_STYLE)
-        for k in list(kwargs):
-            if 'colour' in k.lower() and not str(kwargs[k]).startswith('&H'):
-                kwargs[k] = f'&H{kwargs[k]}'
-        style.update((k, v) for k, v in kwargs.items() if k in style)
-        if tag is None and 'PrimaryColour' not in kwargs:
-            style['PrimaryColour'] = (highlight_color if highlight_color.startswith('&H')
-                                      else f'&H{highlight_color}')
-        if font:
-            style['Fontname'] = font
-        if font_size:
-            style['Fontsize'] = font_size
-
-        fmts = f'Format: {", ".join(map(str, style.keys()))}'
-        styles = f'Style: {",".join(map(str, style.values()))}'
-        sub_str = (
-            '[Script Info]\nScriptType: v4.00+\nPlayResX: 384\nPlayResY: 288\n'
-            'ScaledBorderAndShadow: yes\n\n'
-            f'[V4+ Styles]\n{fmts}\n{styles}\n\n'
-            '[Events]\nFormat: Layer, Start, End, Style, Name, MarginL, MarginR, '
-            'MarginV, Effect, Text\n\n'
-        )
-        sub_str += '\n'.join(segment2assblock(s, i, strip=strip)
-                             for i, s in enumerate(segments))
-        return sub_str
+    def blocks(segments):
+        return (_ass_style_header(kwargs, tag, highlight_color, font, font_size)
+                + '\n'.join(segment2assblock(s, i, strip=strip)
+                            for i, s in enumerate(segments)))
 
     if tag is not None and karaoke:
         warnings.warn('``tag`` is not supported for ``karaoke=True``; it will be ignored.')
 
-    return result_to_any(
-        result=result,
-        filepath=filepath,
-        filetype='ass',
-        segments2blocks=segments2blocks,
-        segment_level=segment_level,
-        word_level=word_level,
-        min_dur=min_dur,
-        tag=None if tag == -1 else tag,
-        default_tag=(r'{\1c' + f'{highlight_color}&' + '}', r'{\r}'),
-        strip=strip,
-        reverse_text=reverse_text,
-        to_word_level_string_callback=(
-            (lambda s, t: to_ass_word_level_segments(s, t, karaoke=karaoke))
-            if karaoke or (word_level and segment_level and tag is None)
-            else None
-        ),
-    )
+    word_cb = None
+    if karaoke or (word_level and segment_level and tag is None):
+        def word_cb(segments, tag_pair):
+            return to_ass_word_level_segments(segments, tag_pair, karaoke=karaoke)
+
+    return result_to_any(result, filepath, 'ass', blocks,
+                         segment_level=segment_level, word_level=word_level,
+                         min_dur=min_dur, tag=None if tag == -1 else tag,
+                         default_tag=(r'{\1c' + f'{highlight_color}&' + '}', r'{\r}'),
+                         strip=strip, reverse_text=reverse_text,
+                         to_word_level_string_callback=word_cb)
 
 
-def result_to_txt(result,
-                  filepath: Optional[str] = None,
-                  min_dur: float = 0.02,
-                  strip: bool = True,
+def result_to_txt(result, filepath: Optional[str] = None,
+                  min_dur: float = 0.02, strip: bool = True,
                   reverse_text: Union[bool, tuple] = False):
     """Generate plain text (one segment per line, no timestamps)."""
-    def segments2blocks(segments) -> str:
-        return '\n'.join(s['text'].strip() if strip else s['text'] for s in segments)
-
     return result_to_any(
-        result=result,
-        filepath=filepath,
-        filetype='txt',
-        segments2blocks=segments2blocks,
-        segment_level=True,
-        word_level=False,
-        min_dur=min_dur,
-        strip=strip,
-        reverse_text=reverse_text,
-    )
+        result, filepath, 'txt',
+        lambda segments: '\n'.join(s['text'].strip() if strip else s['text']
+                                   for s in segments),
+        segment_level=True, word_level=False, min_dur=min_dur, strip=strip,
+        reverse_text=reverse_text)
 
 
 def save_as_json(result, path: str, ensure_ascii: bool = False, **kwargs):
