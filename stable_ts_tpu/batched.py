@@ -292,8 +292,11 @@ def transcribe_batched(
         if wins.shape[0] < batch_size:
             wins = np.concatenate(
                 [wins, np.repeat(wins[-1:], batch_size - wins.shape[0], 0)])
-        mels = np.asarray(
-            log_mel_spectrogram(wins, model.dims.n_mels))[..., :N_FRAMES]
+        # Stays on device end to end: np.asarray here would BLOCK until the
+        # device drains the previous group's decode (in-order execution),
+        # serializing the whole pipeline — the mel + encode must queue
+        # behind it asynchronously instead.
+        mels = log_mel_spectrogram(wins, model.dims.n_mels)[..., :N_FRAMES]
         mels_in, _ = model.shard_batch(mels)
         grp.features = model.embed_audio(mels_in)
         if tokenizer is None:

@@ -123,3 +123,23 @@ class TestEndToEnd:
         audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
         result = model.transcribe(audio, verbose=None)
         assert result is not None  # ran through decode + timing end to end
+
+
+class TestKVQuantAccuracy:
+    """int8 cross-KV changes decode numerics, so the auto-on default for
+    medium+ models (decoding.py: n_audio_state >= 1024) must be backed by a
+    measured parity check — this is that check, on the synthetic test model
+    where the default is off and the option is forced both ways."""
+
+    def test_int8_cross_kv_matches_float_decode(self):
+        from stable_ts_tpu.loaders import load_test_model
+        audio = (np.random.default_rng(3).standard_normal(16000 * 65)
+                 * 0.1).astype(np.float32)
+        base = load_test_model().transcribe_batched(
+            audio, verbose=None, kv_quant=False)
+        quant = load_test_model().transcribe_batched(
+            audio, verbose=None, kv_quant=True)
+        assert quant.text == base.text
+        ts_base = [(w.start, w.end) for s in base.segments for w in s.words]
+        ts_quant = [(w.start, w.end) for s in quant.segments for w in s.words]
+        assert ts_quant == ts_base
