@@ -639,7 +639,12 @@ def _launch_word_timing(model, tokenizer, features, metas,
                 row_counts + [1] * (pad_b - len(todo)), jnp.int32)
             matrices_dev = legacy_weights_batched(
                 sel, qk_lens_in, rows_in, sot_len, 1.0, 7)
-            out['cost'] = _dtw_cost_batched(-matrices_dev)
+            cost = _dtw_cost_batched(-matrices_dev)
+            # traceback on device too: downloading the (B, R, 1501) f32
+            # cost matrices costs ~0.5 s/group through the host link; the
+            # jump-frame array is a few KB
+            from .ops.dtw import dtw_jumps_device
+            out['jumps'] = dtw_jumps_device(cost, rows_in, qk_lens_in)
         if short:
             out['sel_short'] = sel[:, np.asarray(short)]
     else:
@@ -651,8 +656,7 @@ def _finish_word_timing(model, tokenizer, pending, metas,
                         per_window_segments, prepend_punctuations,
                         append_punctuations, min_word_dur):
     """Materialize the dispatched timing work and assemble per-word dicts."""
-    from .models.whisper.timing import (WordTimingRaw, _jumps_from_cost,
-                                        _matrices_to_jumps,
+    from .models.whisper.timing import (WordTimingRaw, _matrices_to_jumps,
                                         legacy_head_weights,
                                         merge_punctuations,
                                         pop_empty_alignment)
@@ -666,10 +670,9 @@ def _finish_word_timing(model, tokenizer, pending, metas,
     all_jumps: List[Optional[np.ndarray]] = [None] * n_todo
     if pending['capture_slots'] is not None:
         if pending['full']:
-            cost = np.asarray(pending['cost'], np.float64)
+            jumps_np = np.asarray(pending['jumps'])
             for k in pending['full']:
-                all_jumps[k] = _jumps_from_cost(
-                    cost[k, :row_counts[k] + 1, :max_qk_lens[k] + 1])
+                all_jumps[k] = jumps_np[k, :row_counts[k]]
         if pending['short']:
             # bf16 transfer, f32 upcast on host (halves the download)
             sel_short = np.asarray(pending['sel_short']).astype(np.float32)

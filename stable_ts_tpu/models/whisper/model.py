@@ -170,7 +170,7 @@ def _flash_self_attention(params: Params, x: jnp.ndarray, n_head: int) -> jnp.nd
     keys never contribute to the softmax.
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        SegmentIds, flash_attention)
+        BlockSizes, SegmentIds, flash_attention)
     q = linear(x, params['q']['w'], params['q']['b'])
     k = linear(x, params['k']['w'])
     v = linear(x, params['v']['w'], params['v']['b'])
@@ -184,9 +184,18 @@ def _flash_self_attention(params: Params, x: jnp.ndarray, n_head: int) -> jnp.nd
 
     seg = jnp.pad(jnp.ones((b, s), jnp.int32), ((0, 0), (0, pad)),
                   constant_values=2)
+    # Full-sequence blocks: at Whisper's S=1536 the whole K/V tile fits
+    # VMEM (1536 x 64 bf16 = 192 KB/head), and one-block streaming measures
+    # 6x faster than the kernel's default 512/1024 tiling (4.0 vs 24.8
+    # ms/layer for large-v3 at batch 16).
+    sp = s + pad
+    bs = BlockSizes(block_q=sp, block_k_major=sp, block_k=sp, block_b=1,
+                    block_q_major_dkv=sp, block_k_major_dkv=sp,
+                    block_k_dkv=sp, block_q_dkv=sp,
+                    block_k_major_dq=sp, block_k_dq=sp, block_q_dq=sp)
     out = flash_attention(heads(q), heads(k), heads(v),
                           segment_ids=SegmentIds(seg, seg),
-                          sm_scale=d_head ** -0.5)
+                          sm_scale=d_head ** -0.5, block_sizes=bs)
     out = out[:, :, :s].transpose(0, 2, 1, 3).reshape(b, s, d).astype(x.dtype)
     return linear(out, params['out']['w'], params['out']['b'])
 

@@ -227,6 +227,57 @@ def _traceback_from_cost(cost: np.ndarray):
     return (np.array(text_indices)[::-1], np.array(time_indices)[::-1])
 
 
+@jax.jit
+def dtw_jumps_device(cost: jnp.ndarray, n_rows: jnp.ndarray,
+                     m_cols: jnp.ndarray) -> jnp.ndarray:
+    """Device-side traceback: per-token jump frames straight from the DP.
+
+    ``cost``: (B, R+1, F+1) batched cost matrices (padding beyond each
+    window's real (n_rows[b], m_cols[b]) is ignored — the walk starts at the
+    real corner). Returns (B, R) int32 where row t holds the frame index of
+    text row t's first path point — exactly ``_jumps_from_cost`` of the
+    cropped matrix (same strict-< tie order), without downloading the
+    multi-MB cost matrix to host: only this tiny index array crosses PCIe.
+
+    The walk is a ``lax.while_loop`` of at most N+M scalar steps; under
+    ``vmap`` every window advances in lockstep (masked), so a batch costs
+    one window's latency.
+    """
+    def walk(cost_b, n, m):
+        rows = cost_b.shape[0] - 1
+
+        def moving(state):
+            i, j, _ = state
+            return (i > 0) | (j > 0)
+
+        def step(state):
+            i, j, jt = state
+            im1, jm1 = jnp.maximum(i - 1, 0), jnp.maximum(j - 1, 0)
+            c_diag = cost_b[im1, jm1]
+            c_up = cost_b[im1, j]
+            c_left = cost_b[i, jm1]
+            diag = (c_diag < c_up) & (c_diag < c_left)
+            up = (c_up < c_diag) & (c_up < c_left) & ~diag
+            # matrix edges force the move (unreachable with INF borders,
+            # kept for malformed inputs)
+            diag &= (i > 0) & (j > 0)
+            up = jnp.where(j == 0, i > 0, up & (i > 0))
+            dec_i = diag | up
+            # i is about to leave row i: this state's path point (i-1, j-1)
+            # is text row i-1's FIRST point in forward order
+            jt = jnp.where(dec_i, jt.at[im1].set(jm1), jt)
+            i = jnp.where(dec_i, i - 1, i)
+            j = jnp.where(diag | ~dec_i, j - 1, j)
+            return i, j, jt
+
+        jt0 = jnp.zeros((rows,), jnp.int32)
+        _, _, jt = jax.lax.while_loop(moving, step, (n, m, jt0))
+        return jt
+
+    return jax.vmap(walk)(cost.astype(jnp.float32),
+                          n_rows.astype(jnp.int32), m_cols.astype(jnp.int32))
+
+
 def _dtw_backend() -> str:
     import os
     pref = os.environ.get('STABLE_TS_TPU_DTW', 'auto')

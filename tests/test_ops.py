@@ -242,3 +242,30 @@ class TestDTWTieBreaking:
         from stable_ts_tpu.ops.dtw import _traceback_from_trace  # noqa: F401
         ti, fi = dtw_numpy(x)
         assert ti[0] == 0 and fi[0] == 0  # still a valid corner-to-corner path
+
+
+class TestDeviceTraceback:
+    """dtw_jumps_device must reproduce the host traceback's jump frames
+    (same strict-< tie order) for every window of a padded batch."""
+
+    def test_matches_host_jumps(self):
+        import jax
+        import jax.numpy as jnp
+        from stable_ts_tpu.ops.dtw import dtw_cost_jax, dtw_jumps_device
+        from stable_ts_tpu.models.whisper.timing import _jumps_from_cost
+
+        rng = np.random.default_rng(0)
+        dims = [(40, 300), (12, 90), (7, 7), (1, 50), (33, 200)]
+        R = max(n for n, _ in dims)
+        F = max(m for _, m in dims)
+        batch = np.zeros((len(dims), R, F), np.float32)
+        for b, (n, m) in enumerate(dims):
+            batch[b, :n, :m] = -rng.random((n, m)).astype(np.float32)
+            batch[b, :n, m // 3:m // 3 + 5] = 0.0  # flat ties
+        cost = np.asarray(jax.vmap(dtw_cost_jax)(jnp.asarray(batch)))
+        jumps = np.asarray(dtw_jumps_device(
+            jnp.asarray(cost), jnp.array([n for n, _ in dims]),
+            jnp.array([m for _, m in dims])))
+        for b, (n, m) in enumerate(dims):
+            host = _jumps_from_cost(cost[b, :n + 1, :m + 1].astype(np.float64))
+            assert np.array_equal(jumps[b, :n], host), f'window {b}'
