@@ -36,6 +36,9 @@ def _pad_mel(mel: np.ndarray) -> np.ndarray:
 def _resolve_tokenizer(model, text, language: Optional[str]):
     if language is None:
         language = getattr(text, 'language', None)
+    from .backends.faster_whisper import fw_tokenizer, is_faster_whisper_model
+    if is_faster_whisper_model(model):
+        return fw_tokenizer(model, language)
     if language is None:
         if model.is_multilingual:
             raise TypeError('expected argument for language')
@@ -44,7 +47,12 @@ def _resolve_tokenizer(model, text, language: Optional[str]):
 
 
 def _whisper_alignment_func(model, tokenizer, options: AllOptions) -> Callable:
-    """(audio_segment, word_tokens) -> word timing dicts, via the JAX model."""
+    """(audio_segment, word_tokens) -> word timing dicts, via the JAX model
+    (or the backend's own word-timing API for adapter models)."""
+    from .backends.faster_whisper import (fw_alignment_func,
+                                          is_faster_whisper_model)
+    if is_faster_whisper_model(model):
+        return fw_alignment_func(model, tokenizer)
     from .models.whisper.timing import add_word_timestamps
 
     def compute_timestamps(audio_segment: np.ndarray,
@@ -181,7 +189,8 @@ def align(
     if tokenizer is None:
         tokenizer = _resolve_tokenizer(model, text, language)
     all_options = AllOptions(options, vanilla_align=True)
-    max_token_step = model.dims.n_text_ctx - 6
+    n_text_ctx = model.dims.n_text_ctx if hasattr(model, 'dims') else 448
+    max_token_step = n_text_ctx - 6
     if token_step < 1:
         token_step = max_token_step
     elif token_step > max_token_step:
@@ -233,9 +242,12 @@ def align_words(
     """
     if tokenizer is None:
         tokenizer = _resolve_tokenizer(model, result, language)
+    from .backends.faster_whisper import is_faster_whisper_model
     if parallel is None:
         import jax
         parallel = jax.default_backend() == 'tpu'
+    if is_faster_whisper_model(model):
+        parallel = False  # lockstep batching is a JAX-engine feature
     all_options = AllOptions(options, vanilla_align=True)
     aligner = Aligner(
         inference_func=_whisper_alignment_func(model, tokenizer, all_options),
@@ -256,7 +268,11 @@ def align_words(
 
 
 def _whisper_refinement_func(model, tokenizer) -> Callable:
-    """(audio[2, T], tokens) -> token probs (2, n_tokens, vocab<eot)."""
+    """(audio[2, T], tokens) -> token probs (2, n_tokens[, vocab<eot])."""
+    from .backends.faster_whisper import (fw_refinement_func,
+                                          is_faster_whisper_model)
+    if is_faster_whisper_model(model):
+        return fw_refinement_func(model, tokenizer)
     import jax
     import jax.numpy as jnp
     from .models.whisper.model import decoder_apply, encoder_apply
@@ -372,7 +388,12 @@ def refine(
         if not result.language:
             raise RuntimeError('cannot align words with result missing language')
         align_words(model, audio, result)
-    tokenizer = model.get_tokenizer(language=result.language, task='transcribe')
+    from .backends.faster_whisper import fw_tokenizer, is_faster_whisper_model
+    if is_faster_whisper_model(model):
+        tokenizer = fw_tokenizer(model, result.language)
+    else:
+        tokenizer = model.get_tokenizer(language=result.language,
+                                        task='transcribe')
     if result and not all(w.tokens for w in result.all_words()):
         for word in result.all_words():
             word.tokens = tokenizer.encode(word.word)
@@ -380,7 +401,7 @@ def refine(
     if parallel is None:
         import jax
         parallel = jax.default_backend() == 'tpu'
-    if single_batch:
+    if single_batch or is_faster_whisper_model(model):
         parallel = False
     all_options = AllOptions(options, post=False, silence=False, align=False)
     refiner = Refiner(
@@ -397,7 +418,8 @@ def refine(
         abs_dur_change=abs_dur_change,
         word_level=word_level,
         precision=precision,
-        max_inference_tokens=model.dims.n_text_ctx - 6,
+        max_inference_tokens=(model.dims.n_text_ctx - 6
+                              if hasattr(model, 'dims') else 442),
         all_options=all_options,
     )
     return refiner.refine(audio, result, inplace)

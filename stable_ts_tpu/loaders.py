@@ -256,7 +256,12 @@ def load_model(name_or_path: str,
                 f'names (searched in download_root / $STABLE_TS_TPU_MODELS / '
                 f'~/.cache/whisper): {known}')
     if os.path.isdir(path):
-        dims, params = load_hf_checkpoint(path)
+        from .models.whisper.load import (is_mlx_checkpoint_dir,
+                                          load_mlx_checkpoint)
+        if is_mlx_checkpoint_dir(path):
+            dims, params = load_mlx_checkpoint(path)
+        else:
+            dims, params = load_hf_checkpoint(path)
     else:
         dims, params = load_openai_checkpoint(path)
     if alignment_heads is None:
@@ -287,24 +292,20 @@ def load_hf_whisper(name_or_path: str, **kwargs) -> WhisperTPU:
     return load_model(name_or_path, **kwargs)
 
 
-def load_faster_whisper(*args, **kwargs):
-    """Reference-API stub: CTranslate2 is not bundled (the JAX/XLA engine is
-    the fast backend here). Plug faster-whisper in through
-    ``transcribe_any(inference_func, ...)`` or ``Aligner(inference_func=...)``.
-    """
-    raise NotImplementedError(
-        'load_faster_whisper is not available in stable_ts_tpu: the JAX/XLA '
-        'engine replaces CTranslate2 as the fast backend. To keep using a '
-        'faster-whisper model, wrap it with stable_ts_tpu.transcribe_any '
-        '(same adapter seam as the reference).')
+def load_faster_whisper(model_size_or_path: str, **model_init_options):
+    """Load a faster-whisper model wired into this package's stabilization
+    pipeline (delegates to backends/faster_whisper.py; requires the optional
+    faster-whisper package)."""
+    from .backends.faster_whisper import load_faster_whisper as _load
+    return _load(model_size_or_path, **model_init_options)
 
 
-def load_mlx_whisper(*args, **kwargs):
-    """Reference-API stub: MLX is Apple-silicon-only; use transcribe_any."""
-    raise NotImplementedError(
-        'load_mlx_whisper is not available in stable_ts_tpu (MLX is '
-        'Apple-silicon-specific). Wrap an MLX model with '
-        'stable_ts_tpu.transcribe_any instead.')
+def load_mlx_whisper(name_or_path: str, **kwargs) -> WhisperTPU:
+    """Load an MLX-community Whisper checkpoint directory onto the JAX/TPU
+    engine (the reference runs these on Apple's MLX runtime; here the
+    directory is just another weight format — models/whisper/load.py:
+    load_mlx_checkpoint)."""
+    return load_model(name_or_path, **kwargs)
 
 
 def load_test_model(seed: int = 0, **kwargs) -> WhisperTPU:

@@ -214,6 +214,58 @@ def load_hf_checkpoint(model_dir: str):
     return dims, params
 
 
+def load_mlx_checkpoint(model_dir: str):
+    """Load an MLX-community Whisper directory -> (dims, params).
+
+    The mlx-community layout (mlx-examples whisper/convert.py) keeps
+    OpenAI's state-dict key names and a config.json holding the
+    ``ModelDimensions`` fields directly; only the Conv1d weights differ —
+    MLX stores (out, kernel, in) where torch stores (out, in, kernel).
+    Transpose those back and the OpenAI converter applies unchanged, so
+    MLX checkpoints run on the JAX/TPU engine (the reference instead runs
+    them on Apple's MLX runtime, mlx_whisper.py:61-65 — on TPU the engine
+    swap IS the feature).
+    """
+    import json
+    from safetensors.numpy import load_file
+    with open(os.path.join(model_dir, 'config.json')) as f:
+        cfg = json.load(f)
+    if cfg.get('quantization'):
+        raise NotImplementedError(
+            'quantized MLX checkpoints are not supported; convert from the '
+            'float weights (dq=True re-quantizes for TPU at load time)')
+    fields = {f.name for f in ModelDimensions.__dataclass_fields__.values()} \
+        if hasattr(ModelDimensions, '__dataclass_fields__') else None
+    dims_kwargs = {k: v for k, v in cfg.items()
+                   if fields is None or k in fields}
+    dims = ModelDimensions(**dims_kwargs)
+    sd = {}
+    for fname in sorted(os.listdir(model_dir)):
+        if fname.endswith('.safetensors'):
+            sd.update(load_file(os.path.join(model_dir, fname)))
+    if not sd:
+        raise FileNotFoundError(f'no .safetensors files in {model_dir}')
+    for key in list(sd):
+        if 'conv' in key and sd[key].ndim == 3:
+            sd[key] = np.ascontiguousarray(sd[key].transpose(0, 2, 1))
+    params = convert_openai_state_dict(sd, dims)
+    return dims, params
+
+
+def is_mlx_checkpoint_dir(model_dir: str) -> bool:
+    """MLX config.json carries ModelDimensions fields ('n_mels'); HF uses
+    'num_mel_bins'."""
+    cfg_path = os.path.join(model_dir, 'config.json')
+    if not os.path.isfile(cfg_path):
+        return False
+    import json
+    try:
+        with open(cfg_path) as f:
+            return 'n_mels' in json.load(f)
+    except (ValueError, OSError):
+        return False
+
+
 def save_openai_checkpoint(path: str, dims: ModelDimensions, params: Dict[str, Any]):
     """Write params back to the OpenAI .pt layout (round-trip/testing aid)."""
     import torch
