@@ -189,10 +189,14 @@ def _flash_self_attention(params: Params, x: jnp.ndarray, n_head: int) -> jnp.nd
     # 6x faster than the kernel's default 512/1024 tiling (4.0 vs 24.8
     # ms/layer for large-v3 at batch 16).
     sp = s + pad
+    # Backward (dkv/dq) kernels keep smaller tiles: the dq kernel's scratch
+    # grows with block_q_dq * block_k_dq and a full-sequence 1536x1536 tile
+    # overflows the 16 MB VMEM scoped allocation during the train step.
+    bp = min(sp, 512)
     bs = BlockSizes(block_q=sp, block_k_major=sp, block_k=sp, block_b=1,
-                    block_q_major_dkv=sp, block_k_major_dkv=sp,
-                    block_k_dkv=sp, block_q_dkv=sp,
-                    block_k_major_dq=sp, block_k_dq=sp, block_q_dq=sp)
+                    block_q_major_dkv=bp, block_k_major_dkv=bp,
+                    block_k_dkv=bp, block_q_dkv=bp,
+                    block_k_major_dq=bp, block_k_dq=bp, block_q_dq=bp)
     out = flash_attention(heads(q), heads(k), heads(v),
                           segment_ids=SegmentIds(seg, seg),
                           sm_scale=d_head ** -0.5, block_sizes=bs)

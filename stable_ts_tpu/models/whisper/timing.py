@@ -443,11 +443,28 @@ def _dtw_cost_fn():
     return dtw_cost_pallas if _use_pallas() else dtw_cost_jax
 
 
+_VMAPPED_COST_FN = None
+
+
+def _vmapped_cost_fn():
+    global _VMAPPED_COST_FN
+    if _VMAPPED_COST_FN is None:
+        _VMAPPED_COST_FN = jax.jit(jax.vmap(dtw_cost_jax))
+    return _VMAPPED_COST_FN
+
+
 def _matrix_to_jumps(matrix: np.ndarray) -> np.ndarray:
-    """DTW over -matrix (device DP + host traceback) -> per-token jump frames."""
-    cost = np.asarray(_dtw_cost_fn()(jnp.asarray(-matrix, jnp.float32)),
-                      dtype=np.float64)
-    return _jumps_from_cost(cost)
+    """DTW over -matrix (device DP + device traceback) -> per-token jump frames.
+
+    The traceback runs on device too (ops/dtw.py:dtw_jumps_device): only the
+    per-token jump-frame vector crosses the host link, not the (N+1, M+1)
+    f32 cost matrix — a multi-MB transfer per window on slow links.
+    """
+    from ...ops.dtw import dtw_jumps_device
+    n, m = matrix.shape
+    cost = _dtw_cost_fn()(jnp.asarray(-matrix, jnp.float32))
+    jumps = dtw_jumps_device(cost[None], jnp.asarray([n]), jnp.asarray([m]))
+    return np.asarray(jumps)[0]
 
 
 def _matrices_to_jumps(matrices) -> list:
@@ -468,10 +485,13 @@ def _matrices_to_jumps(matrices) -> list:
         batch[b, :m.shape[0], :m.shape[1]] = -m
     fn = _dtw_cost_fn()
     if fn is dtw_cost_jax:
-        fn = jax.jit(jax.vmap(dtw_cost_jax))
-    cost = np.asarray(fn(jnp.asarray(batch)), np.float64)
-    return [_jumps_from_cost(cost[b, :m.shape[0] + 1, :m.shape[1] + 1])
-            for b, m in enumerate(matrices)]
+        fn = _vmapped_cost_fn()
+    from ...ops.dtw import dtw_jumps_device
+    cost = fn(jnp.asarray(batch))
+    jumps = np.asarray(dtw_jumps_device(
+        cost, jnp.asarray([m.shape[0] for m in matrices]),
+        jnp.asarray([m.shape[1] for m in matrices])))
+    return [jumps[b, :m.shape[0]] for b, m in enumerate(matrices)]
 
 
 # -- word splitting across segments (gap padding) ---------------------------------------
