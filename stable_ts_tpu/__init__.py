@@ -24,6 +24,10 @@ _LAZY = {
     'Refiner': 'stable_ts_tpu.non_whisper.refinement',
     'NonSpeechPredictor': 'stable_ts_tpu.stabilization',
     'visualize_suppression': 'stable_ts_tpu.stabilization',
+    'modify_model': 'stable_ts_tpu.loaders',
+    'load_test_model': 'stable_ts_tpu.loaders',
+    'encode_video_comparison': 'stable_ts_tpu.video_output',
+    'IS_WHISPERLESS_VERSION': 'stable_ts_tpu.constants',
 }
 
 __all__ = ['WhisperResult', 'Segment', 'WordTiming', 'AllOptions',
@@ -39,3 +43,7 @@ def __getattr__(name):
         module = importlib.import_module(_LAZY[name])
         return getattr(module, name)
     raise AttributeError(f'module {__name__!r} has no attribute {name!r}')
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY))

@@ -263,13 +263,27 @@ def load_faster_whisper(model_size_or_path: str, **model_init_options):
 
     fw_model = WhisperModel(model_size_or_path, **model_init_options)
     fw_model.model_size_or_path = model_size_or_path
+    return modify_fw_model(fw_model, BatchedInferencePipeline)
 
+
+def modify_fw_model(fw_model, batched_pipeline_cls=None):
+    """Attach the stabilized method surface to an existing
+    ``faster_whisper.WhisperModel`` (the patch half of the reference's
+    ``load_faster_whisper``, faster_whisper.py:235; also reachable through
+    the public ``stable_ts_tpu.modify_model``)."""
     fw_model.transcribe_original = fw_model.transcribe
     fw_model.transcribe = MethodType(faster_transcribe, fw_model)
     fw_model.transcribe_stable = MethodType(_deprecated_transcribe_stable,
                                             fw_model)
+    if batched_pipeline_cls is None:
+        try:
+            from faster_whisper import BatchedInferencePipeline
+            batched_pipeline_cls = BatchedInferencePipeline
+        except ImportError:
+            batched_pipeline_cls = None
     try:
-        fw_model.batch_inference_pipeline = BatchedInferencePipeline(fw_model)
+        fw_model.batch_inference_pipeline = (
+            batched_pipeline_cls(fw_model) if batched_pipeline_cls else None)
     except Exception:  # older faster-whisper: batched pipeline optional
         fw_model.batch_inference_pipeline = None
 

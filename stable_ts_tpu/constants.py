@@ -19,3 +19,9 @@ FRAMES_PER_SECOND = SAMPLE_RATE // HOP_LENGTH  # 100
 TOKENS_PER_SECOND = SAMPLE_RATE // N_SAMPLES_PER_TOKEN  # 50
 # Decoder text context length.
 N_TEXT_CTX = 448
+
+# The reference exposes IS_WHISPERLESS_VERSION to signal it can run without
+# openai-whisper installed (whisper_compatibility.py). This package never
+# depends on openai-whisper at all, so the flag is constitutively True; it
+# exists so migrating code that checks it keeps working.
+IS_WHISPERLESS_VERSION = True

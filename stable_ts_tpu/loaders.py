@@ -317,3 +317,32 @@ def load_test_model(seed: int = 0, **kwargs) -> WhisperTPU:
     params = init_params(dims, seed=seed)
     return WhisperTPU(dims, params, name='test-tiny',
                       ranks=synthetic_byte_ranks(), **kwargs)
+
+
+def modify_model(model):
+    """Attach the stabilized method surface to ``model``, in place.
+
+    Counterpart of the reference's ``modify_model``
+    (whisper_word_level/original_whisper.py:931), which monkey-patches
+    ``transcribe/align/refine/locate`` onto a vanilla ``whisper.Whisper``.
+    Here:
+
+    - :class:`WhisperTPU` already carries every stabilized method natively
+      (JAX is functional; there is no foreign model to patch), so it passes
+      through unchanged — calling this is always safe and idempotent.
+    - A ``faster_whisper.WhisperModel`` gets the same method attachment
+      ``load_faster_whisper`` performs.
+    - Anything else raises ``TypeError`` pointing at the engine-agnostic
+      seam (``transcribe_any`` / ``Aligner`` / ``Refiner``), which is how
+      arbitrary ASR engines plug into this framework.
+    """
+    if isinstance(model, WhisperTPU):
+        return model
+    from .backends.faster_whisper import is_faster_whisper_model
+    if is_faster_whisper_model(model):
+        from .backends.faster_whisper import modify_fw_model
+        return modify_fw_model(model)
+    raise TypeError(
+        f'cannot modify {type(model).__name__!r}: expected a WhisperTPU or a '
+        'faster_whisper.WhisperModel. For other ASR engines use '
+        'stable_ts_tpu.transcribe_any / Aligner / Refiner.')

@@ -61,14 +61,32 @@ def layer_norm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
     return (out * g + b).astype(x.dtype)
 
 
+def _use_woq_kernel() -> bool:
+    import os
+    pref = os.environ.get('STABLE_TS_TPU_WOQ', 'auto')
+    if pref in ('0', 'off', 'false'):
+        return False
+    if pref in ('1', 'on', 'true', 'interpret'):
+        return True
+    return jax.default_backend() == 'tpu'
+
+
 def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     if hasattr(w, 'q'):  # int8 QuantizedArray (quantization.py)
-        # The per-output-channel scale factors OUT of the contraction:
-        # x @ (q * s) == (x @ q) * s. Rescaling AFTER the matmul means the
-        # dot's weight operand is the int8 tensor itself (cast fused into
-        # the MXU operand read) — XLA never materializes a bf16 copy of the
-        # weights in HBM, which is the whole point of int8 weights on a
-        # bandwidth-bound decode step.
+        if w.q.ndim == 2 and _use_woq_kernel():
+            # Pallas WOQ kernel (ops/woq_matmul.py): the int8 tile streams
+            # HBM -> VMEM and dequantizes in registers. XLA's own lowering
+            # of x @ q.astype(bf16) materializes a bf16 weight copy in HBM
+            # (measured slower than plain bf16 weights), which defeats the
+            # bandwidth win that is the whole point of int8 weights on a
+            # weight-streaming-bound decode step.
+            from ...ops.woq_matmul import int8_matmul
+            out = int8_matmul(x, w.q, w.scale)
+            if b is not None:
+                out = out + b
+            return out.astype(x.dtype)
+        # Fallback (CPU / stacked weights): rescale AFTER the matmul so the
+        # dot's weight operand is the int8 tensor itself.
         out = jnp.dot(x, w.q.astype(x.dtype),
                       preferred_element_type=jnp.float32)
         out = out * w.scale

@@ -223,3 +223,26 @@ class TestAlignRefine:
         after = [(w.start, w.end) for w in refined.all_words()]
         assert len(before) == len(after)
         assert all(e >= s for s, e in after)
+
+
+class TestModifyModel:
+    """Public modify_model (loaders.py) — reference original_whisper.py:931."""
+
+    def test_whisper_tpu_passthrough(self):
+        from stable_ts_tpu.loaders import load_test_model, modify_model
+        m = load_test_model()
+        assert modify_model(m) is m
+
+    def test_fw_model_patched(self, fake_fw):
+        from stable_ts_tpu.loaders import modify_model
+        raw = fake_fw.WhisperModel('tiny')
+        patched = modify_model(raw)
+        assert patched is raw
+        assert callable(raw.transcribe_original)
+        for meth in ('transcribe', 'align', 'align_words', 'refine'):
+            assert callable(getattr(raw, meth))
+
+    def test_unknown_object_rejected(self):
+        from stable_ts_tpu.loaders import modify_model
+        with pytest.raises(TypeError, match='transcribe_any'):
+            modify_model(object())

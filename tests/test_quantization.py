@@ -143,3 +143,47 @@ class TestKVQuantAccuracy:
         ts_base = [(w.start, w.end) for s in base.segments for w in s.words]
         ts_quant = [(w.start, w.end) for s in quant.segments for w in s.words]
         assert ts_quant == ts_base
+
+
+class TestWOQKernel:
+    """Pallas int8 weight-streaming matmul (ops/woq_matmul.py) — numerics vs
+    the plain dequantized dot, via the interpreter on the CPU mesh."""
+
+    def test_matches_dequantized_dot(self, monkeypatch):
+        monkeypatch.setenv('STABLE_TS_TPU_WOQ', 'interpret')
+        from stable_ts_tpu.ops.woq_matmul import int8_matmul
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((16, 384)).astype(np.float32))
+        qa = quantize_weight(
+            jnp.asarray(rng.standard_normal((384, 512)).astype(np.float32)),
+            compute_dtype=jnp.float32)
+        got = np.asarray(int8_matmul(x, qa.q, qa.scale))
+        ref = np.asarray(x @ qa.dequantize())
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    def test_ragged_shapes_padded(self, monkeypatch):
+        monkeypatch.setenv('STABLE_TS_TPU_WOQ', 'interpret')
+        from stable_ts_tpu.ops.woq_matmul import int8_matmul
+        rng = np.random.default_rng(1)
+        # M not a multiple of the block, N not a multiple of block_n
+        x = jnp.asarray(rng.standard_normal((5, 7, 100)).astype(np.float32))
+        qa = quantize_weight(
+            jnp.asarray(rng.standard_normal((100, 130)).astype(np.float32)),
+            compute_dtype=jnp.float32)
+        got = np.asarray(int8_matmul(x, qa.q, qa.scale))
+        assert got.shape == (5, 7, 130)
+        ref = np.asarray(x.reshape(-1, 100) @ qa.dequantize()).reshape(5, 7, 130)
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    def test_linear_routes_through_kernel(self, monkeypatch):
+        monkeypatch.setenv('STABLE_TS_TPU_WOQ', 'interpret')
+        from stable_ts_tpu.models.whisper.model import linear
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((4, 128)).astype(np.float32))
+        qa = quantize_weight(
+            jnp.asarray(rng.standard_normal((128, 256)).astype(np.float32)),
+            compute_dtype=jnp.float32)
+        b = jnp.asarray(rng.standard_normal(256).astype(np.float32))
+        got = np.asarray(linear(x, qa, b))
+        ref = np.asarray(x @ qa.dequantize() + b)
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
