@@ -27,8 +27,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from .model import (ModelDimensions, decoder_prefill, decoder_step, encoder_apply,
-                    init_kv_cache, precompute_cross_kv)
+                    init_kv_cache, precompute_cross_kv, precompute_cross_kv_t)
 from .tokenizer import WhisperTokenizer
+
+
+def _use_cross_kernel() -> bool:
+    """Route decode cross-attention through the fused Pallas kernel
+    (ops/cross_attn.py) — default on TPU, opt-out STABLE_TS_TPU_CROSS=0,
+    'interpret' exercises it on CPU."""
+    import os
+    pref = os.environ.get('STABLE_TS_TPU_CROSS', 'auto')
+    if pref in ('0', 'off', 'false'):
+        return False
+    if pref in ('1', 'on', 'true', 'interpret'):
+        return True
+    return jax.default_backend() == 'tpu'
 
 _NEG = jnp.float32(-1e9)
 
@@ -567,8 +580,12 @@ def decode_launch(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
         params['decoder'], tokens0, xa_rep, dims.n_text_head, cache_len)
     kv_quant = (dims.n_audio_state >= 1024 if options.kv_quant is None
                 else options.kv_quant)
-    cross_kv = precompute_cross_kv(params['decoder'], xa_rep,
-                                   quantize=kv_quant)
+    if _use_cross_kernel():
+        cross_kv = precompute_cross_kv_t(params['decoder'], xa_rep,
+                                         quantize=kv_quant)
+    else:
+        cross_kv = precompute_cross_kv(params['decoder'], xa_rep,
+                                       quantize=kv_quant)
 
     # no_speech prob stays a device array: materializing it here would be a
     # host sync in the middle of the dispatch stream.

@@ -297,6 +297,50 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray,
     return {'k': k, 'v': v}  # (n_layers, batch, 1500, d)
 
 
+@partial(jax.jit, static_argnames=('quantize',))
+def precompute_cross_kv_t(params: Params, xa: jnp.ndarray,
+                          quantize: bool = False) -> Params:
+    """Cross-attention K/V in the TRANSPOSED layout the fused decode kernel
+    reads (ops/cross_attn.py): kT/vT (n_layers, batch, d, S_pad) + per-
+    position scales ks/vs (n_layers, batch, 1, S_pad) + additive pad mask
+    kb. S pads up to the kernel's 512-lane chunk; padded positions carry
+    -inf in kb so they never enter the softmax."""
+    from ...ops.cross_attn import _S_CHUNK
+
+    s = xa.shape[-2]
+    s_pad = (s + _S_CHUNK - 1) // _S_CHUNK * _S_CHUNK
+
+    def prep(t):
+        # (batch, s, d) -> int8/float (batch, d, s_pad) + scales (batch, 1, s_pad)
+        if quantize:
+            amax = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1,
+                           keepdims=True)
+            sc = jnp.where(amax > 0, amax / 127.0, 1.0)
+            t = jnp.clip(jnp.round(t.astype(jnp.float32) / sc), -127,
+                         127).astype(jnp.int8)
+            sc = sc[..., 0]
+        else:
+            sc = jnp.ones(t.shape[:-1], jnp.float32)
+        tt = jnp.pad(t.transpose(0, 2, 1), ((0, 0), (0, 0), (0, s_pad - s)))
+        sc = jnp.pad(sc, ((0, 0), (0, s_pad - s)),
+                     constant_values=1.0)[:, None, :]
+        return tt, sc
+
+    def per_layer(_, layer_params):
+        k = linear(xa, layer_params['cross_attn']['k']['w'])
+        v = linear(xa, layer_params['cross_attn']['v']['w'],
+                   layer_params['cross_attn']['v']['b'])
+        kt, ks = prep(k)
+        vt, vs = prep(v)
+        return _, (kt, ks, vt, vs)
+
+    _, (kt, ks, vt, vs) = jax.lax.scan(per_layer, None, params['blocks'])
+    kb = jnp.where(jnp.arange(s_pad) < s, 0.0,
+                   -jnp.inf).astype(jnp.float32)[None, None, None, :]
+    kb = jnp.broadcast_to(kb, ks.shape)
+    return {'kT': kt, 'ks': ks, 'kb': kb, 'vT': vt, 'vs': vs}
+
+
 @partial(jax.jit, static_argnames=('n_head', 'capture_qk'))
 def decoder_apply(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
                   n_head: int, capture_qk: bool = False,
@@ -379,6 +423,8 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     # outputs instead would rewrite (and double-buffer) the entire
     # (n_layers, batch, n_ctx, d) stack every token step — that copy traffic
     # dominated the step cost and OOM'd large batches.
+    fused_cross = 'kT' in cross_kv
+
     def block(carry, scanned):
         h, kc, vc = carry
         layer_params, layer_cross_kv, layer_idx = scanned
@@ -396,22 +442,35 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
         attn_out, _, _ = _mha(layer_params['attn'], q_in, None, n_head,
                               mask=self_mask, kv_override=(k_cache, v_cache))
         h = h + attn_out
-        cross_out, _, _ = _mha(
-            layer_params['cross_attn'],
-            layer_norm(h, layer_params['cross_attn_ln']['g'],
-                       layer_params['cross_attn_ln']['b']),
-            None, n_head, kv_override=layer_cross_kv)
+        ca_in = layer_norm(h, layer_params['cross_attn_ln']['g'],
+                           layer_params['cross_attn_ln']['b'])
+        if fused_cross:
+            # Fused Pallas kernel (ops/cross_attn.py): the int8 K/V tiles
+            # stream HBM -> VMEM once and dequantize in registers — the
+            # unfused path re-materializes bf16 K/V + logits in HBM.
+            from ...ops.cross_attn import cross_attn_decode
+            ca = layer_params['cross_attn']
+            kt, ks, kb, vt, vs = layer_cross_kv
+            q = linear(ca_in, ca['q']['w'], ca['q']['b'])[:, 0, :]
+            q = q.astype(jnp.float32) * ((d // n_head) ** -0.5)
+            ctx = cross_attn_decode(q, kt, ks, kb, vt, vs, n_head)
+            cross_out = linear(ctx[:, None, :].astype(h.dtype),
+                               ca['out']['w'], ca['out']['b'])
+        else:
+            cross_out, _, _ = _mha(layer_params['cross_attn'], ca_in,
+                                   None, n_head, kv_override=layer_cross_kv)
         h = h + cross_out
         h = h + _mlp(layer_params['mlp'],
                      layer_norm(h, layer_params['mlp_ln']['g'],
                                 layer_params['mlp_ln']['b']))
         return (h, kc, vc), None
 
+    cross_xs = ((cross_kv['kT'], cross_kv['ks'], cross_kv['kb'],
+                 cross_kv['vT'], cross_kv['vs']) if fused_cross
+                else (cross_kv['k'], cross_kv['v']))
     (x, new_k, new_v), _ = jax.lax.scan(
         block, (x, kv_cache['k'], kv_cache['v']),
-        (params['blocks'],
-         (cross_kv['k'], cross_kv['v']),
-         jnp.arange(n_layers)))
+        (params['blocks'], cross_xs, jnp.arange(n_layers)))
     x = layer_norm(x, params['ln']['g'], params['ln']['b'])
     logits = jnp.dot(x[:, 0], params['token_emb'].T,
                      preferred_element_type=jnp.float32)

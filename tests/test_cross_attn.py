@@ -1,0 +1,118 @@
+"""Fused cross-attention decode kernel (ops/cross_attn.py): numerics vs the
+naive per-head attention, and decoder_step equivalence between the fused
+(transposed-KV) and unfused (legacy-KV) paths — via the Pallas interpreter
+on the CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stable_ts_tpu.ops.cross_attn import _S_CHUNK, cross_attn_decode
+
+
+def _naive(q, k, v, n_head):
+    b, s, d = k.shape
+    dh = d // n_head
+    scale = dh ** -0.5
+    qh = q.reshape(b, n_head, dh)
+    kh = k.reshape(b, s, n_head, dh)
+    vh = v.reshape(b, s, n_head, dh)
+    lg = np.einsum('bhd,bshd->bhs', qh * scale, kh)
+    w = np.exp(lg - lg.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    return np.einsum('bhs,bshd->bhd', w, vh).reshape(b, d)
+
+
+def _to_kernel_layout(x, s_pad, quantize=False):
+    b, s, d = x.shape
+    if quantize:
+        amax = np.abs(x).max(-1, keepdims=True)
+        sc = np.where(amax > 0, amax / 127.0, 1.0)
+        xq = np.clip(np.round(x / sc), -127, 127).astype(np.int8)
+        deq = xq * sc
+    else:
+        sc = np.ones((b, s, 1), np.float32)
+        xq, deq = x, x
+    xt = np.zeros((b, d, s_pad), xq.dtype)
+    xt[:, :, :s] = xq.transpose(0, 2, 1)
+    st = np.ones((b, 1, s_pad), np.float32)
+    st[:, 0, :s] = sc[:, :, 0]
+    return xt, st, deq
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setenv('STABLE_TS_TPU_CROSS', 'interpret')
+
+
+@pytest.mark.parametrize('quantize', [False, True])
+@pytest.mark.parametrize('s', [100, 700])
+def test_kernel_matches_naive_attention(quantize, s):
+    b, n_head, dh = 2, 4, 64
+    d = n_head * dh
+    s_pad = (s + _S_CHUNK - 1) // _S_CHUNK * _S_CHUNK
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((b, d)).astype(np.float32) * 0.3
+    k = rng.standard_normal((b, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, d)).astype(np.float32)
+    kt, ks, kdq = _to_kernel_layout(k, s_pad, quantize)
+    vt, vs, vdq = _to_kernel_layout(v, s_pad, quantize)
+    kb = np.zeros((b, 1, s_pad), np.float32)
+    kb[:, :, s:] = -np.inf
+    got = np.asarray(cross_attn_decode(
+        jnp.asarray(q * dh ** -0.5), jnp.asarray(kt), jnp.asarray(ks),
+        jnp.asarray(kb), jnp.asarray(vt), jnp.asarray(vs), n_head=n_head))
+    ref = _naive(q, kdq.astype(np.float32), vdq.astype(np.float32), n_head)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_decoder_step_fused_equals_legacy():
+    from stable_ts_tpu.models.whisper import (
+        init_kv_cache, init_params, precompute_cross_kv, tiny_test_dims)
+    from stable_ts_tpu.models.whisper.model import (decoder_step,
+                                                    precompute_cross_kv_t)
+    dims = tiny_test_dims()
+    params = init_params(dims, seed=0)
+    b = 2
+    rng = np.random.default_rng(1)
+    xa = jnp.asarray(rng.standard_normal(
+        (b, dims.n_audio_ctx, dims.n_audio_state)).astype(np.float32))
+    legacy = precompute_cross_kv(params['decoder'], xa)
+    fused = precompute_cross_kv_t(params['decoder'], xa)
+    cache = init_kv_cache(dims, b)
+    toks = jnp.asarray(rng.integers(0, dims.n_vocab, (b, 1)), jnp.int32)
+    pos = jnp.int32(0)
+    lg_legacy, _ = decoder_step(params['decoder'], toks, pos, legacy, cache,
+                                dims.n_text_head)
+    lg_fused, _ = decoder_step(params['decoder'], toks, pos, fused, cache,
+                               dims.n_text_head)
+    np.testing.assert_allclose(np.asarray(lg_fused), np.asarray(lg_legacy),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_decoder_step_fused_quantized_close():
+    from stable_ts_tpu.models.whisper import (
+        init_kv_cache, init_params, tiny_test_dims)
+    from stable_ts_tpu.models.whisper.model import (decoder_step,
+                                                    precompute_cross_kv,
+                                                    precompute_cross_kv_t)
+    dims = tiny_test_dims()
+    params = init_params(dims, seed=0)
+    b = 2
+    rng = np.random.default_rng(2)
+    xa = jnp.asarray(rng.standard_normal(
+        (b, dims.n_audio_ctx, dims.n_audio_state)).astype(np.float32))
+    ref = precompute_cross_kv(params['decoder'], xa)          # float legacy
+    fused = precompute_cross_kv_t(params['decoder'], xa, quantize=True)
+    cache = init_kv_cache(dims, b)
+    toks = jnp.asarray(rng.integers(0, dims.n_vocab, (b, 1)), jnp.int32)
+    pos = jnp.int32(0)
+    lg_ref, _ = decoder_step(params['decoder'], toks, pos, ref, cache,
+                             dims.n_text_head)
+    lg_q, _ = decoder_step(params['decoder'], toks, pos, fused, cache,
+                           dims.n_text_head)
+    # int8 KV error bound: logits stay close enough that argmax is stable
+    # on a non-degenerate distribution
+    assert float(jnp.mean(jnp.abs(lg_q - lg_ref))) < 0.05 * float(
+        jnp.std(lg_ref))
