@@ -47,8 +47,12 @@ def _kernel(q_ref, kt_ref, ks_ref, kb_ref, vt_ref, vs_ref, out_ref, *,
     d_head = d // n_head
     s_pad = kt_ref.shape[-1]
     n_chunks = s_pad // _S_CHUNK
+    i = pl.program_id(0)
 
-    q = q_ref[0].astype(jnp.float32)            # (1, d) row
+    # q/out ride as full (batch, d) arrays — Mosaic requires sublane-dim
+    # blocks of >= 8 rows, so a (1, d) per-program row block won't lower;
+    # the 80 KB full array is cheaper than re-tiling.
+    q = q_ref[pl.ds(i, 1), :].astype(jnp.float32)    # (1, d) row
     q_col = q.reshape(d, 1)
 
     m_run = jnp.full((n_head, 1), -jnp.inf, jnp.float32)
@@ -79,7 +83,7 @@ def _kernel(q_ref, kt_ref, ks_ref, kb_ref, vt_ref, vs_ref, out_ref, *,
         m_run = m_new
 
     l_d = jnp.broadcast_to(l_run[:, None, :], (n_head, d_head, 1)).reshape(d, 1)
-    out_ref[:] = (o_run / l_d).reshape(1, d)
+    out_ref[pl.ds(i, 1), :] = (o_run / l_d).reshape(1, d)
 
 
 def _pad_s(s: int) -> int:
@@ -100,10 +104,10 @@ def _call(q, kt, ks, kb, vt, vs, n_head: int):
         interpret=os.environ.get('STABLE_TS_TPU_CROSS') == 'interpret',
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             mat, vec, vec, mat, vec,
         ],
-        out_specs=pl.BlockSpec((1, d), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((b, d), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
         cost_estimate=pl.CostEstimate(

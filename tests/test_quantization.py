@@ -187,3 +187,18 @@ class TestWOQKernel:
         got = np.asarray(linear(x, qa, b))
         ref = np.asarray(x @ qa.dequantize() + b)
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    def test_dynamic_int8_matmul_close(self, monkeypatch):
+        """'dyn' mode: int8 activations x int8 weights on the MXU; product
+        must stay within dynamic-quantization error of the float result."""
+        monkeypatch.setenv('STABLE_TS_TPU_WOQ', 'dyn')
+        from stable_ts_tpu.models.whisper.model import linear
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
+        qa = quantize_weight(
+            jnp.asarray(rng.standard_normal((128, 256)).astype(np.float32)),
+            compute_dtype=jnp.float32)
+        got = np.asarray(linear(x, qa))
+        ref = np.asarray(x @ qa.dequantize())
+        denom = np.abs(ref).max()
+        assert np.abs(got - ref).max() / denom < 0.02
