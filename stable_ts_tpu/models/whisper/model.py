@@ -255,6 +255,63 @@ def _use_flash_attention() -> bool:
         return True
     return jax.default_backend() == 'tpu'
 
+
+def _flash_cross_attention(params: Params, x: jnp.ndarray, xa: jnp.ndarray,
+                           n_head: int,
+                           capture_heads: Optional[jnp.ndarray] = None):
+    """Teacher-forced cross-attention via the Pallas flash kernel.
+
+    The naive path materializes (B, H, T, 1500) f32 logits per layer just to
+    throw away all but the ~1 alignment head's rows after softmax — at
+    large-v3 b16 T=256 that is ~0.5 GB written+read per layer. Flash streams
+    K/V through VMEM for the attention OUTPUT; the captured heads' raw QK
+    logits (what the DTW word-timing consumes) are recomputed separately as
+    one (B, n_sel, T, S) einsum over just those heads.
+
+    Returns (attention output (B, T, d), captured logits or None) — captured
+    logits match qkv_attention's scaling (q and k each scaled dh**-0.25).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+    q = linear(x, params['q']['w'], params['q']['b'])
+    k = linear(xa, params['k']['w'])
+    v = linear(xa, params['v']['w'], params['v']['b'])
+    b, t, d = q.shape
+    s = xa.shape[1]
+    d_head = d // n_head
+    pad_t = (-t) % 128
+    pad_s = (-s) % 128
+
+    def heads(z, pad):
+        z = z.reshape(b, z.shape[1], n_head, d_head).transpose(0, 2, 1, 3)
+        return jnp.pad(z, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    qh, kh, vh = heads(q, pad_t), heads(k, pad_s), heads(v, pad_s)
+    seg_q = jnp.pad(jnp.ones((b, t), jnp.int32), ((0, 0), (0, pad_t)),
+                    constant_values=2)
+    seg_kv = jnp.pad(jnp.ones((b, s), jnp.int32), ((0, 0), (0, pad_s)),
+                     constant_values=2)
+    tp, sp = t + pad_t, s + pad_s
+    bq, bk = min(tp, 512), min(sp, 1536)
+    bs = BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                    block_q_major_dkv=min(tp, 512), block_k_major_dkv=min(sp, 512),
+                    block_k_dkv=min(sp, 512), block_q_dkv=min(tp, 512),
+                    block_k_major_dq=min(sp, 512), block_k_dq=min(sp, 512),
+                    block_q_dq=min(tp, 512))
+    out = flash_attention(qh, kh, vh, segment_ids=SegmentIds(seg_q, seg_kv),
+                          sm_scale=d_head ** -0.5, block_sizes=bs)
+    out = out[:, :, :t].transpose(0, 2, 1, 3).reshape(b, t, d).astype(x.dtype)
+    out = linear(out, params['out']['w'], params['out']['b'])
+
+    qk_sel = None
+    if capture_heads is not None:
+        scale = d_head ** -0.25
+        q_sel = jnp.take(qh[:, :, :t], capture_heads, axis=1) * scale
+        k_sel = jnp.take(kh[:, :, :s], capture_heads, axis=1) * scale
+        qk_sel = jnp.einsum('bntd,bnsd->bnts', q_sel.astype(jnp.float32),
+                            k_sel.astype(jnp.float32))
+    return out, qk_sel
+
 def _conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride: int) -> jnp.ndarray:
     """x: (batch, channels, time); w: (width, in, out)."""
     out = jax.lax.conv_general_dilated(
@@ -388,6 +445,12 @@ def decoder_apply(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
     x = params['token_emb'][tokens] + params['pos_emb'][:n_tok]
     x = x.astype(params['token_emb'].dtype)
     causal = jnp.triu(jnp.full((n_tok, n_tok), -jnp.inf, jnp.float32), k=1)
+    # Flash cross-attention skips materializing the (B, H, T, 1500) logits
+    # of heads nobody reads; it applies whenever the capture is selective
+    # (or absent) — the dynamic/'new' aligner modes need every head's QK
+    # and keep the materializing path.
+    use_flash = _use_flash_attention() and (not capture_qk
+                                            or capture_index is not None)
 
     def block(carry, layer_inputs):
         layer_params, head_idx = layer_inputs
@@ -397,17 +460,22 @@ def decoder_apply(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
             layer_norm(h, layer_params['attn_ln']['g'], layer_params['attn_ln']['b']),
             None, n_head, mask=causal)
         h = h + attn_out
-        cross_out, qk, _ = _mha(
-            layer_params['cross_attn'],
-            layer_norm(h, layer_params['cross_attn_ln']['g'],
-                       layer_params['cross_attn_ln']['b']),
-            xa, n_head, return_qk=capture_qk)
+        ca_in = layer_norm(h, layer_params['cross_attn_ln']['g'],
+                           layer_params['cross_attn_ln']['b'])
+        if use_flash:
+            cross_out, qk = _flash_cross_attention(
+                layer_params['cross_attn'], ca_in, xa, n_head,
+                capture_heads=head_idx if capture_qk else None)
+        else:
+            cross_out, qk, _ = _mha(layer_params['cross_attn'], ca_in,
+                                    xa, n_head, return_qk=capture_qk)
         h = h + cross_out
         h = h + _mlp(layer_params['mlp'],
                      layer_norm(h, layer_params['mlp_ln']['g'],
                                 layer_params['mlp_ln']['b']))
         if qk is not None:
-            if head_idx is not None:
+            if head_idx is not None and not use_flash:
+                # flash already captured only the selected heads
                 qk = qk[:, head_idx]  # (B, max_heads, T, 1500)
             # bf16 capture halves the QK footprint — the head-selection/
             # softmax math downstream runs in f32 anyway.
