@@ -70,6 +70,12 @@ class WhisperTPU:
             mesh = build_mesh(tp=tp)
         self.params = shard_params(self.params, mesh, self.dims)
         self.mesh = mesh
+        if mesh.devices.size > 1:
+            # Custom Pallas kernels have no pjit partitioning rule — keep
+            # the sharded path on the plain XLA formulations (see
+            # model.set_fused_kernels_enabled).
+            from .models.whisper.model import set_fused_kernels_enabled
+            set_fused_kernels_enabled(False)
         return self
 
     def shard_batch(self, arr):

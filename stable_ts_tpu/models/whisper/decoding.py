@@ -41,7 +41,8 @@ def _use_cross_kernel() -> bool:
         return False
     if pref in ('1', 'on', 'true', 'interpret'):
         return True
-    return jax.default_backend() == 'tpu'
+    from .model import fused_kernels_enabled
+    return fused_kernels_enabled() and jax.default_backend() == 'tpu'
 
 _NEG = jnp.float32(-1e9)
 

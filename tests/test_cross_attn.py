@@ -64,7 +64,9 @@ def test_kernel_matches_naive_attention(quantize, s):
         jnp.asarray(q * dh ** -0.5), jnp.asarray(kt), jnp.asarray(ks),
         jnp.asarray(kb), jnp.asarray(vt), jnp.asarray(vs), n_head=n_head))
     ref = _naive(q, kdq.astype(np.float32), vdq.astype(np.float32), n_head)
-    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+    # kernel operands ride the MXU as bf16 (same precision as the model's
+    # own bf16 attention einsums) — tolerance is bf16-scale, not f32
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-3)
 
 
 def test_decoder_step_fused_equals_legacy():
