@@ -661,16 +661,30 @@ def _finish_word_timing(model, tokenizer, pending, metas,
                                         merge_punctuations,
                                         pop_empty_alignment)
 
+    import os
+    import sys
+    import time as _time
+    _dbg = bool(os.environ.get('STABLE_TS_TPU_TIMING_DEBUG'))
+    _t0 = _time.perf_counter()
+
     prep, todo = pending['prep'], pending['todo']
     sot_len = pending['sot_len']
     max_qk_lens, row_counts = pending['max_qk_lens'], pending['row_counts']
     n_todo = len(todo)
     tok_probs_all = np.asarray(pending['tok_probs'])[:n_todo]
+    if _dbg:
+        _t1 = _time.perf_counter()
+        print(f'[timing-debug] tok_probs wait {_t1 - _t0:.3f}s',
+              file=sys.stderr)
 
     all_jumps: List[Optional[np.ndarray]] = [None] * n_todo
     if pending['capture_slots'] is not None:
         if pending['full']:
             jumps_np = np.asarray(pending['jumps'])
+            if _dbg:
+                _t2 = _time.perf_counter()
+                print(f'[timing-debug] jumps wait {_t2 - _t1:.3f}s',
+                      file=sys.stderr)
             for k in pending['full']:
                 all_jumps[k] = jumps_np[k, :row_counts[k]]
         if pending['short']:
@@ -743,6 +757,9 @@ def _finish_word_timing(model, tokenizer, pending, metas,
             if seg['words']:
                 seg['start'] = seg['words'][0]['start']
                 seg['end'] = seg['words'][-1]['end']
+    if _dbg:
+        print(f'[timing-debug] finish total {_time.perf_counter() - _t0:.3f}s',
+              file=sys.stderr)
 
 
 def _select_matrix_host(model, qk, max_qk_len, sot_len, dynamic_heads,

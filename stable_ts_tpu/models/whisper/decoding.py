@@ -579,6 +579,14 @@ def decode_launch(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
     tokens0 = jnp.asarray(initial_tokens, jnp.int32)[None].repeat(full_batch, 0)
     prefill_logits, kv_cache = decoder_prefill(
         params['decoder'], tokens0, xa_rep, dims.n_text_head, cache_len)
+    # Fused self-attention projection for the sampler: one (d, 3d) matmul
+    # per layer per token instead of three (d, d) launches. Built per call
+    # (cheap concat), injected as an extra scanned leaf (model.py:
+    # fuse_self_qkv) — checkpoint layout unchanged, math bit-identical
+    # (column-independent accumulation).
+    from .model import fuse_self_qkv
+    dec_params = dict(params['decoder'])
+    dec_params['blocks'] = fuse_self_qkv(dec_params['blocks'])
     kv_quant = (dims.n_audio_state >= 1024 if options.kv_quant is None
                 else options.kv_quant)
     if _use_cross_kernel():
@@ -604,7 +612,7 @@ def decode_launch(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
         max_candidates = int(math.ceil(options.beam_size
                                        * (options.patience or 1.0)))
         tokens_act, cum_lp, fin_tokens, fin_scores = _beam_loop(
-            params['decoder'], cross_kv, kv_cache, prefill_logits[:, -1],
+            dec_params, cross_kv, kv_cache, prefill_logits[:, -1],
             tokens_buf,
             jnp.asarray(suppress), jnp.asarray(blank), jnp.asarray(ts_mask_arr),
             n_head=dims.n_text_head, sample_begin=sample_begin,
@@ -622,7 +630,7 @@ def decode_launch(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
             outputs=(tokens_act, cum_lp, fin_tokens, fin_scores))
 
     tokens_out, sum_logprobs, _ = _sample_loop(
-        params['decoder'], cross_kv, kv_cache, prefill_logits[:, -1],
+        dec_params, cross_kv, kv_cache, prefill_logits[:, -1],
         tokens_buf, rng,
         jnp.asarray(suppress), jnp.asarray(blank), jnp.asarray(ts_mask_arr),
         n_head=dims.n_text_head, sample_begin=sample_begin,

@@ -176,13 +176,16 @@ def qkv_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, n_head: int,
 def _mha(params: Params, x: jnp.ndarray, xa: Optional[jnp.ndarray], n_head: int,
          mask: Optional[jnp.ndarray] = None,
          kv_override: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-         return_qk: bool = False):
+         return_qk: bool = False,
+         q_override: Optional[jnp.ndarray] = None):
     """One multi-head attention: self (xa=None) or cross (xa=encoder out).
 
     ``kv_override`` supplies precomputed (k, v) — used for cached
-    cross-attention and for KV-cached self-attention.
+    cross-attention and for KV-cached self-attention. ``q_override``
+    supplies an already-projected query (the fused-QKV decode path).
     """
-    q = linear(x, params['q']['w'], params['q']['b'])
+    q = (q_override if q_override is not None
+         else linear(x, params['q']['w'], params['q']['b']))
     if kv_override is not None:
         k, v = kv_override
         if hasattr(k, 'dequantize'):  # int8 KV (quantization.py)
@@ -400,6 +403,34 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray,
     return {'k': k, 'v': v}  # (n_layers, batch, 1500, d)
 
 
+def fuse_self_qkv(blocks: Params) -> Params:
+    """Return decoder blocks with the self-attention q/k/v projections
+    concatenated into one ``qkv`` leaf (w (L, d, 3d); b (L, 3d) — k has no
+    bias, its slot is zeros).
+
+    One (d, 3d) matmul replaces three (d, d) launches in the per-token
+    decode step; at 32 layers that removes 64 kernel dispatches per sampled
+    token. Built once per decode call (a ~0.4 ms concat) and injected as an
+    extra scanned leaf, so the stored checkpoint layout never changes.
+    QuantizedArray leaves concatenate exactly (per-output-channel scales
+    concatenate along the same axis)."""
+    attn = blocks['attn']
+    q_w, k_w, v_w = attn['q']['w'], attn['k']['w'], attn['v']['w']
+    if hasattr(q_w, 'q'):
+        from .quantization import QuantizedArray
+        w = QuantizedArray(
+            jnp.concatenate([q_w.q, k_w.q, v_w.q], axis=-1),
+            jnp.concatenate([q_w.scale, k_w.scale, v_w.scale], axis=-1),
+            compute_dtype=q_w.compute_dtype)
+    else:
+        w = jnp.concatenate([q_w, k_w, v_w], axis=-1)
+    b = jnp.concatenate([attn['q']['b'], jnp.zeros_like(attn['q']['b']),
+                         attn['v']['b']], axis=-1)
+    out = dict(blocks)
+    out['qkv'] = {'w': w, 'b': b}
+    return out
+
+
 @partial(jax.jit, static_argnames=('quantize',))
 def precompute_cross_kv_t(params: Params, xa: jnp.ndarray,
                           quantize: bool = False) -> Params:
@@ -543,8 +574,16 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
         h, kc, vc = carry
         layer_params, layer_cross_kv, layer_idx = scanned
         q_in = layer_norm(h, layer_params['attn_ln']['g'], layer_params['attn_ln']['b'])
-        new_k = linear(q_in, layer_params['attn']['k']['w'])
-        new_v = linear(q_in, layer_params['attn']['v']['w'], layer_params['attn']['v']['b'])
+        if 'qkv' in layer_params:   # fused projection (fuse_self_qkv)
+            qkv = linear(q_in, layer_params['qkv']['w'],
+                         layer_params['qkv']['b'])
+            q_proj, new_k, new_v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q_proj = linear(q_in, layer_params['attn']['q']['w'],
+                            layer_params['attn']['q']['b'])
+            new_k = linear(q_in, layer_params['attn']['k']['w'])
+            new_v = linear(q_in, layer_params['attn']['v']['w'],
+                           layer_params['attn']['v']['b'])
         kc = jax.lax.dynamic_update_slice(kc, new_k[None].astype(kc.dtype),
                                           (layer_idx, 0, pos, 0))
         vc = jax.lax.dynamic_update_slice(vc, new_v[None].astype(vc.dtype),
@@ -554,7 +593,8 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
         v_cache = jax.lax.dynamic_slice(vc, (layer_idx, 0, 0, 0),
                                         (1, batch, n_ctx, d))[0]
         attn_out, _, _ = _mha(layer_params['attn'], q_in, None, n_head,
-                              mask=self_mask, kv_override=(k_cache, v_cache))
+                              mask=self_mask, kv_override=(k_cache, v_cache),
+                              q_override=q_proj)
         h = h + attn_out
         ca_in = layer_norm(h, layer_params['cross_attn_ln']['g'],
                            layer_params['cross_attn_ln']['b'])
