@@ -271,3 +271,65 @@ class TestHFDirectoryLoad:
         l1, _ = decoder_apply(pt_params['decoder'], toks, xa1, dims.n_text_head)
         l2, _ = decoder_apply(hf_params['decoder'], toks, xa2, dims.n_text_head)
         assert np.allclose(np.asarray(l1), np.asarray(l2), atol=1e-4)
+
+
+class TestFusedQKV:
+    """fuse_self_qkv (model.py): fused projection must reproduce the three
+    separate q/k/v projections exactly."""
+
+    def test_float_weights_bit_identical(self):
+        from stable_ts_tpu.models.whisper.model import (fuse_self_qkv,
+                                                        init_params,
+                                                        linear,
+                                                        tiny_test_dims)
+        import jax.numpy as jnp
+        dims = tiny_test_dims()
+        params = init_params(dims, seed=0)
+        blocks = params['decoder']['blocks']
+        fused = fuse_self_qkv(blocks)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(
+            (2, 3, dims.n_text_state)).astype(np.float32))
+        # layer 0 slices
+        l0 = jax.tree.map(lambda t: t[0], blocks)
+        f0 = jax.tree.map(lambda t: t[0], fused)
+        qkv = linear(x, f0['qkv']['w'], f0['qkv']['b'])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q_ref = linear(x, l0['attn']['q']['w'], l0['attn']['q']['b'])
+        k_ref = linear(x, l0['attn']['k']['w'])
+        v_ref = linear(x, l0['attn']['v']['w'], l0['attn']['v']['b'])
+        np.testing.assert_array_equal(np.asarray(q), np.asarray(q_ref))
+        np.testing.assert_array_equal(np.asarray(k), np.asarray(k_ref))
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+
+    def test_quantized_weights_concat_exactly(self):
+        from stable_ts_tpu.models.whisper.model import (fuse_self_qkv,
+                                                        init_params,
+                                                        tiny_test_dims)
+        from stable_ts_tpu.models.whisper.quantization import (
+            QuantizedArray, quantize_params)
+        dims = tiny_test_dims()
+        params = quantize_params(init_params(dims, seed=0))
+        fused = fuse_self_qkv(params['decoder']['blocks'])
+        w = fused['qkv']['w']
+        assert isinstance(w, QuantizedArray)
+        attn = params['decoder']['blocks']['attn']
+        d = dims.n_text_state
+        np.testing.assert_array_equal(np.asarray(w.q[..., :d]),
+                                      np.asarray(attn['q']['w'].q))
+        np.testing.assert_array_equal(np.asarray(w.scale[..., d:2 * d]),
+                                      np.asarray(attn['k']['w'].scale))
+
+
+def test_shard_disables_fused_kernels():
+    """A >1-device mesh must trip the process-wide Pallas kernel gate
+    (loaders.py: shard)."""
+    from stable_ts_tpu.loaders import load_test_model
+    from stable_ts_tpu.models.whisper import model as model_mod
+    model_mod.set_fused_kernels_enabled(True)
+    try:
+        m = load_test_model()
+        m.shard(tp=2)
+        assert not model_mod.fused_kernels_enabled()
+    finally:
+        model_mod.set_fused_kernels_enabled(True)
