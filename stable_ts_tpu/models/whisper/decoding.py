@@ -362,7 +362,8 @@ def _beam_loop(params, cross_kv, kv_cache, init_logits, tokens_init,
         pos = sample_begin + i
         tokens = jax.lax.dynamic_update_slice(
             tokens, new_tok_flat[:, None].astype(jnp.int32), (0, pos))
-        kv = {'k': kv['k'][:, flat_src], 'v': kv['v'][:, flat_src]}
+        kv = jax.tree.map(lambda c: c[:, flat_src], kv)  # batch is axis 1
+                                                         # in every layout
         new_last = new_tok_flat.astype(jnp.int32)
         new_penult = last_tok[flat_src]
         new_max_ts = jnp.where(
@@ -574,11 +575,17 @@ def decode_launch(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
     # (sample_begin + sample_len, rounded up to 64) instead of the full
     # n_text_ctx — the per-step self-attention streams the whole cache from
     # HBM, so a 256-slot cache reads ~43% less than a 448-slot one.
+    fused = _use_cross_kernel()
+    # fused self-attention reads the cache through the Pallas kernel, whose
+    # lane dimension wants 128-multiples; the legacy path keeps 64-buckets
+    quantum = 128 if fused else 64
     cache_len = min(dims.n_text_ctx,
-                    ((sample_begin + int(sample_len) + 64) // 64) * 64)
+                    ((sample_begin + int(sample_len) + quantum) // quantum)
+                    * quantum)
     tokens0 = jnp.asarray(initial_tokens, jnp.int32)[None].repeat(full_batch, 0)
     prefill_logits, kv_cache = decoder_prefill(
-        params['decoder'], tokens0, xa_rep, dims.n_text_head, cache_len)
+        params['decoder'], tokens0, xa_rep, dims.n_text_head, cache_len,
+        fused_cache=fused)
     # Fused self-attention projection for the sampler: one (d, 3d) matmul
     # per layer per token instead of three (d, d) launches. Built per call
     # (cheap concat), injected as an extra scanned leaf (model.py:

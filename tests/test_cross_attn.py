@@ -118,3 +118,45 @@ def test_decoder_step_fused_quantized_close():
     # on a non-degenerate distribution
     assert float(jnp.mean(jnp.abs(lg_q - lg_ref))) < 0.05 * float(
         jnp.std(lg_ref))
+
+
+def test_decoder_step_fused_self_cache_close():
+    """int8 transposed self-KV cache + fused self-attention vs the legacy
+    bf16 cache path: logits must stay within dynamic-int8 error, across
+    several sequential steps (exercises the per-step column updates)."""
+    from stable_ts_tpu.models.whisper import (
+        init_kv_cache, init_params, tiny_test_dims)
+    from stable_ts_tpu.models.whisper.model import (decoder_prefill,
+                                                    decoder_step,
+                                                    precompute_cross_kv)
+    dims = tiny_test_dims()
+    params = init_params(dims, seed=0)
+    b, n_tok, cache_len = 2, 4, 128
+    rng = np.random.default_rng(3)
+    xa = jnp.asarray(rng.standard_normal(
+        (b, dims.n_audio_ctx, dims.n_audio_state)).astype(np.float32))
+    tokens0 = jnp.asarray(rng.integers(0, dims.n_vocab, (b, n_tok)),
+                          jnp.int32)
+    cross = precompute_cross_kv(params['decoder'], xa)
+
+    lg_ref, cache_ref = decoder_prefill(params['decoder'], tokens0, xa,
+                                        dims.n_text_head, cache_len)
+    lg_f, cache_f = decoder_prefill(params['decoder'], tokens0, xa,
+                                    dims.n_text_head, cache_len,
+                                    fused_cache=True)
+    assert set(cache_f) == {'kT', 'ks', 'vT', 'vs'}
+    np.testing.assert_allclose(np.asarray(lg_f), np.asarray(lg_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    tok = jnp.asarray(rng.integers(0, dims.n_vocab, (b, 1)), jnp.int32)
+    for step in range(3):
+        pos = jnp.int32(n_tok + step)
+        out_ref, cache_ref = decoder_step(params['decoder'], tok, pos,
+                                          cross, cache_ref,
+                                          dims.n_text_head)
+        out_f, cache_f = decoder_step(params['decoder'], tok, pos, cross,
+                                      cache_f, dims.n_text_head)
+        ref = np.asarray(out_ref)
+        diff = np.abs(np.asarray(out_f) - ref)
+        assert diff.mean() < 0.05 * ref.std(), (step, diff.mean(), ref.std())
+        tok = jnp.asarray(np.asarray(out_ref).argmax(-1)[:, None], jnp.int32)
