@@ -30,7 +30,13 @@ def test_dryrun_multichip_survives_preinitialized_backend():
     env['JAX_PLATFORMS'] = 'cpu'
     env.pop('XLA_FLAGS', None)  # default: 1 CPU device
     code = (
-        'import jax; jax.devices(); '  # initialize a 1-device backend first
+        # Initialize a 1-device CPU backend first. The in-process config
+        # update matters: the axon sitecustomize merges the TPU platform in
+        # regardless of the env var, and touching the tunnel here makes the
+        # test flaky whenever another process (a bench) holds the chip —
+        # the driver itself exercises the preinitialized-TPU variant.
+        'import jax; jax.config.update("jax_platforms", "cpu"); '
+        'jax.devices(); '
         'import __graft_entry__; __graft_entry__.dryrun_multichip(8)')
     proc = subprocess.run([sys.executable, '-c', code], cwd=REPO, env=env,
                           capture_output=True, text=True, timeout=600)
