@@ -44,7 +44,7 @@ from .models.whisper.decoding import DecodingOptions
 from .ops.mel import log_mel_spectrogram
 from .result import Segment, WhisperResult
 from .stabilization import NonSpeechPredictor
-from .utils import safe_print
+from .utils import decode_acceptable, safe_print, timestamp_spans
 from .profiling import traced
 
 
@@ -335,17 +335,8 @@ def transcribe_batched(
                                prompt=prompt, **kwargs)
 
     def _needs_fallback(res) -> bool:
-        needs = False
-        if (compression_ratio_threshold is not None
-                and res.compression_ratio > compression_ratio_threshold):
-            needs = True
-        if (logprob_threshold is not None
-                and res.avg_logprob < logprob_threshold):
-            needs = True
-        if (no_speech_threshold is not None
-                and res.no_speech_prob > no_speech_threshold):
-            needs = False  # silence: don't retry
-        return needs
+        return not decode_acceptable(res, compression_ratio_threshold,
+                                     logprob_threshold, no_speech_threshold)
 
     def finish_decode(grp: _Group):
         """Collect the decode; retry failed windows from CACHED features;
@@ -414,34 +405,21 @@ def transcribe_batched(
 
         current_segments: List[dict] = []
         if len(tokens):
-            ts_mask = tokens >= ts_begin
-            consecutive = np.flatnonzero(ts_mask[:-1] & ts_mask[1:]) + 1
-            single_ts_ending = (len(tokens) >= 2
-                                and ts_mask[-2:].tolist() == [False, True])
-            if len(consecutive):
-                slices = consecutive.tolist()
-                if single_ts_ending:
-                    slices.append(len(tokens))
-                last_slice = 0
-                for cs in slices:
-                    st = tokens[last_slice:cs]
-                    current_segments.append(new_segment(
-                        round(time_offset + (int(st[0]) - ts_begin)
-                              * time_precision, 3),
-                        round(time_offset + min((int(st[-1]) - ts_begin)
-                                                * time_precision,
-                                                segment_duration), 3),
-                        st))
-                    last_slice = cs
+            spans, tail_pos, _ = timestamp_spans(tokens, ts_begin)
+            if spans:
+                current_segments = [new_segment(
+                    round(time_offset + (int(sp[0]) - ts_begin)
+                          * time_precision, 3),
+                    round(time_offset + min((int(sp[-1]) - ts_begin)
+                                            * time_precision,
+                                            segment_duration), 3),
+                    sp) for sp in spans]
             else:
-                duration = segment_duration
-                stamps = tokens[ts_mask]
-                if len(stamps) > 0 and int(stamps[-1]) != ts_begin:
-                    duration = min((int(stamps[-1]) - ts_begin)
-                                   * time_precision, segment_duration)
-                current_segments.append(new_segment(
+                duration = (min(tail_pos * time_precision, segment_duration)
+                            if tail_pos > 0 else segment_duration)
+                current_segments = [new_segment(
                     round(time_offset, 3),
-                    round(time_offset + duration, 3), tokens))
+                    round(time_offset + duration, 3), tokens)]
 
         for i in reversed(range(len(current_segments))):
             seg = current_segments[i]

@@ -23,7 +23,8 @@ from .models.whisper.timing import add_word_timestamps
 from .ops.mel import log_mel_spectrogram
 from .result import Segment, WhisperResult
 from .stabilization import NonSpeechPredictor
-from .utils import format_timestamp, safe_print
+from .utils import (decode_acceptable, format_timestamp,
+                    safe_print, timestamp_spans)
 from .profiling import traced
 
 
@@ -191,17 +192,8 @@ def transcribe_stable(
             decode_result = model.decode(
                 audio_features, options,
                 ts_silence_mask=ts_token_mask if suppress_ts_tokens else None)[0]
-            needs_fallback = False
-            if (compression_ratio_threshold is not None
-                    and decode_result.compression_ratio > compression_ratio_threshold):
-                needs_fallback = True
-            if (logprob_threshold is not None
-                    and decode_result.avg_logprob < logprob_threshold):
-                needs_fallback = True
-            if (no_speech_threshold is not None
-                    and decode_result.no_speech_prob > no_speech_threshold):
-                needs_fallback = False  # silence
-            if not needs_fallback:
+            if decode_acceptable(decode_result, compression_ratio_threshold,
+                                 logprob_threshold, no_speech_threshold):
                 break
         return decode_result
 
@@ -308,45 +300,29 @@ def transcribe_stable(
                 report_progress()
                 return
 
-        current_segments = []
         ts_begin = tokenizer.timestamp_begin
-        timestamp_tokens = tokens >= ts_begin
-        single_timestamp_ending = (len(tokens) >= 2
-                                   and timestamp_tokens[-2:].tolist() == [False, True])
-
-        consecutive = np.flatnonzero(timestamp_tokens[:-1] & timestamp_tokens[1:]) + 1
-        if len(consecutive) > 0:
-            slices = consecutive.tolist()
-            if single_timestamp_ending:
-                slices.append(len(tokens))
-            last_slice = 0
-            for current_slice in slices:
-                sliced_tokens = tokens[last_slice:current_slice]
-                start_pos = int(sliced_tokens[0]) - ts_begin
-                end_pos = int(sliced_tokens[-1]) - ts_begin
-                current_segments.append(new_segment(
-                    start=round(time_offset + start_pos * time_precision, 3),
-                    end=round(time_offset + min(end_pos * time_precision,
-                                                segment_duration), 3),
-                    tokens=sliced_tokens,
-                    result=result,
-                ))
-                last_slice = current_slice
-            end_timestamp_pos = int(tokens[last_slice - 1]) - ts_begin \
-                if not single_timestamp_ending else int(tokens[-1]) - ts_begin
+        spans, end_timestamp_pos, single_timestamp_ending = \
+            timestamp_spans(tokens, ts_begin)
+        if spans:
+            current_segments = [
+                new_segment(
+                    start=round(time_offset
+                                + (int(sp[0]) - ts_begin) * time_precision, 3),
+                    end=round(time_offset
+                              + min((int(sp[-1]) - ts_begin) * time_precision,
+                                    segment_duration), 3),
+                    tokens=sp, result=result)
+                for sp in spans]
         else:
-            duration = segment_duration
-            timestamps = tokens[timestamp_tokens]
-            end_timestamp_pos = 0
-            if len(timestamps) > 0 and int(timestamps[-1]) != ts_begin:
-                end_timestamp_pos = int(timestamps[-1]) - ts_begin
-                duration = min(end_timestamp_pos * time_precision, segment_duration)
-            current_segments.append(new_segment(
+            # no pair anywhere: the whole window is one segment, clipped to
+            # the trailing timestamp when one exists
+            duration = (min(end_timestamp_pos * time_precision,
+                            segment_duration)
+                        if end_timestamp_pos > 0 else segment_duration)
+            current_segments = [new_segment(
                 start=round(time_offset, 3),
                 end=round(time_offset + duration, 3),
-                tokens=tokens,
-                result=result,
-            ))
+                tokens=tokens, result=result)]
 
         # Prune punctuation-only / zero-span segments.
         for i in reversed(range(len(current_segments))):

@@ -105,3 +105,55 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
     return cache_dir
+
+
+def timestamp_spans(tokens, ts_begin: int):
+    """Cut one window's decoded tokens at consecutive-timestamp pairs.
+
+    The Whisper grammar closes a segment wherever two timestamp tokens
+    are adjacent; a lone trailing timestamp closes the final segment at the
+    row's end. Returns ``(spans, tail_pos, open_tail)``:
+
+    - ``spans``: list of token sub-arrays, one per segment (empty when the
+      row contains no pair — the caller emits a single whole-window
+      segment).
+    - ``tail_pos``: timestamp offset (in 0.02 s token units, 0 when absent)
+      that the seek loop advances by — the closing timestamp of the last
+      emitted span, or the last timestamp seen anywhere when no pair
+      exists.
+    - ``open_tail``: True when the row ended on a lone timestamp (speech
+      continues past the window — the seek loop jumps to that timestamp
+      instead of a full window stride).
+    """
+    import numpy as np
+    tokens = np.asarray(tokens)
+    is_ts = tokens >= ts_begin
+    open_tail = (len(tokens) >= 2 and bool(is_ts[-1])
+                 and not bool(is_ts[-2]))
+    cuts = (np.flatnonzero(is_ts[:-1] & is_ts[1:]) + 1).tolist()
+    if not cuts:
+        seen = tokens[is_ts]
+        tail = int(seen[-1]) - ts_begin if len(seen) else 0
+        return [], tail, open_tail
+    if open_tail:
+        cuts.append(len(tokens))   # lone trailing timestamp closes the row
+    spans = [tokens[a:b] for a, b in zip([0] + cuts[:-1], cuts)]
+    return spans, int(spans[-1][-1]) - ts_begin, open_tail
+
+
+def decode_acceptable(result, compression_ratio_threshold,
+                      logprob_threshold, no_speech_threshold) -> bool:
+    """Temperature-ladder acceptance rule: a rung's result stands unless the
+    text is degenerate (too compressible) or too improbable — except that
+    likely-silence windows always stand (re-decoding silence hotter only
+    hallucinates)."""
+    if (no_speech_threshold is not None
+            and result.no_speech_prob > no_speech_threshold):
+        return True
+    if (compression_ratio_threshold is not None
+            and result.compression_ratio > compression_ratio_threshold):
+        return False
+    if (logprob_threshold is not None
+            and result.avg_logprob < logprob_threshold):
+        return False
+    return True
