@@ -44,6 +44,20 @@ def _use_cross_kernel() -> bool:
     from .model import fused_kernels_enabled
     return fused_kernels_enabled() and jax.default_backend() == 'tpu'
 
+
+def _use_self_kv_kernel() -> bool:
+    """int8 self-KV cache through the fused kernel — OFF by default
+    (STABLE_TS_TPU_SELFKV=1 opts in). Measured: the kernel's per-grid-step
+    overhead (~9 us x batch x layers) exceeds the bandwidth it saves on the
+    small self cache at full-length decodes — kernel-mode xRT dropped
+    48.8 vs 86.8 at b16 with it on. The cross-KV stream is 6x larger, which
+    is why the same kernel wins there."""
+    import os
+    pref = os.environ.get('STABLE_TS_TPU_SELFKV', '0')
+    if pref in ('1', 'on', 'true', 'interpret'):
+        return True
+    return False
+
 _NEG = jnp.float32(-1e9)
 
 
@@ -575,17 +589,17 @@ def decode_launch(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
     # (sample_begin + sample_len, rounded up to 64) instead of the full
     # n_text_ctx — the per-step self-attention streams the whole cache from
     # HBM, so a 256-slot cache reads ~43% less than a 448-slot one.
-    fused = _use_cross_kernel()
+    fused_self = _use_self_kv_kernel()
     # fused self-attention reads the cache through the Pallas kernel, whose
     # lane dimension wants 128-multiples; the legacy path keeps 64-buckets
-    quantum = 128 if fused else 64
+    quantum = 128 if fused_self else 64
     cache_len = min(dims.n_text_ctx,
                     ((sample_begin + int(sample_len) + quantum) // quantum)
                     * quantum)
     tokens0 = jnp.asarray(initial_tokens, jnp.int32)[None].repeat(full_batch, 0)
     prefill_logits, kv_cache = decoder_prefill(
         params['decoder'], tokens0, xa_rep, dims.n_text_head, cache_len,
-        fused_cache=fused)
+        fused_cache=fused_self)
     # Fused self-attention projection for the sampler: one (d, 3d) matmul
     # per layer per token instead of three (d, d) launches. Built per call
     # (cheap concat), injected as an extra scanned leaf (model.py:
