@@ -193,7 +193,12 @@ def main_kernel():
     from stable_ts_tpu.models.whisper.load import OPENAI_MODEL_DIMS
     from stable_ts_tpu.models.whisper.model import (
         ModelDimensions, decoder_apply, decoder_prefill, decoder_step,
-        encoder_apply, init_kv_cache, init_params, precompute_cross_kv)
+        encoder_apply, fuse_self_qkv, init_kv_cache, init_params,
+        precompute_cross_kv, precompute_cross_kv_t)
+    from stable_ts_tpu.models.whisper.decoding import (_use_cross_kernel,
+                                                       _use_self_kv_kernel)
+    from stable_ts_tpu.models.whisper.timing import build_head_capture_table
+    from stable_ts_tpu.models.whisper.alignment_heads import get_alignment_heads
 
     dims = ModelDimensions(**OPENAI_MODEL_DIMS[MODEL])
     dtype = jnp.bfloat16
@@ -214,20 +219,42 @@ def main_kernel():
     # cross-KV; the timing phase holds the (L, B, H, T, 1500) QK capture.
     # Keeping them in one program makes both live at the peak and OOMs
     # large batches.
-    kvq = bool(os.environ.get('BENCH_KVQ'))
+    kvq = (True if os.environ.get('BENCH_KVQ') is None
+           else os.environ.get('BENCH_KVQ') not in ('0', ''))
+    fused_cross = _use_cross_kernel()
+    fused_self = _use_self_kv_kernel()
+    if fused_self:
+        cache_len = min(dims.n_text_ctx,
+                        ((4 + TOKENS_PER_WINDOW + 128) // 128) * 128)
+    heads = get_alignment_heads(MODEL, dims.n_text_layer, dims.n_text_head)
+    cap_idx = cap_slots = None
+    if heads is not None:
+        cap_idx, cap_slots = build_head_capture_table(heads,
+                                                      dims.n_text_layer)
 
     @jax.jit
     def decode_phase(params, mel, sot):
+        # mirrors the PRODUCT configuration (decoding.py): fused self-QKV
+        # projection, transposed int8 cross-KV through the fused kernel,
+        # bucketed cache
+        dec = dict(params['decoder'])
+        dec['blocks'] = fuse_self_qkv(dec['blocks'])
         xa = encoder_apply(params['encoder'], mel, dims.n_audio_head)
-        cross_kv = precompute_cross_kv(params['decoder'], xa, quantize=kvq)
+        if fused_cross:
+            cross_kv = precompute_cross_kv_t(params['decoder'], xa,
+                                             quantize=kvq)
+        else:
+            cross_kv = precompute_cross_kv(params['decoder'], xa,
+                                           quantize=kvq)
         logits, kv = decoder_prefill(params['decoder'], sot, xa,
-                                     dims.n_text_head, cache_len)
+                                     dims.n_text_head, cache_len,
+                                     fused_cache=fused_self)
 
         def body(i, carry):
             logits, kv = carry
             next_tok = jnp.argmax(logits[:, -1] if logits.ndim == 3 else logits,
                                   axis=-1).astype(jnp.int32)
-            logits2, kv = decoder_step(params['decoder'], next_tok[:, None],
+            logits2, kv = decoder_step(dec, next_tok[:, None],
                                        sot.shape[1] + i, cross_kv, kv,
                                        dims.n_text_head)
             return logits2, kv
@@ -238,27 +265,30 @@ def main_kernel():
 
     @jax.jit
     def timing_phase(params, timing_tokens, xa):
-        # teacher-forced with cross-attention capture; mean over layers/heads
-        # stands in for head selection; the DTW input has the real
-        # (B, n_tokens, 1500) shape
+        # teacher-forced with the product's selective-head capture when the
+        # canonical alignment heads are known (falls back to all heads)
         t_logits, qks = decoder_apply(params['decoder'], timing_tokens, xa,
-                                      dims.n_text_head, capture_qk=True)
+                                      dims.n_text_head, capture_qk=True,
+                                      capture_index=cap_idx)
         matrix = qks.astype(jnp.float32).mean(axis=(0, 2))
         cost = dtw_cost_pallas(-matrix)
         return t_logits.sum(), cost
 
     import numpy as np
-    from stable_ts_tpu.ops.dtw import dtw_cost_pallas, _traceback_from_cost
+    from stable_ts_tpu.ops.dtw import dtw_cost_pallas, dtw_jumps_device
+
+    rows_in = jnp.full((BATCH,), TOKENS_PER_WINDOW, jnp.int32)
+    cols_in = jnp.full((BATCH,), 1500, jnp.int32)
 
     def full_step():
         # NOTE: time via host materialization — block_until_ready does not
         # synchronize under the axon remote backend.
         s, xa = decode_phase(params, mel, sot)
         t, cost = timing_phase(params, timing_tokens, xa)
+        # device-side traceback, like the product path
+        jumps = dtw_jumps_device(cost, rows_in, cols_in)
         float(s); float(t)
-        cost_np = np.asarray(cost, dtype=np.float64)
-        for b in range(cost_np.shape[0]):
-            _traceback_from_cost(cost_np[b])
+        np.asarray(jumps)
 
     full_step()  # warmup/compile
 
