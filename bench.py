@@ -147,11 +147,13 @@ def main_e2e():
     temps = ((0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
              if os.environ.get('BENCH_FALLBACK') else (0.0,))
 
+    beam = int(os.environ.get('BENCH_BEAM', '0'))  # 0 = greedy
+
     def run():
         phases.clear()
         result = model.transcribe_batched(
             audio, batch_size=BATCH, language='en', verbose=None,
-            temperature=temps)
+            temperature=temps, **({'beam_size': beam} if beam else {}))
         srt = result.to_srt_vtt(word_level=True)
         return result, srt
 

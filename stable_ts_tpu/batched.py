@@ -183,6 +183,19 @@ def transcribe_batched(
         decode_options.pop('prompt', None)
     if decode_options.get('beam_size') is None:
         decode_options.pop('beam_size', None)
+    elif decode_options['beam_size'] > 1 and batch_size > 1:
+        # Beam search multiplies the device batch by beam_size (every beam
+        # carries its own cross-KV + cache). Scale the window group down so
+        # windows x beams stays near the requested batch budget — at
+        # large-v3 b16 x beam 5, the unscaled cross-KV alone exceeds HBM.
+        scaled = max(1, batch_size // int(decode_options['beam_size']))
+        if scaled != batch_size:
+            warnings.warn(
+                f'beam_size={decode_options["beam_size"]}: window batch '
+                f'scaled {batch_size} -> {scaled} to keep windows x beams '
+                f'within the device budget (pass a smaller batch_size '
+                f'explicitly to silence this).')
+            batch_size = scaled
 
     min_word_dur = get_min_word_dur(min_word_dur)
     prepend_punctuations = get_prepend_punctuations(prepend_punctuations)
