@@ -192,11 +192,10 @@ class Aligner:
         self.options = AllOptions(options)
         self.options.post.min_word_dur = get_min_word_dur(
             self.options.post.min_word_dur)
-        self._prepend_punctuations = get_prepend_punctuations(
+        self.prepend_punctuations = get_prepend_punctuations(
             self.options.post.prepend_punctuations)
-        self._append_punctuations = get_append_punctuations(
+        self.append_punctuations = get_append_punctuations(
             self.options.post.append_punctuations)
-        self._all_punctuations = self._prepend_punctuations + self._append_punctuations
 
         self.sample_rate, self.n_samples = sample_rate, max_segment_length
         self.tokens_per_sec = round(1 / time_precision)
@@ -231,28 +230,13 @@ class Aligner:
         self._seg_word_tokens: List[WordToken] = []
 
     # -- properties ------------------------------------------------------------------
-
-    @property
-    def prepend_punctuations(self):
-        return self._prepend_punctuations
-
-    @prepend_punctuations.setter
-    def prepend_punctuations(self, punctuations: str):
-        self._prepend_punctuations = punctuations
-        self._all_punctuations = self._prepend_punctuations + self._append_punctuations
-
-    @property
-    def append_punctuations(self):
-        return self._append_punctuations
-
-    @append_punctuations.setter
-    def append_punctuations(self, punctuations: str):
-        self._append_punctuations = punctuations
-        self._all_punctuations = self._prepend_punctuations + self._append_punctuations
+    # prepend/append punctuations are plain attributes; the combined set is
+    # derived on read so the two can never drift out of sync.
 
     @property
     def all_punctuations(self):
-        return self._all_punctuations
+        return (getattr(self, 'prepend_punctuations', '')
+                + getattr(self, 'append_punctuations', ''))
 
     # -- entry points -----------------------------------------------------------------
 
