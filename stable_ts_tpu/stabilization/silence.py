@@ -50,8 +50,11 @@ def suppress_silence(
             if (obj.end - obj.start) <= min_word_dur:
                 return
 
-    if keep_end is False:
+    if not keep_end:
         # Silent sections covering the end but starting inside the object.
+        # NOTE: fires for keep_end=None too — with no position preference,
+        # BOTH boundary clips are active (reference stabilization
+        # __init__.py:317-327 gates this on ``not keep_end``).
         covers_end = (
             (obj.start <= silent_starts)
             & (silent_starts < obj.end)

@@ -313,3 +313,77 @@ class TestStabilizationParity:
         ref_m = np.asarray(ref_fn(starts, ends, size=120))
         our_m = np.asarray(our_fn(starts, ends, size=120))
         assert (ref_m == our_m).all()
+
+
+class TestFuzzedRegroupChains:
+    """Seeded differential fuzzing: random DSL CHAINS (not just single ops)
+    through both implementations, byte-compared. Interactions between ops —
+    a merge feeding a split feeding a lock — are where fixed cases run out;
+    every chain here is deterministic from its seed and becomes a frozen
+    regression the moment it ever disagrees."""
+
+    # (key, argument-candidate tuples rendered k=a+b+...); weights favor the
+    # structure-churning ops so chains actually reshape the result
+    _OPS = [
+        ('sg', ['.3', '.5+2', '.4+1+6']),
+        ('sp', ['.* /。+8', ',* /，+6+40', '.* /。/?/？']),
+        ('sl', ['30', '50+1', '70']),
+        ('sd', ['.8', '1.2']),
+        ('mg', ['.2+12', '.3+8+30', '.15']),
+        ('mp', [',* /，', ',* /，+4']),
+        ('ms', ['2', '3']),
+        ('cm', [None]),
+        ('us', [None]),
+        ('l', ['the', 'a++1', 'test++1+1']),
+        ('p', ['0.1+0.1', '0.05+0.05+2.0']),
+        ('csl', [None]),
+        ('isp', [None]),
+        ('rs', ['9']),
+        ('rp', ['9+9']),
+    ]
+
+    @pytest.mark.parametrize('seed', range(25))
+    def test_random_chain_parity(self, seed):
+        rng = np.random.default_rng(1000 + seed)
+        chain = []
+        for _ in range(int(rng.integers(2, 6))):
+            key, args = self._OPS[int(rng.integers(len(self._OPS)))]
+            arg = args[int(rng.integers(len(args)))]
+            chain.append(key if arg is None else f'{key}={arg}')
+        algo = '_'.join(chain)
+        ref, ours = both(7000 + seed, int(rng.integers(3, 7)))
+
+        def outcome(r):
+            try:
+                with warnings.catch_warnings():
+                    warnings.simplefilter('ignore')
+                    r.regroup(algo)
+                return ('ok', _norm(r.segments_to_dicts()))
+            except Exception as exc:
+                return ('err', type(exc).__name__)
+
+        assert outcome(ours) == outcome(ref), algo
+
+
+class TestFuzzedSuppressSilence:
+    """Randomized silence layouts through the word-clipping rule — the
+    single most behavior-critical piece of stabilization — compared
+    byte-for-byte across parameter combinations the fixed case misses."""
+
+    @pytest.mark.parametrize('seed', range(12))
+    def test_random_silence_parity(self, seed):
+        rng = np.random.default_rng(2000 + seed)
+        ref, ours = both(3000 + seed, int(rng.integers(3, 6)))
+        # random non-overlapping silence sections across the result's span
+        n_sil = int(rng.integers(1, 6))
+        edges = np.sort(rng.uniform(0.0, 12.0, n_sil * 2))
+        starts, ends = edges[0::2], edges[1::2]
+        kwargs = dict(
+            min_word_dur=float(rng.choice([0.05, 0.1, 0.2])),
+            word_level=bool(rng.integers(2)),
+            nonspeech_error=float(rng.choice([0.1, 0.3, 1.0])),
+            use_word_position=bool(rng.integers(2)),
+        )
+        ref.suppress_silence(starts, ends, **kwargs)
+        ours.suppress_silence(starts, ends, **kwargs)
+        assert _norm(ours.segments_to_dicts()) == _norm(ref.segments_to_dicts()), kwargs
