@@ -387,3 +387,74 @@ class TestFuzzedSuppressSilence:
         ref.suppress_silence(starts, ends, **kwargs)
         ours.suppress_silence(starts, ends, **kwargs)
         assert _norm(ours.segments_to_dicts()) == _norm(ref.segments_to_dicts()), kwargs
+
+
+class TestFuzzedEditOps:
+    """Randomized edit-op sequences (the non-DSL mutating surface) through
+    both implementations. Each op draws random arguments; outcomes (result
+    bytes or exception type) must match."""
+
+    @pytest.mark.parametrize('seed', range(15))
+    def test_random_edit_sequence_parity(self, seed):
+        rng = np.random.default_rng(4000 + seed)
+
+        def ops():
+            yield 'clamp_max', dict(medium_factor=float(rng.choice([1.5, 2.5])),
+                                    max_dur=float(rng.choice([0.0, 0.4, 1.0])) or None)
+            yield 'pad', dict(start_pad=float(rng.choice([0.0, 0.1])) or None,
+                              end_pad=float(rng.choice([0.0, 0.2])) or None,
+                              max_dur=float(rng.choice([0.0, 2.0])) or None)
+            yield 'adjust_gaps', dict(duration_threshold=float(rng.choice([0.0, 0.1, 0.5])))
+            yield 'remove_words_by_str', dict(words=str(rng.choice(['test', 'the', 'zzz'])),
+                                              case_sensitive=bool(rng.integers(2)),
+                                              strip=bool(rng.integers(2)),
+                                              verbose=False)
+            yield 'convert_to_segment_level', {}
+
+        seq = list(ops())
+        order = rng.permutation(len(seq))[:int(rng.integers(2, 4))]
+        ref, ours = both(5000 + seed, int(rng.integers(3, 6)))
+
+        for k in order:
+            name, kwargs = seq[int(k)]
+            out_ref = out_ours = None
+            try:
+                getattr(ref, name)(**kwargs)
+            except Exception as exc:
+                out_ref = type(exc).__name__
+            try:
+                getattr(ours, name)(**kwargs)
+            except Exception as exc:
+                out_ours = type(exc).__name__
+            assert out_ours == out_ref, (name, kwargs)
+        assert _norm(ours.segments_to_dicts()) == _norm(ref.segments_to_dicts()), \
+            [(seq[int(k)][0]) for k in order]
+
+
+class TestFuzzedOutputFormats:
+    """Every renderer over a wider seed range than the fixed cases, with
+    randomized per-format options — bytes must match exactly."""
+
+    @pytest.mark.parametrize('seed', range(10))
+    def test_all_formats_random_options(self, seed):
+        import stable_whisper as ref_pkg
+        import stable_ts_tpu as our_pkg
+        rng = np.random.default_rng(6000 + seed)
+        ref, ours = both(8000 + seed, int(rng.integers(2, 6)))
+        word_level = bool(rng.integers(2))
+        segment_level = bool(rng.integers(2)) or not word_level
+        common = dict(segment_level=segment_level, word_level=word_level)
+        pairs = [
+            ('result_to_srt_vtt', dict(vtt=False, **common)),
+            ('result_to_srt_vtt', dict(vtt=True, **common)),
+            ('result_to_tsv', dict(word_level=word_level,
+                                   segment_level=not word_level)),
+            ('result_to_txt', {}),
+            ('result_to_ass', dict(karaoke=bool(rng.integers(2)), **common)),
+        ]
+        for fn_name, kwargs in pairs:
+            with warnings.catch_warnings():
+                warnings.simplefilter('ignore')
+                got_ref = getattr(ref_pkg, fn_name)(ref, filepath=None, **kwargs)
+                got_ours = getattr(our_pkg, fn_name)(ours, filepath=None, **kwargs)
+            assert got_ours == got_ref, (fn_name, kwargs)
