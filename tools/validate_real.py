@@ -23,6 +23,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get('JAX_PLATFORMS'):
+    # Honor the env var in-process: the axon sitecustomize pre-imports jax
+    # and merges the TPU platform back in, so the env alone doesn't stick —
+    # and a CPU-intended run that lands on the single-claim tunnel hangs
+    # behind whatever process holds the chip.
+    import jax
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+
 DEFAULT_AUDIO = '/root/reference/test/jfk.flac'
 
 
