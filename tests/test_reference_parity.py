@@ -342,7 +342,7 @@ class TestFuzzedRegroupChains:
         ('rp', ['9+9']),
     ]
 
-    @pytest.mark.parametrize('seed', range(25))
+    @pytest.mark.parametrize('seed', range(40))
     def test_random_chain_parity(self, seed):
         rng = np.random.default_rng(1000 + seed)
         chain = []
@@ -370,7 +370,7 @@ class TestFuzzedSuppressSilence:
     single most behavior-critical piece of stabilization — compared
     byte-for-byte across parameter combinations the fixed case misses."""
 
-    @pytest.mark.parametrize('seed', range(12))
+    @pytest.mark.parametrize('seed', range(30))
     def test_random_silence_parity(self, seed):
         rng = np.random.default_rng(2000 + seed)
         ref, ours = both(3000 + seed, int(rng.integers(3, 6)))
@@ -458,3 +458,57 @@ class TestFuzzedOutputFormats:
                 got_ref = getattr(ref_pkg, fn_name)(ref, filepath=None, **kwargs)
                 got_ours = getattr(our_pkg, fn_name)(ours, filepath=None, **kwargs)
             assert got_ours == got_ref, (fn_name, kwargs)
+
+
+class TestFuzzedAdjustOps:
+    """adjust_by_silence / adjust_by_result with randomized inputs."""
+
+    @pytest.mark.parametrize('seed', range(10))
+    def test_adjust_by_silence_parity(self, seed):
+        rng = np.random.default_rng(9000 + seed)
+        ref, ours = both(9100 + seed, int(rng.integers(3, 6)))
+        n_sil = int(rng.integers(1, 5))
+        edges = np.sort(rng.uniform(0.0, 12.0, n_sil * 2))
+        audio = np.zeros(16000 * 13, np.float32)
+        # carve silence as LOW-amplitude spans in otherwise loud audio so
+        # both packages' silence detectors see identical masks
+        audio[:] = 0.5
+        for a, b in zip(edges[0::2], edges[1::2]):
+            audio[int(a * 16000):int(b * 16000)] = 0.0
+        kwargs = dict(min_word_dur=float(rng.choice([0.05, 0.1])),
+                      word_level=bool(rng.integers(2)),
+                      verbose=False)
+        import torch
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            ref.adjust_by_silence(torch.from_numpy(audio), **kwargs)
+            ours.adjust_by_silence(audio, **kwargs)
+        assert _norm(ours.segments_to_dicts()) == _norm(ref.segments_to_dicts())
+
+    @pytest.mark.parametrize('seed', range(8))
+    def test_adjust_by_result_parity(self, seed):
+        rng = np.random.default_rng(9500 + seed)
+        ref, ours = both(9600 + seed, 4)
+        # the op requires the SAME word sequence — the "other" result is the
+        # same stream with jittered timings
+        data = _random_result_dict(9600 + seed, 4)
+        t = 0.0
+        for seg in data['segments']:
+            for w in seg['words']:
+                dur = (w['end'] - w['start']) * float(rng.uniform(0.6, 1.4))
+                t += float(rng.uniform(0.0, 0.12))        # monotone warp
+                w['start'] = round(t, 3)
+                t += max(0.02, dur)
+                w['end'] = round(t, 3)
+            seg['start'] = seg['words'][0]['start']
+            seg['end'] = seg['words'][-1]['end']
+        ref_other = RefResult(json.loads(json.dumps(data)))
+        ours_other = OurResult(json.loads(json.dumps(data)))
+        min_word_dur = float(rng.choice([0.05, 0.2]))
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            ref.adjust_by_result(ref_other, min_word_dur=min_word_dur,
+                                 verbose=False)
+            ours.adjust_by_result(ours_other, min_word_dur=min_word_dur,
+                                  verbose=False)
+        assert _norm(ours.segments_to_dicts()) == _norm(ref.segments_to_dicts())
