@@ -73,8 +73,8 @@ def make_result_dict():
                 segments=segments)
 
 
-def make_audio(seconds: float = 8.0) -> np.ndarray:
-    rng = np.random.default_rng(7)
+def make_audio(seconds: float = 8.0, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
     return (rng.standard_normal(int(seconds * SR)) * 0.1).astype(np.float32)
 
 
@@ -115,8 +115,9 @@ def fake_inference(vocab: int, token_ids):
     return for_reference, for_ours
 
 
-def run_pair(steps='se', word_level=True, vocab=0, **kw):
-    audio = make_audio()
+def run_pair(steps='se', word_level=True, vocab=0, audio_seed=7,
+             require_motion=True, **kw):
+    audio = make_audio(seed=audio_seed)
     data = make_result_dict()
     token_ids = [t for s in data['segments'] for w in s['words']
                  for t in w['tokens']]
@@ -135,12 +136,14 @@ def run_pair(steps='se', word_level=True, vocab=0, **kw):
     ref_ts = [(w.word, w.start, w.end) for w in ref_res.all_words()]
     our_ts = [(w.word, w.start, w.end) for w in our_res.all_words()]
     assert our_ts == ref_ts
-    # the refinement must have actually moved something, else the test
-    # proves nothing
-    orig = [(' ' + w.strip(), s, e) for segs in make_result_dict()['segments']
-            for w, s, e in ((x['word'], x['start'], x['end'])
-                            for x in segs['words'])]
-    assert our_ts != orig
+    if require_motion:
+        # the refinement must have actually moved something, else the test
+        # proves nothing
+        orig = [(' ' + w.strip(), s, e)
+                for segs in make_result_dict()['segments']
+                for w, s, e in ((x['word'], x['start'], x['end'])
+                                for x in segs['words'])]
+        assert our_ts != orig
 
 
 class TestRefineParity:
@@ -162,3 +165,20 @@ class TestRefineParity:
 
     def test_tighter_precision(self):
         run_pair(steps='se', word_level=True, precision=0.05)
+
+
+class TestFuzzedRefineParity:
+    """Randomized audio content (hence mute-pattern probabilities, hence
+    bisection accept/reject paths) and option combinations — the lockstep
+    batched refiner must track the reference's sequential machine exactly
+    through every branch."""
+
+    @pytest.mark.parametrize('seed', range(12))
+    def test_random_audio_parity(self, seed):
+        rng = np.random.default_rng(seed)
+        run_pair(steps=str(rng.choice(['se', 's', 'e', 'es'])),
+                 word_level=bool(rng.integers(2)),
+                 vocab=int(rng.choice([0, 32])),
+                 audio_seed=100 + seed,
+                 require_motion=False,
+                 precision=float(rng.choice([0.02, 0.1])))
