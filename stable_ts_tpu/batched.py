@@ -142,6 +142,10 @@ def transcribe_batched(
         min_silence_dur: Optional[float] = None,
         nonspeech_error: float = 0.1,
         nonspeech_skip: Optional[float] = None,
+        suppress_ts_tokens: bool = False,
+        gap_padding: Optional[str] = ' ...',
+        max_instant_words: float = 0.5,
+        avg_prob_threshold: Optional[float] = None,
         prepend_punctuations: Optional[str] = None,
         append_punctuations: Optional[str] = None,
         verbose: Optional[bool] = False,
@@ -158,9 +162,18 @@ def transcribe_batched(
     Semantics match :func:`transcribe_stable` with fixed-stride windows.
     ``condition_on_previous_text`` defaults to False (independent windows);
     True chains prompts at GROUP granularity (see module docstring).
-    ``nonspeech_skip`` skips long silences only at window boundaries (the
-    sequential driver additionally trims mid-window — a data-dependent
-    re-seek that fixed-stride batching forgoes).
+    ``nonspeech_skip`` matches the sequential driver's re-seek rule
+    (original_whisper.py:513-527): long silences starting a window are
+    jumped over, and a long silence in the MIDDLE of a window trims the
+    window to the pre-silence span with the next window starting after the
+    silence — the windowing stays fixed-shape (trimmed windows are
+    zero-padded), only the host-side seek stride adapts.
+
+    ``avg_prob_threshold`` follows the reference's rule
+    (original_whisper.py:665-674) with one fixed-stride difference: a
+    failing window's segments are discarded, but the seek does not rewind
+    (the sequential driver re-decodes the region as part of the next
+    window; fixed-stride windows have already covered it).
 
     Unknown keyword arguments are rejected loudly (they raise here, not
     deep inside decoding) — nothing is silently ignored.
@@ -184,11 +197,15 @@ def transcribe_batched(
     if decode_options.get('beam_size') is None:
         decode_options.pop('beam_size', None)
     elif decode_options['beam_size'] > 1 and batch_size > 1:
-        # Beam search multiplies the device batch by beam_size (every beam
-        # carries its own cross-KV + cache). Scale the window group down so
-        # windows x beams stays near the requested batch budget — at
-        # large-v3 b16 x beam 5, the unscaled cross-KV alone exceeds HBM.
-        scaled = max(1, batch_size // int(decode_options['beam_size']))
+        # Beam search multiplies the device ROW count by beam_size, but the
+        # dominant HBM tenant — the cross-KV — is stored once per WINDOW
+        # (decoding.py shares it across a window's beams via q_per_kv), so
+        # the window group only needs scaling when the per-beam self-KV
+        # caches would blow the budget. 128 rows of self-cache is ~5 GB at
+        # large-v3 — comfortable on a 16 GB chip alongside weights+cross-KV.
+        max_rows = 128
+        scaled = max(1, min(batch_size,
+                            max_rows // int(decode_options['beam_size'])))
         if scaled != batch_size:
             warnings.warn(
                 f'beam_size={decode_options["beam_size"]}: window batch '
@@ -232,8 +249,15 @@ def transcribe_batched(
         save_path=denoised_save_path,
     )
 
+    def _pad_or_trim_mask(mask, length):
+        if mask.shape[-1] >= length:
+            return mask[..., :length]
+        return np.pad(mask, (0, length - mask.shape[-1]))
+
     predictor = NonSpeechPredictor(
         vad=vad if suppress_silence else None,
+        mask_pad_func=_pad_or_trim_mask,
+        get_mask=suppress_ts_tokens,
         min_word_dur=min_word_dur,
         q_levels=q_levels, k_size=k_size,
         vad_threshold=vad_threshold,
@@ -271,9 +295,12 @@ def transcribe_batched(
             if preds['is_silent']:
                 seek_sample += samples
                 continue
+            next_seek = seek_sample + samples
             if nonspeech_skip and preds['timings'] is not None:
-                # jump over a long silence that starts the window (the
-                # reference's re-seek rule, original_whisper.py:513-527)
+                # the reference's re-seek rule (original_whisper.py:513-527):
+                # a long silence STARTING the window is jumped over; a long
+                # silence mid-window trims the window to the pre-silence
+                # span and the next window starts after the silence
                 sil_starts = preds['timings'][0] - offset
                 sil_ends = preds['timings'][1] - offset
                 long_idx = np.flatnonzero(
@@ -285,14 +312,22 @@ def transcribe_batched(
                         seek_sample += min(
                             samples, round(sil_ends[i] * SAMPLE_RATE))
                         continue
+                    trim = int(sil_starts[i] * SAMPLE_RATE)
+                    if trim < samples:
+                        chunk = chunk[..., :trim]
+                        samples = trim
+                        next_seek = seek_sample + min(
+                            round(sil_ends[i] * SAMPLE_RATE),
+                            N_SAMPLES)
             metas.append(dict(
                 seek=seek_sample, samples=samples,
                 silence_timings=(preds['timings'] if suppress_silence
-                                 else None)))
+                                 else None),
+                ts_mask=(preds['mask'] if suppress_ts_tokens else None)))
             if samples < N_SAMPLES:
                 chunk = np.pad(chunk, (0, N_SAMPLES - samples))
             wins.append(chunk)
-            seek_sample += samples
+            seek_sample = next_seek
         if not wins:
             return None
         return _Group(metas, np.stack(wins))
@@ -335,7 +370,20 @@ def transcribe_batched(
         first_group = False
         grp.prompt = prompt or None
         grp.pending = model.decode_launch(
-            grp.features, _make_options(temperatures[0], grp.prompt))
+            grp.features, _make_options(temperatures[0], grp.prompt),
+            ts_silence_mask=_group_ts_mask(grp, range(len(grp.metas))))
+
+    def _group_ts_mask(grp: _Group, idxs):
+        """Stack the windows' silence timestamp-token masks, padded to the
+        device batch (rows beyond the stack repeat the last row upstream)."""
+        if not suppress_ts_tokens:
+            return None
+        rows = [grp.metas[i]['ts_mask'] for i in idxs]
+        rows = [(r if r is not None else np.zeros(1501, bool)) for r in rows]
+        if not rows:
+            return None
+        rows = rows + [rows[-1]] * (batch_size - len(rows))
+        return np.stack(rows)
 
     def _make_options(t: float, prompt) -> DecodingOptions:
         kwargs = dict(decode_options)
@@ -368,7 +416,9 @@ def transcribe_batched(
             rows = pending_idx + [pending_idx[-1]] * (batch_size
                                                       - len(pending_idx))
             feats, _ = model.shard_batch(grp.features[np.asarray(rows)])
-            retry = model.decode(feats, _make_options(t, grp.prompt))
+            retry = model.decode(feats, _make_options(t, grp.prompt),
+                                 ts_silence_mask=_group_ts_mask(
+                                     grp, pending_idx))
             for i, r in zip(pending_idx, retry):
                 results[i] = r
         grp.results = results
@@ -383,7 +433,8 @@ def transcribe_batched(
         if word_timestamps:
             grp.timing = _launch_word_timing(
                 model, tokenizer, grp.features, grp.metas, grp.segments,
-                dynamic_heads, aligner, batch_size)
+                dynamic_heads, aligner, batch_size,
+                gap_padding=gap_padding)
         grp.features = None
 
     def _segmentize(res, meta) -> List[dict]:
@@ -417,8 +468,10 @@ def transcribe_batched(
             }
 
         current_segments: List[dict] = []
+        meta['single_ts_ending'] = False
         if len(tokens):
-            spans, tail_pos, _ = timestamp_spans(tokens, ts_begin)
+            spans, tail_pos, meta['single_ts_ending'] = timestamp_spans(
+                tokens, ts_begin)
             if spans:
                 current_segments = [new_segment(
                     round(time_offset + (int(sp[0]) - ts_begin)
@@ -451,6 +504,20 @@ def transcribe_batched(
         for meta, segs in zip(grp.metas, grp.segments):
             if word_timestamps:
                 segs = [s for s in segs if s.get('words')]
+                # prune segments that are mostly instant words
+                # (reference original_whisper.py:654-663); an all-instant
+                # empty list never reaches here (filtered above)
+                segs = [s for s in segs
+                        if np.mean([w['start'] == w['end']
+                                    for w in s['words']]) <= max_instant_words]
+                if avg_prob_threshold and segs:
+                    # reference original_whisper.py:665-674 minus the seek
+                    # rewind (see transcribe_batched docstring)
+                    all_probs = [w['probability'] for s in segs
+                                 for w in s['words']]
+                    if (meta.get('single_ts_ending')
+                            and np.mean(all_probs) < avg_prob_threshold):
+                        segs = []
             for i, seg in enumerate(segs):
                 seg_obj = Segment(**seg, ignore_unused_args=True)
                 if meta['silence_timings'] is not None:
@@ -536,7 +603,7 @@ def transcribe_batched(
 
 def _launch_word_timing(model, tokenizer, features, metas,
                         per_window_segments, dynamic_heads, aligner,
-                        batch_size: int):
+                        batch_size: int, gap_padding: str = ' ...'):
     """Dispatch one padded teacher-forced QK pass for the group (async).
 
     Right-padding the token rows is exact: under the causal mask, padding
@@ -559,7 +626,7 @@ def _launch_word_timing(model, tokenizer, features, metas,
         for seg in segs:
             seg['words'] = []
         text_tokens, token_split, seg_indices = split_word_tokens(
-            segs, tokenizer, padding=' ...')
+            segs, tokenizer, padding=gap_padding)
         prep.append((text_tokens, token_split, seg_indices)
                     if text_tokens else None)
 

@@ -155,14 +155,14 @@ def build_initial_tokens(tokenizer: WhisperTokenizer, options: DecodingOptions,
 @partial(jax.jit, static_argnames=(
     'n_head', 'sample_begin', 'sample_len', 'n_text_ctx', 'eot', 'ts_begin',
     'n_vocab', 'max_initial_ts_index', 'suppress_blank', 'without_timestamps',
-    'greedy'))
+    'greedy', 'q_per_kv'))
 def _sample_loop(params, cross_kv, kv_cache, init_logits, tokens_init, rng,
                  suppress_mask, blank_mask, ts_silence_mask,
                  n_head: int, sample_begin: int, sample_len: int,
                  n_text_ctx: int, eot: int, ts_begin: int, n_vocab: int,
                  max_initial_ts_index: int, suppress_blank: bool,
                  without_timestamps: bool, greedy: bool,
-                 temperature=1.0):
+                 temperature=1.0, q_per_kv: int = 1):
     """Run the sampling loop.
 
     init_logits: (B, V) logits at the last prefill position.
@@ -245,7 +245,7 @@ def _sample_loop(params, cross_kv, kv_cache, init_logits, tokens_init, rng,
             ~finished & (next_tok >= ts_begin),
             jnp.maximum(max_ts, next_tok - ts_begin), max_ts)
         new_logits, kv = decoder_step(params, next_tok[:, None], pos, cross_kv,
-                                      kv, n_head)
+                                      kv, n_head, q_per_kv=q_per_kv)
         return (i + 1, tokens, new_logits, kv, sum_logprobs, new_finished,
                 next_tok, last_tok, new_max_ts, key)
 
@@ -273,6 +273,9 @@ def _beam_loop(params, cross_kv, kv_cache, init_logits, tokens_init,
                n_text_ctx: int, eot: int, ts_begin: int, n_vocab: int,
                max_initial_ts_index: int, suppress_blank: bool,
                without_timestamps: bool, beam_size: int, max_candidates: int):
+    # cross_kv carries ONE row per window group (not per beam): the beams'
+    # reshuffle never touches it, and the fused kernel / shared-KV einsum
+    # streams each window's K/V once per step for all its beams.
     """Beam search over ``n_groups`` windows with ``beam_size`` beams each.
 
     All rows (= n_groups * beam_size) advance in lockstep; the KV cache is
@@ -386,7 +389,7 @@ def _beam_loop(params, cross_kv, kv_cache, init_logits, tokens_init,
             max_ts[flat_src])
 
         new_logits, kv = decoder_step(params, new_last[:, None], pos, cross_kv,
-                                      kv, n_head)
+                                      kv, n_head, q_per_kv=beam_size)
         return (i + 1, tokens, new_logits, kv, new_cum.reshape(-1), new_last,
                 new_penult, new_max_ts, new_group_done, fin_tokens, fin_scores)
 
@@ -610,11 +613,15 @@ def decode_launch(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
     dec_params['blocks'] = fuse_self_qkv(dec_params['blocks'])
     kv_quant = (dims.n_audio_state >= 1024 if options.kv_quant is None
                 else options.kv_quant)
+    # Cross-KV is computed (and stored) per WINDOW, never per beam/candidate:
+    # every row group of n_group beams shares its window's K/V via
+    # q_per_kv, which divides the dominant per-step HBM stream AND the
+    # cross-KV HBM footprint by n_group.
     if _use_cross_kernel():
-        cross_kv = precompute_cross_kv_t(params['decoder'], xa_rep,
+        cross_kv = precompute_cross_kv_t(params['decoder'], xa,
                                          quantize=kv_quant)
     else:
-        cross_kv = precompute_cross_kv(params['decoder'], xa_rep,
+        cross_kv = precompute_cross_kv(params['decoder'], xa,
                                        quantize=kv_quant)
 
     # no_speech prob stays a device array: materializing it here would be a
@@ -662,7 +669,8 @@ def decode_launch(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
         suppress_blank=options.suppress_blank,
         without_timestamps=options.without_timestamps,
         greedy=options.temperature == 0,
-        temperature=jnp.float32(options.temperature or 1.0))
+        temperature=jnp.float32(options.temperature or 1.0),
+        q_per_kv=n_group)
 
     return PendingDecode(
         kind='sample', xa=xa, batch=batch, n_group=n_group, options=options,

@@ -281,6 +281,21 @@ def _use_flash_attention() -> bool:
     return _FUSED_KERNELS_ENABLED and jax.default_backend() == 'tpu'
 
 
+def _self_fa_mode() -> str:
+    """Fused self-attention decode kernel (ops/self_attn.py): 'on' | 'off'
+    | 'interpret'. Default on for TPU — it reads each layer's K/V cache
+    slab once where the XLA path materializes slice copies (measured 5.98
+    -> ~1.5 ms/step at large-v3 b16)."""
+    import os
+    pref = os.environ.get('STABLE_TS_TPU_SELF', 'auto')
+    if pref in ('0', 'off', 'false'):
+        return 'off'
+    if pref in ('interpret', '1', 'on', 'true'):
+        return 'interpret' if pref == 'interpret' else 'on'
+    return ('on' if _FUSED_KERNELS_ENABLED
+            and jax.default_backend() == 'tpu' else 'off')
+
+
 def _flash_cross_attention(params: Params, x: jnp.ndarray, xa: jnp.ndarray,
                            n_head: int,
                            capture_heads: Optional[jnp.ndarray] = None):
@@ -543,15 +558,46 @@ def decoder_apply(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
     return logits, cross_qks
 
 
-@partial(jax.jit, static_argnames=('n_head',))
+def _shared_kv_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         n_head: int, g: int) -> jnp.ndarray:
+    """Cross-attention where each K/V batch row serves ``g`` query rows.
+
+    q: (rows, 1, d) with rows = b * g (query row i belongs to KV row i // g);
+    k/v: (b, S, d). Returns (rows, 1, d). Used by beam search / best_of:
+    beams of the same window share the window's K/V, so the K/V stream is
+    read once per group instead of once per beam.
+    """
+    rows, _, d = q.shape
+    b = rows // g
+    s = k.shape[1]
+    d_head = d // n_head
+    scale = d_head ** -0.25
+    qh = (q.reshape(b, g, n_head, d_head).transpose(0, 2, 1, 3)
+          * scale).astype(jnp.float32)                     # (b, H, g, dh)
+    kh = (k.reshape(b, s, n_head, d_head).transpose(0, 2, 1, 3)
+          * scale).astype(jnp.float32)                     # (b, H, S, dh)
+    vh = v.reshape(b, s, n_head, d_head).transpose(0, 2, 1, 3)
+    logits = jnp.einsum('bhgd,bhsd->bhgs', qh, kh,
+                        preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum('bhgs,bhsd->bhgd', w, vh,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(rows, 1, d)
+
+
+@partial(jax.jit, static_argnames=('n_head', 'q_per_kv'))
 def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
-                 cross_kv: Params, kv_cache: Params, n_head: int):
+                 cross_kv: Params, kv_cache: Params, n_head: int,
+                 q_per_kv: int = 1):
     """One incremental decode step with a fixed-size KV cache.
 
     tokens: (batch, 1) int32 — tokens at position ``pos``.
     pos: scalar int32 — current position (same across batch).
-    cross_kv: {'k','v'} (n_layers, batch, 1500, d) precomputed.
+    cross_kv: {'k','v'} (n_layers, batch // q_per_kv, 1500, d) precomputed.
     kv_cache: {'k','v'} (n_layers, batch, n_text_ctx, d).
+    q_per_kv: consecutive batch rows sharing one cross-KV row (beam
+        search / best_of — the encoder features are identical across a
+        window's beams, so K/V is stored and streamed once per window).
     Returns (logits (batch, n_vocab), updated kv_cache).
     """
     x = params['token_emb'][tokens] + jax.lax.dynamic_slice_in_dim(
@@ -574,6 +620,7 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     # (n_layers, batch, n_ctx, d) stack every token step — that copy traffic
     # dominated the step cost and OOM'd large batches.
     fused_cross = 'kT' in cross_kv
+    self_fa = _self_fa_mode() if not fused_self else 'off'
 
     def block(carry, scanned):
         h, kc, vc = carry
@@ -631,14 +678,27 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
                                               (layer_idx, 0, pos, 0))
             vc = jax.lax.dynamic_update_slice(vc, new_v[None].astype(vc.dtype),
                                               (layer_idx, 0, pos, 0))
-            k_cache = jax.lax.dynamic_slice(kc, (layer_idx, 0, 0, 0),
-                                            (1, batch, n_ctx, d))[0]
-            v_cache = jax.lax.dynamic_slice(vc, (layer_idx, 0, 0, 0),
-                                            (1, batch, n_ctx, d))[0]
-            attn_out, _, _ = _mha(layer_params['attn'], q_in, None, n_head,
-                                  mask=self_mask,
-                                  kv_override=(k_cache, v_cache),
-                                  q_override=q_proj)
+            if self_fa != 'off':
+                # Fused kernel: the layer index steers the BlockSpec via
+                # scalar prefetch, so the layer's cache slab streams
+                # HBM -> VMEM once — no dynamic_slice copy, no HBM logits.
+                from ...ops.self_attn import self_attn_decode
+                q = (q_proj[:, 0, :].astype(jnp.float32)
+                     * ((d // n_head) ** -0.5))
+                ctx = self_attn_decode(q, kc, vc, layer_idx, pos, n_head,
+                                       interpret=self_fa == 'interpret')
+                attn_out = linear(ctx[:, None, :].astype(h.dtype),
+                                  layer_params['attn']['out']['w'],
+                                  layer_params['attn']['out']['b'])
+            else:
+                k_cache = jax.lax.dynamic_slice(kc, (layer_idx, 0, 0, 0),
+                                                (1, batch, n_ctx, d))[0]
+                v_cache = jax.lax.dynamic_slice(vc, (layer_idx, 0, 0, 0),
+                                                (1, batch, n_ctx, d))[0]
+                attn_out, _, _ = _mha(layer_params['attn'], q_in, None, n_head,
+                                      mask=self_mask,
+                                      kv_override=(k_cache, v_cache),
+                                      q_override=q_proj)
         h = h + attn_out
         ca_in = layer_norm(h, layer_params['cross_attn_ln']['g'],
                            layer_params['cross_attn_ln']['b'])
@@ -651,9 +711,20 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
             kt, ks, kb, vt, vs = layer_cross_kv
             q = linear(ca_in, ca['q']['w'], ca['q']['b'])[:, 0, :]
             q = q.astype(jnp.float32) * ((d // n_head) ** -0.5)
-            ctx = cross_attn_decode(q, kt, ks, kb, vt, vs, n_head)
+            ctx = cross_attn_decode(q, kt, ks, kb, vt, vs, n_head,
+                                    q_per_kv=q_per_kv)
             cross_out = linear(ctx[:, None, :].astype(h.dtype),
                                ca['out']['w'], ca['out']['b'])
+        elif q_per_kv > 1:
+            ca = layer_params['cross_attn']
+            ck, cv = layer_cross_kv
+            if hasattr(ck, 'dequantize'):
+                ck = ck.dequantize()
+            if hasattr(cv, 'dequantize'):
+                cv = cv.dequantize()
+            q = linear(ca_in, ca['q']['w'], ca['q']['b'])
+            ctx = _shared_kv_attention(q, ck, cv, n_head, q_per_kv)
+            cross_out = linear(ctx, ca['out']['w'], ca['out']['b'])
         else:
             cross_out, _, _ = _mha(layer_params['cross_attn'], ca_in,
                                    None, n_head, kv_override=layer_cross_kv)

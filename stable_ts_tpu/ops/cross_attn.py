@@ -45,10 +45,11 @@ _S_CHUNK = 512
 
 
 def _kernel(q_ref, kt_ref, ks_ref, kb_ref, vt_ref, vs_ref, out_ref, *,
-            n_head: int):
+            n_head: int, q_per_kv: int):
     d = q_ref.shape[-1]
     d_head = d // n_head
     i = pl.program_id(0)
+    g = q_per_kv
 
     # Block-diagonal MXU formulation. Per-head QK^T has a block-diagonal
     # contraction structure (head h contracts only its own d_head slice);
@@ -58,40 +59,56 @@ def _kernel(q_ref, kt_ref, ks_ref, kb_ref, vt_ref, vs_ref, out_ref, *,
     # formulation, and the MXU consumes the int8 K/V tiles directly (no
     # dequantized copy exists anywhere). The n_head x waste FLOPs are free:
     # the kernel is bandwidth/latency-bound, not FLOP-bound.
-    col_head = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 1) // d_head
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 0)
-    hmask = (col_head == row_id).astype(jnp.float32)
+    #
+    # ``q_per_kv = g > 1`` (beam search / best_of): g query rows share one
+    # K/V tile — q rows [i*g, (i+1)*g) embed into a (g*n_head, d) matrix
+    # (query row r of the group occupies rows [r*n_head, (r+1)*n_head)),
+    # so the dominant K/V stream is read once per GROUP instead of once
+    # per beam.
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (g * n_head, d), 1) // d_head
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (g * n_head, d), 0) % n_head
+    hmask = (col_head == row_head).astype(jnp.float32)     # (g*n_head, d)
 
-    # q/out ride as full (batch, d) arrays — Mosaic requires sublane-dim
-    # blocks of >= 8 rows, so a (1, d) per-program row block won't lower;
-    # the 80 KB full array is cheaper than re-tiling.
-    qrow = q_ref[pl.ds(i, 1), :].astype(jnp.float32)       # (1, d)
-    qblk = (hmask * qrow).astype(jnp.bfloat16)             # (n_head, d)
+    # q/out ride as full (rows, d) arrays — Mosaic requires sublane-dim
+    # blocks of >= 8 rows, so a (g, d) per-program row block won't lower;
+    # the full array is cheaper than re-tiling.
+    qrows = q_ref[pl.ds(i * g, g), :].astype(jnp.float32)  # (g, d)
+    # scatter the g query rows onto their n_head row blocks
+    row_q = jax.lax.broadcasted_iota(jnp.int32, (g * n_head, g), 0) // n_head
+    col_q = jax.lax.broadcasted_iota(jnp.int32, (g * n_head, g), 1)
+    expand = (row_q == col_q).astype(jnp.float32)          # (g*n_head, g)
+    qblk = (hmask * jax.lax.dot_general(
+        expand, qrows, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)).astype(jnp.bfloat16)
 
     lg = jax.lax.dot_general(qblk, kt_ref[0], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (n_head, S)
+                             preferred_element_type=jnp.float32)  # (g*H, S)
     # dequant scales + additive bias (pad positions carry -inf here)
     lg = lg * ks_ref[0] + kb_ref[0]
     m = jnp.max(lg, axis=1, keepdims=True)
     w = jnp.exp(lg - m)
     l = jnp.sum(w, axis=1, keepdims=True)
-    wv = (w * vs_ref[0]).astype(jnp.bfloat16)              # (n_head, S)
+    wv = (w * vs_ref[0]).astype(jnp.bfloat16)              # (g*H, S)
     o2 = jax.lax.dot_general(wv, vt_ref[0], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (n_head, d)
-    o = jnp.sum(o2 * hmask, axis=0, keepdims=True)         # diag blocks
-    l_d = jnp.sum(hmask * l, axis=0, keepdims=True)
-    out_ref[pl.ds(i, 1), :] = o / l_d
+                             preferred_element_type=jnp.float32)  # (g*H, d)
+    # fold the n_head row blocks of each query row back to its d columns
+    o = jax.lax.dot_general(expand, o2 * hmask, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)   # (g, d)
+    l_d = jax.lax.dot_general(expand, hmask * l, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out_ref[pl.ds(i * g, g), :] = o / l_d
 
 
 def _pad_s(s: int) -> int:
     return (s + _S_CHUNK - 1) // _S_CHUNK * _S_CHUNK
 
 
-@partial(jax.jit, static_argnames=('n_head',))
-def _call(q, kt, ks, kb, vt, vs, n_head: int):
+@partial(jax.jit, static_argnames=('n_head', 'q_per_kv'))
+def _call(q, kt, ks, kb, vt, vs, n_head: int, q_per_kv: int):
     import os
     b, d, s_pad = kt.shape
-    kernel = partial(_kernel, n_head=n_head)
+    rows = q.shape[0]
+    kernel = partial(_kernel, n_head=n_head, q_per_kv=q_per_kv)
     vec = pl.BlockSpec((1, 1, s_pad), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     mat = pl.BlockSpec((1, d, s_pad), lambda i: (i, 0, 0),
@@ -101,33 +118,39 @@ def _call(q, kt, ks, kb, vt, vs, n_head: int):
         interpret=os.environ.get('STABLE_TS_TPU_CROSS') == 'interpret',
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             mat, vec, vec, mat, vec,
         ],
-        out_specs=pl.BlockSpec((b, d), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((rows, d), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * d * s_pad,
-            bytes_accessed=2 * b * d * s_pad * kt.dtype.itemsize + b * d * 4,
-            transcendentals=b * n_head * s_pad,
+            flops=4 * rows * d * s_pad,
+            bytes_accessed=2 * b * d * s_pad * kt.dtype.itemsize + rows * d * 4,
+            transcendentals=rows * n_head * s_pad,
         ),
     )(q, kt, ks, kb, vt, vs)
 
 
 def cross_attn_decode(q: jnp.ndarray, kt: jnp.ndarray, ks: jnp.ndarray,
                       kb: jnp.ndarray, vt: jnp.ndarray,
-                      vs: jnp.ndarray, n_head: int) -> jnp.ndarray:
+                      vs: jnp.ndarray, n_head: int,
+                      q_per_kv: int = 1) -> jnp.ndarray:
     """One decode step of cross-attention against transposed K/V.
 
-    q:  (batch, d) query at the current position, ALREADY scaled by
-        d_head**-0.5 (the kernel applies no further scaling).
+    q:  (rows, d) queries at the current position, ALREADY scaled by
+        d_head**-0.5 (the kernel applies no further scaling);
+        rows = batch * q_per_kv.
     kt/vt: (batch, d, S_pad) keys/values transposed, int8 or float;
         S_pad must be a multiple of 512.
     ks/vs: (batch, 1, S_pad) per-position dequant scales (ones when kt/vt
         are unquantized floats).
     kb: (batch, 1, S_pad) additive logit bias — 0 on real key positions,
         -inf on padding (the mask is baked at precompute time).
-    Returns (batch, d) float32 attention output (pre out-projection).
+    q_per_kv: consecutive query rows sharing each K/V batch row (beam
+        search / best_of sampling: all beams of a window attend to the same
+        encoder output, so the K/V tile streams from HBM ONCE per group).
+    Returns (rows, d) float32 attention output (pre out-projection).
     """
-    return _call(q, kt, ks, kb, vt, vs, n_head)
+    return _call(q, kt, ks, kb, vt, vs, n_head, q_per_kv)

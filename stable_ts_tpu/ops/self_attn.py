@@ -1,0 +1,134 @@
+"""Fused self-attention decode kernel (Pallas, TPU).
+
+The decode step's self-attention is the single most overhead-laden phase of
+the sampler (probe_step.py, large-v3 b16: 5.98 ms of a 12.4 ms step against
+a ~1.3 ms roofline). The XLA path pays for it three times per layer:
+``dynamic_slice`` materializes the layer's K and V cache slabs out of the
+scanned (L, B, n_ctx, d) carry (read + write), then the attention einsums
+re-read the copies, then the (B, H, 1, n_ctx) logits round-trip HBM. This
+kernel reads each layer's cache slab from HBM exactly once:
+
+    bf16 K/V slab --DMA--> VMEM --block-diagonal MXU QK^T
+    -> masked softmax -> ·V accumulate            (nothing back to HBM)
+
+Design notes:
+
+- **The full (L, B, n_ctx, d) cache is the operand.** The layer index
+  arrives as a scalar-prefetch argument (``pltpu.PrefetchScalarGridSpec``)
+  and steers the BlockSpec index map, so the kernel DMAs the right layer's
+  slab directly — no host-side ``dynamic_slice`` copy ever exists. The
+  cache keeps its natural row-major layout: the per-step cache update
+  stays a cheap contiguous ``dynamic_update_slice`` row write (the
+  transposed-int8 variant died on strided column writes — BASELINE.md).
+- **Block-diagonal MXU contraction**, same trick as ops/cross_attn.py: a
+  batch row's query embeds into an (n_head, d) matrix that is zero off
+  each head's d_head block, turning per-head QK^T and softmax·V into one
+  MXU matmul each, consuming the bf16 cache tiles directly.
+- **Several batch rows per grid step** (``rows_per_step``) amortize the
+  per-grid-step sequencing overhead that made a one-row-per-step variant
+  only break even.
+- The causal mask is built in-kernel from the prefetched ``pos`` scalar
+  (position j participates iff j <= pos) — kernels must not capture array
+  constants.
+
+Reference context: stable-ts inherits whisper's torch MHA with its hook
+machinery (timing.py:50-57); there is no decode-step kernel to mirror —
+this is TPU-native design, not translation.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ['self_attn_decode']
+
+
+def _kernel(scalars_ref, q_ref, kc_ref, vc_ref, out_ref, *, n_head: int,
+            rows: int):
+    d = q_ref.shape[-1]
+    n_ctx = kc_ref.shape[2]
+    d_head = d // n_head
+    i = pl.program_id(0)
+    pos = scalars_ref[1]
+
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 1) // d_head
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 0)
+    hmask = (col_head == row_id).astype(jnp.float32)
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, (n_head, n_ctx), 1)
+    bias = jnp.where(key_pos <= pos, 0.0, -jnp.inf).astype(jnp.float32)
+
+    cache_dtype = kc_ref.dtype
+    for r in range(rows):
+        qrow = q_ref[pl.ds(i * rows + r, 1), :].astype(jnp.float32)  # (1, d)
+        qblk = (hmask * qrow).astype(cache_dtype)                    # (H, d)
+        k = kc_ref[0, r]                                             # (n_ctx, d)
+        lg = jax.lax.dot_general(qblk, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        lg = lg + bias                                               # (H, n_ctx)
+        m = jnp.max(lg, axis=1, keepdims=True)
+        w = jnp.exp(lg - m)
+        l = jnp.sum(w, axis=1, keepdims=True)
+        o2 = jax.lax.dot_general(w.astype(cache_dtype), vc_ref[0, r],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (H, d)
+        o = jnp.sum(o2 * hmask, axis=0, keepdims=True)
+        l_d = jnp.sum(hmask * l, axis=0, keepdims=True)
+        out_ref[pl.ds(i * rows + r, 1), :] = o / l_d
+
+
+@partial(jax.jit, static_argnames=('n_head', 'interpret'))
+def _call(scalars, q, kc, vc, n_head: int, interpret: bool):
+    n_layers, b, n_ctx, d = kc.shape
+    # widest row block whose double-buffered K+V tiles stay well inside
+    # VMEM: rows * n_ctx * d * 2B * 2(kv) * 2(buffers) <= ~12 MB
+    rows = 1
+    for cand in (4, 2):
+        if b % cand == 0 and cand * n_ctx * d * 2 * 2 * 2 <= 12 * 2 ** 20:
+            rows = cand
+            break
+    kernel = partial(_kernel, n_head=n_head, rows=rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // rows,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, n_ctx, d), lambda i, s: (s[0], i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, n_ctx, d), lambda i, s: (s[0], i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, d), lambda i, s: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * d * n_ctx,
+            bytes_accessed=2 * b * d * n_ctx * kc.dtype.itemsize + b * d * 4,
+            transcendentals=b * n_head * n_ctx,
+        ),
+    )(scalars, q, kc, vc)
+
+
+def self_attn_decode(q: jnp.ndarray, kc: jnp.ndarray, vc: jnp.ndarray,
+                     layer_idx, pos, n_head: int,
+                     interpret: bool = False) -> jnp.ndarray:
+    """One decode step of self-attention against the full layered KV cache.
+
+    q: (batch, d) query at the current position, ALREADY scaled by
+        d_head**-0.5 (the kernel applies no further scaling).
+    kc/vc: (n_layers, batch, n_ctx, d) cache — the CURRENT token's K/V row
+        must already be written at ``pos``.
+    layer_idx / pos: int32 scalars — which layer's slab to attend in, and
+        the highest valid cache position (keys at j <= pos participate).
+    Returns (batch, d) float32 attention output (pre out-projection).
+    """
+    scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
+                         jnp.asarray(pos, jnp.int32)])
+    return _call(scalars, q, kc, vc, n_head, interpret)

@@ -160,3 +160,67 @@ def test_decoder_step_fused_self_cache_close():
         diff = np.abs(np.asarray(out_f) - ref)
         assert diff.mean() < 0.05 * ref.std(), (step, diff.mean(), ref.std())
         tok = jnp.asarray(np.asarray(out_ref).argmax(-1)[:, None], jnp.int32)
+
+
+@pytest.mark.parametrize('quantize', [False, True])
+def test_kernel_q_per_kv_matches_repeated_kv(quantize):
+    """g query rows per KV row (beam sharing) == running the kernel with the
+    KV physically repeated g times."""
+    b, g, n_head, dh, s = 2, 3, 4, 64, 300
+    d = n_head * dh
+    s_pad = (s + _S_CHUNK - 1) // _S_CHUNK * _S_CHUNK
+    rng = np.random.default_rng(4)
+    q = rng.standard_normal((b * g, d)).astype(np.float32) * 0.3
+    k = rng.standard_normal((b, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, d)).astype(np.float32)
+    kt, ks, _ = _to_kernel_layout(k, s_pad, quantize)
+    vt, vs, _ = _to_kernel_layout(v, s_pad, quantize)
+    kb = np.zeros((b, 1, s_pad), np.float32)
+    kb[:, :, s:] = -np.inf
+
+    shared = np.asarray(cross_attn_decode(
+        jnp.asarray(q * dh ** -0.5), jnp.asarray(kt), jnp.asarray(ks),
+        jnp.asarray(kb), jnp.asarray(vt), jnp.asarray(vs), n_head=n_head,
+        q_per_kv=g))
+    rep = lambda x: jnp.asarray(np.repeat(x, g, axis=0))
+    repeated = np.asarray(cross_attn_decode(
+        jnp.asarray(q * dh ** -0.5), rep(kt), rep(ks), rep(kb), rep(vt),
+        rep(vs), n_head=n_head))
+    np.testing.assert_allclose(shared, repeated, rtol=1e-5, atol=1e-5)
+
+
+def test_decoder_step_q_per_kv_matches_repeated_kv():
+    """decoder_step with per-group cross-KV (q_per_kv=g, the beam layout)
+    == decoder_step with the cross-KV repeated per beam, on both the
+    unfused einsum path and the fused kernel path."""
+    from stable_ts_tpu.models.whisper import (
+        init_kv_cache, init_params, precompute_cross_kv, tiny_test_dims)
+    from stable_ts_tpu.models.whisper.model import (decoder_step,
+                                                    precompute_cross_kv_t)
+    dims = tiny_test_dims()
+    params = init_params(dims, seed=0)
+    b, g = 2, 3
+    rows = b * g
+    rng = np.random.default_rng(5)
+    xa = jnp.asarray(rng.standard_normal(
+        (b, dims.n_audio_ctx, dims.n_audio_state)).astype(np.float32))
+    xa_rep = jnp.repeat(xa, g, axis=0)
+    cache = init_kv_cache(dims, rows)
+    toks = jnp.asarray(rng.integers(0, dims.n_vocab, (rows, 1)), jnp.int32)
+    pos = jnp.int32(0)
+
+    ref, _ = decoder_step(params['decoder'], toks, pos,
+                          precompute_cross_kv(params['decoder'], xa_rep),
+                          cache, dims.n_text_head)
+    shared, _ = decoder_step(params['decoder'], toks, pos,
+                             precompute_cross_kv(params['decoder'], xa),
+                             cache, dims.n_text_head, q_per_kv=g)
+    np.testing.assert_allclose(np.asarray(shared), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    fused_shared, _ = decoder_step(
+        params['decoder'], toks, pos,
+        precompute_cross_kv_t(params['decoder'], xa), cache,
+        dims.n_text_head, q_per_kv=g)
+    np.testing.assert_allclose(np.asarray(fused_shared), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
