@@ -76,8 +76,9 @@ def _enable_cache():
         print(f'[bench] compilation cache unavailable: {exc}', file=sys.stderr)
 
 
-def main_e2e():
-    import numpy as np
+def build_model():
+    """Random-weight model of the benched size with a real BPE rank table
+    (FLOPs/traffic identical to trained weights; zero egress)."""
     import jax.numpy as jnp
     from stable_ts_tpu.loaders import WhisperTPU
     from stable_ts_tpu.models.whisper.load import OPENAI_MODEL_DIMS
@@ -94,10 +95,25 @@ def main_e2e():
         ranks[b'\x00' + i.to_bytes(3, 'big')] = i
         i += 1
     from stable_ts_tpu.models.whisper.alignment_heads import get_alignment_heads
-    model = WhisperTPU(dims, params, name=MODEL, ranks=ranks,
-                       dq=bool(os.environ.get('BENCH_DQ')),
-                       alignment_heads=get_alignment_heads(
-                           MODEL, dims.n_text_layer, dims.n_text_head))
+    return WhisperTPU(dims, params, name=MODEL, ranks=ranks,
+                      dq=bool(os.environ.get('BENCH_DQ')),
+                      alignment_heads=get_alignment_heads(
+                          MODEL, dims.n_text_layer, dims.n_text_head))
+
+
+def _emit(name: str, audio_seconds: float, best: float):
+    xrt = audio_seconds / best
+    print(json.dumps({
+        'metric': name,
+        'value': round(xrt, 2),
+        'unit': 'audio_sec/sec/chip',
+        'vs_baseline': round(xrt / BASELINE_XRT, 3),
+    }))
+
+
+def main_e2e():
+    import numpy as np
+    model = build_model()
 
     audio = synth_speech_like(MINUTES * 60.0)
     audio_seconds = audio.shape[-1] / 16000.0
@@ -311,6 +327,82 @@ def main_kernel():
     }))
 
 
+def _bench_loop(run, audio_seconds: float, name: str):
+    t0 = time.perf_counter()
+    run()
+    print(f'[bench] warmup+compile {time.perf_counter() - t0:.1f}s',
+          file=sys.stderr)
+    times = []
+    for _ in range(max(1, ITERS - 1)):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    print(f'[bench] {name}: {audio_seconds:.0f}s audio -> '
+          f'{min(times):.2f}s wall', file=sys.stderr)
+    _emit(name, audio_seconds, min(times))
+
+
+def main_align():
+    """e2e forced alignment (model.align) — the reference calls align
+    "significantly faster than transcribing" (alignment.py:48-49); this
+    mode makes that claim measurable on TPU."""
+    model = build_model()
+    minutes = float(os.environ.get('BENCH_MINUTES', '10'))
+    audio = synth_speech_like(minutes * 60.0)
+    # ~2 words/s of short synthetic words (BPE-encodable byte tokens)
+    text = ' '.join(f'w{i % 97:02d}' for i in range(int(minutes * 60 * 2)))
+
+    def run():
+        return model.align(audio, text, language='en', verbose=None)
+
+    _bench_loop(run, minutes * 60.0, f'xRT_align_{MODEL}')
+
+
+def main_refine():
+    """e2e timestamp refinement (model.refine) on a synthetic result."""
+    import copy
+    model = build_model()
+    minutes = float(os.environ.get('BENCH_MINUTES', '3'))
+    audio = synth_speech_like(minutes * 60.0)
+    tokenizer = model.get_tokenizer(language='en', task='transcribe')
+    from stable_ts_tpu.result import WhisperResult
+    seconds = minutes * 60.0
+    words, t, i = [], 0.4, 0
+    while t < seconds - 1.0:
+        w = f' w{i % 97:02d}'
+        words.append(dict(word=w, start=round(t, 2), end=round(t + 0.3, 2),
+                          probability=0.8, tokens=tokenizer.encode(w)))
+        t += 0.45
+        i += 1
+    segments = [dict(start=chunk[0]['start'], end=chunk[-1]['end'],
+                     text=''.join(w['word'] for w in chunk), words=chunk)
+                for chunk in (words[j:j + 12]
+                              for j in range(0, len(words), 12))]
+    base = WhisperResult(dict(
+        text=''.join(w['word'] for w in words), segments=segments,
+        language='en'))
+
+    def run():
+        return model.refine(audio, copy.deepcopy(base), verbose=None)
+
+    _bench_loop(run, seconds, f'xRT_refine_{MODEL}')
+
+
+def main_locate():
+    """e2e word localization (model.locate, mode 0) — scans the audio in
+    chunks with the confirmation decode around each estimate."""
+    model = build_model()
+    minutes = float(os.environ.get('BENCH_MINUTES', '10'))
+    audio = synth_speech_like(minutes * 60.0)
+
+    def run():
+        return model.locate(audio, 'w01 w02 w03', language='en', mode=0,
+                            count=5, verbose=None)
+
+    _bench_loop(run, minutes * 60.0, f'xRT_locate_{MODEL}')
+
+
 if __name__ == '__main__':
     _enable_cache()
-    main_e2e() if MODE == 'e2e' else main_kernel()
+    {'e2e': main_e2e, 'kernel': main_kernel, 'align': main_align,
+     'refine': main_refine, 'locate': main_locate}[MODE]()

@@ -706,8 +706,75 @@ def _launch_word_timing(model, tokenizer, features, metas,
         if short:
             out['sel_short'] = sel[:, np.asarray(short)]
     else:
-        out['qks'] = qks
+        # Non-selective capture (dynamic heads / 'new' aligner / unknown
+        # heads): score heads ON DEVICE per window and dispatch the DTW —
+        # the (L, B, H, T, 1500) capture never crosses the host link
+        # (VERDICT r2 #4; the host download was multi-GB per group at
+        # large-v3). Short tail windows still take the reference-order
+        # host path on a per-window slice of the capture.
+        full = [k for k, m in enumerate(max_qk_lens) if m >= N_FRAMES // 2]
+        short = [k for k in range(len(todo)) if k not in full]
+        out['full'] = full
+        out['short'] = short
+        if full:
+            matrices = [_device_matrix(model, qks, k, max_qk_lens[k],
+                                       row_counts[k], sot_len, None,
+                                       dynamic_heads, aligner)
+                        for k in full]
+            mats = jnp.stack(matrices)
+            rows_in = jnp.asarray([row_counts[k] for k in full], jnp.int32)
+            qk_lens_in = jnp.asarray([max_qk_lens[k] for k in full],
+                                     jnp.int32)
+            cost = _dtw_cost_batched(-mats)
+            from .ops.dtw import dtw_jumps_device
+            out['jumps'] = dtw_jumps_device(cost, rows_in, qk_lens_in)
+            if _dynamic_iterations(dynamic_heads, aligner) > 1:
+                out['qks_dev'] = qks  # retained for the refinement loop
+        if short:
+            out['qks_short'] = qks[:, np.asarray(short)]
     return out
+
+
+def _dynamic_iterations(dynamic_heads, aligner) -> int:
+    """Iteration count of the iterated dynamic-head refinement (reference
+    timing.py:254-265: 'count,iterations' string form)."""
+    if aligner != 'legacy' or isinstance(aligner, dict):
+        return 1
+    if isinstance(dynamic_heads, str) and ',' in dynamic_heads:
+        return int(dynamic_heads.split(',')[1])
+    return 1
+
+
+def _device_matrix(model, qks, k: int, qk_len: int, row_count: int,
+                   sot_len: int, peaks, dynamic_heads, aligner):
+    """One window's head-scored alignment matrix, computed on device from
+    the resident (L, B, H, T, 1500) capture (same dispatch rules as the
+    host path, _select_matrix_host)."""
+    import jax.numpy as jnp
+    from .models.whisper.timing import (dynamic_weights_device,
+                                        new_aligner_matrix_device)
+    qk = qks[:, k]
+    if aligner != 'legacy' or isinstance(aligner, dict):
+        kwargs = dict(topk=20, w_colnorm=1.0, w_rownorm=1.0, w_coverage=0.0)
+        if isinstance(aligner, dict):
+            kwargs.update(aligner)
+        return new_aligner_matrix_device(
+            qk, jnp.int32(qk_len), jnp.int32(row_count), sot_len, 1.0,
+            medfilt_width=7,
+            topk=min(int(kwargs['topk']),
+                     model.dims.n_text_layer * model.dims.n_text_head),
+            w_colnorm=float(kwargs['w_colnorm']),
+            w_rownorm=float(kwargs['w_rownorm']),
+            w_coverage=float(kwargs['w_coverage']))
+    if isinstance(dynamic_heads, str):
+        count = int(dynamic_heads.split(',')[0])
+    elif dynamic_heads in (None, True):
+        count = 6
+    else:
+        count = int(dynamic_heads)
+    return dynamic_weights_device(
+        qk, jnp.int32(qk_len), jnp.int32(row_count), peaks, sot_len, 1.0,
+        medfilt_width=7, heads_count=count)
 
 
 def _finish_word_timing(model, tokenizer, pending, metas,
@@ -759,17 +826,50 @@ def _finish_word_timing(model, tokenizer, pending, metas,
                                 _matrices_to_jumps(short_matrices)):
                 all_jumps[k] = jumps
     else:
-        # full-head capture: (L, B, H, T, 1500) downloaded, per-window host
-        # head selection (dynamic / 'new' aligner modes)
-        qks_np = np.asarray(pending['qks'][:, :n_todo]).astype(np.float32)
-        matrices = []
-        for k, i in enumerate(todo):
-            n_text = row_counts[k] - 1
-            qk = qks_np[:, k, :, :sot_len + 1 + n_text + 1]
-            matrices.append(_select_matrix_host(
-                model, qk, max_qk_lens[k], sot_len,
-                pending['dynamic_heads'], pending['aligner_mode']))
-        all_jumps = _matrices_to_jumps(matrices)
+        # dynamic / 'new' aligner modes: head scoring ran ON DEVICE at
+        # launch; only the jump frames (and any short windows' slice of
+        # the capture) cross the host link
+        if pending['full']:
+            import jax.numpy as jnp
+            from .ops.dtw import dtw_jumps_device
+            jumps_np = np.asarray(pending['jumps'])
+            iters = _dynamic_iterations(pending['dynamic_heads'],
+                                        pending['aligner_mode'])
+            for _ in range(iters - 1):
+                # iterated dynamic refinement (reference timing.py:254-265):
+                # midpoints of the previous jumps become the peak targets
+                t_rows = jumps_np.shape[1]
+                matrices = []
+                for idx, k in enumerate(pending['full']):
+                    ji = np.pad(jumps_np[idx, :row_counts[k]], (0, 1),
+                                constant_values=max_qk_lens[k])
+                    peaks = np.zeros(t_rows, np.float32)
+                    peaks[:row_counts[k]] = ji[:-1] + (ji[1:] - ji[:-1]) * 0.5
+                    matrices.append(_device_matrix(
+                        model, pending['qks_dev'], k, max_qk_lens[k],
+                        row_counts[k], sot_len, jnp.asarray(peaks),
+                        pending['dynamic_heads'], pending['aligner_mode']))
+                rows_in = jnp.asarray([row_counts[k] for k in pending['full']],
+                                      jnp.int32)
+                qk_lens_in = jnp.asarray(
+                    [max_qk_lens[k] for k in pending['full']], jnp.int32)
+                cost = _dtw_cost_batched(-jnp.stack(matrices))
+                jumps_np = np.asarray(
+                    dtw_jumps_device(cost, rows_in, qk_lens_in))
+            for idx, k in enumerate(pending['full']):
+                all_jumps[k] = jumps_np[idx, :row_counts[k]]
+        if pending['short']:
+            qks_np = np.asarray(pending['qks_short']).astype(np.float32)
+            short_matrices = []
+            for j, k in enumerate(pending['short']):
+                n_text = row_counts[k] - 1
+                qk = qks_np[:, j, :, :sot_len + 1 + n_text + 1]
+                short_matrices.append(_select_matrix_host(
+                    model, qk, max_qk_lens[k], sot_len,
+                    pending['dynamic_heads'], pending['aligner_mode']))
+            for k, jumps in zip(pending['short'],
+                                _matrices_to_jumps(short_matrices)):
+                all_jumps[k] = jumps
 
     for k, i in enumerate(todo):
         text_tokens, token_split, seg_indices = prep[i]
@@ -843,7 +943,20 @@ def _select_matrix_host(model, qk, max_qk_len, sot_len, dynamic_heads,
         sel = qk[heads[:, 0], heads[:, 1]]
         weights = legacy_head_weights(sel, max_qk_len, sot_len, 1.0, 7)
         return weights.mean(axis=0)
-    count = 6 if dynamic_heads in (None, True) else int(dynamic_heads)
-    weights = _dynamic_head_weights(qk, sot_len, max_qk_len, 1.0, 7,
-                                    count, None)
-    return weights.mean(axis=0)
+    if isinstance(dynamic_heads, str):
+        count = int(dynamic_heads.split(',')[0])
+    elif dynamic_heads in (None, True):
+        count = 6
+    else:
+        count = int(dynamic_heads)
+    iterations = _dynamic_iterations(dynamic_heads, aligner)
+    from .models.whisper.timing import _matrix_to_jumps
+    jump_indices = None
+    matrix = None
+    for it in range(iterations):
+        weights = _dynamic_head_weights(qk, sot_len, max_qk_len, 1.0, 7,
+                                        count, jump_indices)
+        matrix = weights.mean(axis=0)
+        if it < iterations - 1:
+            jump_indices = _matrix_to_jumps(matrix)
+    return matrix

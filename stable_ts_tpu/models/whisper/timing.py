@@ -223,6 +223,95 @@ def _dynamic_head_weights(qks: np.ndarray, sot_len: int, max_qk_len: int,
     return _np_median_filter(selected, medfilt_width)
 
 
+@partial(jax.jit, static_argnames=('medfilt_width', 'sot_len', 'heads_count'))
+def dynamic_weights_device(qks: jnp.ndarray, qk_len, row_count,
+                           peaks: Optional[jnp.ndarray], sot_len: int,
+                           qk_scale: float, medfilt_width: int,
+                           heads_count: int) -> jnp.ndarray:
+    """Device-side dynamic head selection for ONE window (VERDICT r2 #4).
+
+    Same scoring as the reference's host loop (timing.py:87-103) — per-token
+    top-k heads by attention-peak distance — but run on the (L, H, T, 1500)
+    capture where it already lives, with masking in place of cropping:
+    ``qk_len`` masks audio columns, ``row_count`` confines the
+    normalization statistics to the window's real token rows. Only the
+    meaned (T', 1500) matrix (a few MB) ever leaves the device.
+
+    ``peaks``: optional (T',) precomputed peak positions (the iterated
+    refinement feeds midpoints of the previous DTW jumps, reference
+    timing.py:96-99); None uses each head's own argmax row peak.
+    Returns (T', 1500) f32, already meaned over the selected heads.
+    """
+    L, H, T, F = qks.shape
+    heads_count = min(heads_count, L * H)
+    w = qks.reshape(L * H, T, F)[:, sot_len:-1, :].astype(jnp.float32)
+    n_rows = w.shape[1]
+    col_ok = jnp.arange(F)[None, None, :] < qk_len
+    w = jnp.where(col_ok, w * qk_scale, -jnp.inf)
+    w = jax.nn.softmax(w, axis=-1)
+    w = jnp.where(col_ok, w, 0.0)
+    if peaks is None:
+        pk = jnp.argmax(w, axis=-1, keepdims=True).astype(jnp.float32)
+    else:
+        pk = peaks[None, :, None].astype(jnp.float32)
+    distances = jnp.abs(pk - jnp.arange(F)[None, None, :]) / 1500.0
+    scores = jnp.sum(distances * w, axis=-1)              # (LH, T')
+    # per-token k smallest scores
+    _, idx = jax.lax.top_k(-scores.T, heads_count)        # (T', k)
+    selected = jnp.take_along_axis(w, idx.T[:, :, None], axis=0)  # (k, T', F)
+    row_ok = (jnp.arange(n_rows) < row_count)[None, :, None]
+    count = row_count.astype(jnp.float32)
+    mean = jnp.sum(jnp.where(row_ok, selected, 0.0), axis=-2,
+                   keepdims=True) / count
+    var = jnp.sum(jnp.where(row_ok, (selected - mean) ** 2, 0.0),
+                  axis=-2, keepdims=True) / count
+    std = jnp.sqrt(var)
+    selected = (selected - mean) / jnp.where(std > 0, std, 1.0)
+    return median_filter(selected, medfilt_width).mean(axis=0)
+
+
+@partial(jax.jit, static_argnames=('medfilt_width', 'sot_len', 'topk',
+                                   'w_colnorm', 'w_rownorm', 'w_coverage'))
+def new_aligner_matrix_device(qks: jnp.ndarray, qk_len, row_count,
+                              sot_len: int, qk_scale: float,
+                              medfilt_width: int, topk: int,
+                              w_colnorm: float, w_rownorm: float,
+                              w_coverage: float) -> jnp.ndarray:
+    """Device-side 'new' aligner for ONE batched-pass window: the masked
+    twin of :func:`_new_aligner_matrix` with the head scores (col/row norms,
+    coverage) confined to the window's real token rows, so the full-head
+    capture never crosses the host link. ``row_count`` counts rows past the
+    SOT sequence minus the EOT row (n_text + 1 — the same convention as
+    :func:`legacy_weights_batched`). Returns (T', 1500) f32."""
+    L, H, T, F = qks.shape
+    col_ok = jnp.arange(F)[None, None, :] < qk_len
+    w = qks.reshape(L * H, T, F).astype(jnp.float32)
+    w = median_filter(w, medfilt_width)
+    w = jnp.where(col_ok, w * qk_scale, -jnp.inf)
+    w = jax.nn.softmax(w, axis=-1)
+    w = jnp.where(col_ok, w, 0.0)
+    # zero out pad token rows BEFORE scoring: they carry real attention
+    # mass (EOT repeats) the reference never sees; real rows span
+    # [0, sot_len + row_count + 1) — the sot rows, no_timestamps + text
+    # rows, and the eot row all participate exactly as in the host crop
+    row_ok = (jnp.arange(T) < sot_len + row_count + 1)[None, :, None]
+    w = jnp.where(row_ok, w, 0.0)
+    scores = jnp.zeros(L * H)
+    if w_colnorm > 0:
+        scores = scores + w_colnorm * jnp.linalg.norm(w, axis=-2).sum(-1)
+    if w_rownorm > 0:
+        scores = scores + w_rownorm * jnp.linalg.norm(w, axis=-1).sum(-1)
+    if w_coverage > 0:
+        coverage = jnp.sum(w, axis=1)
+        penalty = jnp.maximum(coverage, 0.5).sum(-1) - coverage.shape[-1] * 0.5
+        scores = scores - w_coverage * penalty
+    top_idxs = jax.lax.top_k(scores, topk)[1]
+    matrix = w[top_idxs]
+    col_norm = jnp.linalg.norm(matrix, axis=-2, keepdims=True)
+    matrix = jnp.mean(matrix / jnp.where(col_norm == 0, 1.0, col_norm), axis=0)
+    return matrix[sot_len:-1]
+
+
 def _np_median_filter(x: np.ndarray, width: int) -> np.ndarray:
     if width <= 1 or x.shape[-1] <= width // 2:
         return x
