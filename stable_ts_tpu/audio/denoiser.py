@@ -86,9 +86,79 @@ def _load_demucs(**kw):
     return model
 
 
+def _apply_demucs_chunked(model, wav, *, shifts: int = 0,
+                          overlap: float = 0.25,
+                          transition_power: float = 1.0,
+                          segment: Optional[float] = None,
+                          device=None, seed: Optional[int] = None):
+    """Chunked overlap-weighted source separation.
+
+    Behavioral counterpart of the reference's own apply
+    (audio/demucs.py:75-145): fixed-length segments at stride
+    ``(1 - overlap) * segment``, triangular per-sample weights raised to
+    ``transition_power``, normalized by the summed weight, with optional
+    averaging over ``shifts`` random sub-segment shifts. Only one segment
+    is ever resident, so arbitrarily long audio runs in bounded memory —
+    delegating whole-signal processing to the model would OOM on long
+    inputs.
+
+    wav: torch (channels, T) at ``model.samplerate``.
+    Returns torch (n_sources, channels, T).
+    """
+    import random
+    import torch
+    device = torch.device(device or 'cpu')
+    model = model.to(device)
+    channels, length = wav.shape
+    seg_dur = segment if segment is not None else getattr(model, 'segment', 10.)
+    seg = max(1, int(model.samplerate * float(seg_dur)))
+
+    def infer(chunk):
+        n = chunk.shape[-1]
+        valid = (model.valid_length(n) if hasattr(model, 'valid_length')
+                 else max(n, seg))
+        delta = valid - n  # CENTERED padding + center trim, like the
+        padded = torch.nn.functional.pad(  # reference's TensorChunk.padded
+            chunk, (delta // 2, delta - delta // 2))
+        with torch.no_grad():
+            out = model(padded[None].to(device))[0].cpu()
+        excess = out.shape[-1] - n
+        return out[..., excess // 2:excess // 2 + n] if excess > 0 else out
+
+    def split_apply(mix):
+        total = mix.shape[-1]
+        out = torch.zeros(len(model.sources), channels, total)
+        sum_w = torch.zeros(total)
+        stride = max(1, int((1 - overlap) * seg))
+        weight = torch.cat([torch.arange(1, seg // 2 + 1),
+                            torch.arange(seg - seg // 2, 0, -1)]).float()
+        weight = (weight / weight.max()) ** transition_power
+        for offset in range(0, total, stride):
+            chunk = mix[:, offset:offset + seg]
+            o = infer(chunk)
+            n = o.shape[-1]
+            out[..., offset:offset + n] += weight[:n] * o
+            sum_w[offset:offset + n] += weight[:n]
+        assert float(sum_w.min()) > 0
+        return out / sum_w
+
+    if not shifts:
+        return split_apply(wav)
+    # averaged random shifts de-phase the chunk grid (reference :135-143)
+    rng = random.Random(seed)
+    max_shift = int(0.5 * model.samplerate)
+    padded = torch.nn.functional.pad(wav, (max_shift, max_shift))
+    acc = torch.zeros(len(model.sources), channels, length)
+    for _ in range(shifts):
+        off = rng.randint(0, max_shift)
+        shifted = padded[:, off:off + length + max_shift]
+        lo = max_shift - off
+        acc += split_apply(shifted)[..., lo:lo + length]
+    return acc / shifts
+
+
 def _run_demucs(audio: np.ndarray, model=None, device=None, **kw):
     import torch
-    from demucs.apply import apply_model
     # demucs expects (channels, T) at its own sample rate; stable-ts feeds
     # 16 kHz mono, so resample the 1-D signal in and out
     # (reference audio/demucs.py:153-211). resample operates on 1-D arrays —
@@ -98,10 +168,11 @@ def _run_demucs(audio: np.ndarray, model=None, device=None, **kw):
     mono = np.asarray(audio, np.float32).reshape(-1)
     mono = np.asarray(resample(mono, in_sr, model.samplerate), np.float32)
     wav = torch.as_tensor(mono)[None].repeat(model.audio_channels, 1)
-    kw.setdefault('split', True)
-    kw.setdefault('overlap', 0.25)
-    with torch.no_grad():
-        stems = apply_model(model, wav[None], device=device or 'cpu', **kw)[0]
+    if kw.pop('split', True):
+        stems = _apply_demucs_chunked(model, wav, device=device, **kw)
+    else:
+        with torch.no_grad():
+            stems = model(wav[None].to(device or 'cpu'))[0].cpu()
     vocals = stems[model.sources.index('vocals')].mean(0).numpy()
     out = resample(vocals.reshape(-1), model.samplerate, in_sr)
     return np.asarray(out, np.float32)

@@ -412,13 +412,28 @@ def transcribe_batched(
             if not pending_idx:
                 break
             # re-decode ONLY the failed windows, from the cached features —
-            # the encoder never runs again (reference decode.py:27-30)
-            rows = pending_idx + [pending_idx[-1]] * (batch_size
+            # the encoder never runs again (reference decode.py:27-30).
+            # Rows pad to the next power-of-2 bucket, not the full group:
+            # real audio fails on scattered windows, and a 2-row retry
+            # through a 16-row decode wastes 8x the step traffic. Bucketed
+            # shapes keep the compile set tiny ({1,2,4,..,batch_size}) and
+            # the persistent compilation cache makes each a one-time cost.
+            retry_rows = 1
+            while retry_rows < min(len(pending_idx), batch_size):
+                retry_rows *= 2
+            retry_rows = min(retry_rows, batch_size)
+            rows = pending_idx + [pending_idx[-1]] * (retry_rows
                                                       - len(pending_idx))
             feats, _ = model.shard_batch(grp.features[np.asarray(rows)])
+            mask = _group_ts_mask(grp, pending_idx)
+            if mask is not None:
+                mask = mask[:retry_rows]
+                if feats.shape[0] > mask.shape[0]:  # mesh dp padding
+                    mask = np.concatenate(
+                        [mask, np.repeat(mask[-1:],
+                                         feats.shape[0] - mask.shape[0], 0)])
             retry = model.decode(feats, _make_options(t, grp.prompt),
-                                 ts_silence_mask=_group_ts_mask(
-                                     grp, pending_idx))
+                                 ts_silence_mask=mask)
             for i, r in zip(pending_idx, retry):
                 results[i] = r
         grp.results = results

@@ -112,22 +112,18 @@ class TestDemucsDfnetAdapters:
         class FakeDemucs(torch.nn.Module):
             samplerate = 16000
             audio_channels = 2
+            segment = 0.5  # seconds per chunk -> forces chunked stitching
             sources = ['drums', 'bass', 'other', 'vocals']
+
+            def forward(self, wav):
+                # (1, C, T) -> (1, n_sources, C, T): vocals = half the input
+                return wav[:, None].repeat(1, len(self.sources), 1, 1) * 0.5
 
         pretrained = types.ModuleType('demucs.pretrained')
         pretrained.get_model = lambda name: FakeDemucs()
-        apply = types.ModuleType('demucs.apply')
-
-        def apply_model(model, wav, device=None, **kw):
-            # (1, C, T) -> (1, n_sources, C, T): vocals = half the input
-            stems = wav[:, None].repeat(1, len(model.sources), 1, 1)
-            return stems * 0.5
-
-        apply.apply_model = apply_model
         pkg = types.ModuleType('demucs')
-        pkg.pretrained, pkg.apply = pretrained, apply
-        for name, mod in [('demucs', pkg), ('demucs.pretrained', pretrained),
-                          ('demucs.apply', apply)]:
+        pkg.pretrained = pretrained
+        for name, mod in [('demucs', pkg), ('demucs.pretrained', pretrained)]:
             monkeypatch.setitem(sys.modules, name, mod)
 
     def _install_fake_dfnet(self, monkeypatch):
@@ -155,6 +151,53 @@ class TestDemucsDfnetAdapters:
         out = apply_denoiser('demucs', audio)
         assert out.shape == audio.shape
         np.testing.assert_allclose(out, audio * 0.5, atol=1e-4)
+        self._clear_cache()
+
+    def test_demucs_chunked_stitching_exact(self, monkeypatch):
+        """The overlap-weighted stitch must be EXACT at chunk boundaries for
+        a linear (identity-like) model: triangular weights normalize out
+        (reference audio/demucs.py:75-145 behavior)."""
+        self._install_fake_demucs(monkeypatch)
+        self._clear_cache()
+        from stable_ts_tpu.audio.denoiser import apply_denoiser
+        # 2.3 s ramp at segment=0.5 s -> 5 chunks incl. a short tail
+        audio = (np.linspace(-1, 1, int(16000 * 2.3))
+                 .astype(np.float32))
+        out = apply_denoiser('demucs', audio, overlap=0.25)
+        assert out.shape == audio.shape
+        np.testing.assert_allclose(out, audio * 0.5, atol=1e-5)
+        self._clear_cache()
+
+    def test_demucs_chunked_bounded_memory(self, monkeypatch):
+        """The model must never see more than one segment at a time."""
+        self._install_fake_demucs(monkeypatch)
+        self._clear_cache()
+        import sys
+        import torch
+        seen = []
+        fake_cls = sys.modules['demucs.pretrained'].get_model('x').__class__
+        orig_forward = fake_cls.forward
+
+        def spy(self, wav):
+            seen.append(wav.shape[-1])
+            return orig_forward(self, wav)
+
+        monkeypatch.setattr(fake_cls, 'forward', spy)
+        from stable_ts_tpu.audio.denoiser import apply_denoiser
+        audio = np.ones(16000 * 4, np.float32)
+        apply_denoiser('demucs', audio)
+        assert seen and max(seen) <= int(16000 * 0.5)
+        self._clear_cache()
+
+    def test_demucs_shifts_deterministic_with_seed(self, monkeypatch):
+        self._install_fake_demucs(monkeypatch)
+        self._clear_cache()
+        from stable_ts_tpu.audio.denoiser import apply_denoiser
+        audio = np.sin(np.linspace(0, 60, 16000)).astype(np.float32)
+        a = apply_denoiser('demucs', audio, shifts=2, seed=7)
+        b = apply_denoiser('demucs', audio, shifts=2, seed=7)
+        np.testing.assert_allclose(a, b)
+        np.testing.assert_allclose(a, audio * 0.5, atol=1e-5)
         self._clear_cache()
 
     def test_dfnet_dispatch(self, monkeypatch):
