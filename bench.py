@@ -214,7 +214,7 @@ def main_kernel():
         encoder_apply, fuse_self_qkv, init_kv_cache, init_params,
         precompute_cross_kv, precompute_cross_kv_t)
     from stable_ts_tpu.models.whisper.decoding import (_use_cross_kernel,
-                                                       _use_self_kv_kernel)
+                                                       _use_int8_self_cache)
     from stable_ts_tpu.models.whisper.timing import build_head_capture_table
     from stable_ts_tpu.models.whisper.alignment_heads import get_alignment_heads
 
@@ -231,7 +231,8 @@ def main_kernel():
 
     # KV cache bucketed like the real decode path (decoding.py): the sampler
     # never writes past sot+TOKENS_PER_WINDOW, so no 448-slot cache.
-    cache_len = min(dims.n_text_ctx, ((4 + TOKENS_PER_WINDOW + 64) // 64) * 64)
+    cache_len = min(dims.n_text_ctx,
+                    ((4 + TOKENS_PER_WINDOW + 128) // 128) * 128)
 
     # Two jits on purpose: the decode phase holds the (L, B, 1500, d)
     # cross-KV; the timing phase holds the (L, B, H, T, 1500) QK capture.
@@ -240,10 +241,7 @@ def main_kernel():
     kvq = (True if os.environ.get('BENCH_KVQ') is None
            else os.environ.get('BENCH_KVQ') not in ('0', ''))
     fused_cross = _use_cross_kernel()
-    fused_self = _use_self_kv_kernel()
-    if fused_self:
-        cache_len = min(dims.n_text_ctx,
-                        ((4 + TOKENS_PER_WINDOW + 128) // 128) * 128)
+    int8_self = _use_int8_self_cache()
     heads = get_alignment_heads(MODEL, dims.n_text_layer, dims.n_text_head)
     cap_idx = cap_slots = None
     if heads is not None:
@@ -266,7 +264,7 @@ def main_kernel():
                                            quantize=kvq)
         logits, kv = decoder_prefill(params['decoder'], sot, xa,
                                      dims.n_text_head, cache_len,
-                                     fused_cache=fused_self)
+                                     int8_cache=int8_self)
 
         def body(i, carry):
             logits, kv = carry

@@ -116,6 +116,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help='refine timestamps of the result')
     parser.add_argument('--transcribe_method', default='transcribe',
                         choices=('transcribe', 'transcribe_minimal', 'transcribe_batched'))
+    parser.add_argument('--batch_size', type=int, default=8,
+                        help='30-s windows decoded per device batch '
+                             '(transcribe_batched only)')
 
     # decoding
     parser.add_argument('--temperature', type=float, default=0)
@@ -450,7 +453,8 @@ def _run_once(args, cache: dict):
                 regroup=args.regroup if args.regroup not in ('True', 'False')
                 else args.regroup == 'True',
             )
-            if args.transcribe_method == 'transcribe':
+            if args.transcribe_method in ('transcribe', 'transcribe_batched'):
+                # options shared by the sequential and batched drivers
                 tr_kwargs.update(
                     best_of=args.best_of, beam_size=args.beam_size,
                     patience=args.patience, length_penalty=args.length_penalty,
@@ -477,13 +481,19 @@ def _run_once(args, cache: dict):
                     denoiser_options=denoiser_options or None,
                     only_voice_freq=args.only_voice_freq,
                     stream=False if args.no_stream else None,
-                    mel_first=args.mel_first or None,
                     only_ffmpeg=args.only_ffmpeg,
                     prepend_punctuations=args.prepend_punctuations,
                     append_punctuations=args.append_punctuations,
                     dynamic_heads=args.dynamic_heads,
                     aligner=args.aligner,
                     clip_timestamps=args.clip_timestamps,
+                )
+            if args.transcribe_method == 'transcribe_batched':
+                tr_kwargs.update(batch_size=args.batch_size)
+            if args.transcribe_method == 'transcribe':
+                # sequential-driver-only knobs
+                tr_kwargs.update(
+                    mel_first=args.mel_first or None,
                     resume=args.resume,
                 )
             tr_kwargs.update(transcribe_options)

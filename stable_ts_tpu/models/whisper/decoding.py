@@ -45,18 +45,23 @@ def _use_cross_kernel() -> bool:
     return fused_kernels_enabled() and jax.default_backend() == 'tpu'
 
 
-def _use_self_kv_kernel() -> bool:
-    """int8 self-KV cache through the fused kernel — OFF by default
-    (STABLE_TS_TPU_SELFKV=1 opts in). Measured: the kernel's per-grid-step
-    overhead (~9 us x batch x layers) exceeds the bandwidth it saves on the
-    small self cache at full-length decodes — kernel-mode xRT dropped
-    48.8 vs 86.8 at b16 with it on. The cross-KV stream is 6x larger, which
-    is why the same kernel wins there."""
+def _use_int8_self_cache() -> bool:
+    """Row-major int8 self-KV cache (STABLE_TS_TPU_SELFKV). The rows
+    dequantize in registers inside the fused self-attention kernel
+    (ops/self_attn.py), halving the per-step cache stream. (The round-2
+    TRANSPOSED int8 cache lost to bf16 on strided column writes and was
+    removed; this layout keeps the contiguous row write.)"""
     import os
-    pref = os.environ.get('STABLE_TS_TPU_SELFKV', '0')
-    if pref in ('1', 'on', 'true', 'interpret'):
+    pref = os.environ.get('STABLE_TS_TPU_SELFKV', 'auto')
+    if pref in ('1', 'on', 'true'):
         return True
-    return False
+    if pref in ('0', 'off', 'false'):
+        return False
+    # auto: only with the fused kernel path (the XLA fallback would
+    # materialize dequantized slabs and lose the bandwidth it saves)
+    from .model import _self_fa_mode
+    return _self_fa_mode() == 'on'
+
 
 _NEG = jnp.float32(-1e9)
 
@@ -589,20 +594,20 @@ def decode_launch(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
 
     # Prefill: forward the initial tokens once, filling the KV cache.
     # The cache is bucketed to the largest position the sampler can write
-    # (sample_begin + sample_len, rounded up to 64) instead of the full
-    # n_text_ctx — the per-step self-attention streams the whole cache from
-    # HBM, so a 256-slot cache reads ~43% less than a 448-slot one.
-    fused_self = _use_self_kv_kernel()
-    # fused self-attention reads the cache through the Pallas kernel, whose
-    # lane dimension wants 128-multiples; the legacy path keeps 64-buckets
-    quantum = 128 if fused_self else 64
+    # (sample_begin + sample_len, rounded up to 128 — the fused
+    # self-attention kernel's scale vectors ride the lane dimension)
+    # instead of the full n_text_ctx — the per-step self-attention streams
+    # the whole cache from HBM, so a 256-slot cache reads ~43% less than a
+    # 448-slot one.
+    int8_self = _use_int8_self_cache()
+    quantum = 128
     cache_len = min(dims.n_text_ctx,
                     ((sample_begin + int(sample_len) + quantum) // quantum)
                     * quantum)
     tokens0 = jnp.asarray(initial_tokens, jnp.int32)[None].repeat(full_batch, 0)
     prefill_logits, kv_cache = decoder_prefill(
         params['decoder'], tokens0, xa_rep, dims.n_text_head, cache_len,
-        fused_cache=fused_self)
+        int8_cache=int8_self)
     # Fused self-attention projection for the sampler: one (d, 3d) matmul
     # per layer per token instead of three (d, d) launches. Built per call
     # (cheap concat), injected as an extra scanned leaf (model.py:

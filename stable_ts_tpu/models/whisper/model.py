@@ -603,15 +603,11 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     x = params['token_emb'][tokens] + jax.lax.dynamic_slice_in_dim(
         params['pos_emb'], pos, 1, axis=0)
     x = x.astype(params['token_emb'].dtype)
-    fused_self = 'kT' in kv_cache
-    if fused_self:
-        n_layers, batch, d, n_ctx = kv_cache['kT'].shape
-    else:
-        n_layers, batch, n_ctx, d = kv_cache['k'].shape
+    quant_self = 'ks' in kv_cache  # int8 row cache + per-position scales
+    n_layers, batch, n_ctx, d = kv_cache['k'].shape
     # Mask future positions: position j is valid iff j <= pos.
     valid = (jnp.arange(n_ctx)[None, :] <= pos)
     self_mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)[None, :]
-    self_bias = jnp.broadcast_to(self_mask, (batch, 1, n_ctx))
 
     # The KV cache rides the scan CARRY (not xs/ys): each layer writes only
     # its (1, batch, 1, d) slot via dynamic_update_slice, which XLA performs
@@ -620,14 +616,11 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     # (n_layers, batch, n_ctx, d) stack every token step — that copy traffic
     # dominated the step cost and OOM'd large batches.
     fused_cross = 'kT' in cross_kv
-    self_fa = _self_fa_mode() if not fused_self else 'off'
+    self_fa = _self_fa_mode()
 
     def block(carry, scanned):
-        h, kc, vc = carry
+        h, kc, vc, ksc, vsc = carry
         layer_params, layer_cross_kv, layer_idx = scanned
-        if fused_self:
-            kc, ksc = kc
-            vc, vsc = vc
         q_in = layer_norm(h, layer_params['attn_ln']['g'], layer_params['attn_ln']['b'])
         if 'qkv' in layer_params:   # fused projection (fuse_self_qkv)
             qkv = linear(q_in, layer_params['qkv']['w'],
@@ -639,19 +632,17 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
             new_k = linear(q_in, layer_params['attn']['k']['w'])
             new_v = linear(q_in, layer_params['attn']['v']['w'],
                            layer_params['attn']['v']['b'])
-        if fused_self:
-            # int8 transposed cache: write this position's column + scale,
-            # then run the same fused attention kernel as the cross path.
-            from ...ops.cross_attn import cross_attn_decode
-
+        if quant_self:
+            # int8 row cache: quantize this position's K/V rows (contiguous
+            # row write — the transposed layout's strided column writes
+            # were what killed the earlier int8 self-KV attempt)
             def upd(cache, scales, t):
                 t32 = t.astype(jnp.float32)               # (B, 1, d)
                 amax = jnp.max(jnp.abs(t32), axis=-1, keepdims=True)
                 sc = jnp.where(amax > 0, amax / 127.0, 1.0)
-                qt = jnp.clip(jnp.round(t32 / sc), -127,
-                              127).astype(jnp.int8).transpose(0, 2, 1)
+                qt = jnp.clip(jnp.round(t32 / sc), -127, 127).astype(jnp.int8)
                 cache = jax.lax.dynamic_update_slice(
-                    cache, qt[None], (layer_idx, 0, 0, pos))
+                    cache, qt[None], (layer_idx, 0, pos, 0))
                 scales = jax.lax.dynamic_update_slice(
                     scales, sc.transpose(0, 2, 1)[None],
                     (layer_idx, 0, 0, pos))
@@ -659,46 +650,40 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
 
             kc, ksc = upd(kc, ksc, new_k)
             vc, vsc = upd(vc, vsc, new_v)
-
-            def layer_of(t, width):
-                return jax.lax.dynamic_slice(
-                    t, (layer_idx, 0, 0, 0), (1, batch, width, n_ctx))[0]
-
-            q = (q_proj[:, 0, :].astype(jnp.float32)
-                 * ((d // n_head) ** -0.5))
-            ctx_out = cross_attn_decode(
-                q, layer_of(kc, d), layer_of(ksc, 1), self_bias,
-                layer_of(vc, d), layer_of(vsc, 1), n_head)
-            attn_out = linear(ctx_out[:, None, :].astype(h.dtype),
-                              layer_params['attn']['out']['w'],
-                              layer_params['attn']['out']['b'])
-            kc, vc = (kc, ksc), (vc, vsc)
         else:
             kc = jax.lax.dynamic_update_slice(kc, new_k[None].astype(kc.dtype),
                                               (layer_idx, 0, pos, 0))
             vc = jax.lax.dynamic_update_slice(vc, new_v[None].astype(vc.dtype),
                                               (layer_idx, 0, pos, 0))
-            if self_fa != 'off':
-                # Fused kernel: the layer index steers the BlockSpec via
-                # scalar prefetch, so the layer's cache slab streams
-                # HBM -> VMEM once — no dynamic_slice copy, no HBM logits.
-                from ...ops.self_attn import self_attn_decode
-                q = (q_proj[:, 0, :].astype(jnp.float32)
-                     * ((d // n_head) ** -0.5))
-                ctx = self_attn_decode(q, kc, vc, layer_idx, pos, n_head,
-                                       interpret=self_fa == 'interpret')
-                attn_out = linear(ctx[:, None, :].astype(h.dtype),
-                                  layer_params['attn']['out']['w'],
-                                  layer_params['attn']['out']['b'])
-            else:
-                k_cache = jax.lax.dynamic_slice(kc, (layer_idx, 0, 0, 0),
-                                                (1, batch, n_ctx, d))[0]
-                v_cache = jax.lax.dynamic_slice(vc, (layer_idx, 0, 0, 0),
-                                                (1, batch, n_ctx, d))[0]
-                attn_out, _, _ = _mha(layer_params['attn'], q_in, None, n_head,
-                                      mask=self_mask,
-                                      kv_override=(k_cache, v_cache),
-                                      q_override=q_proj)
+        if self_fa != 'off':
+            # Fused kernel: the layer index steers the BlockSpec via
+            # scalar prefetch, so the layer's cache slab streams
+            # HBM -> VMEM once — no dynamic_slice copy, no HBM logits.
+            from ...ops.self_attn import self_attn_decode
+            q = (q_proj[:, 0, :].astype(jnp.float32)
+                 * ((d // n_head) ** -0.5))
+            ctx = self_attn_decode(q, kc, vc, layer_idx, pos, n_head,
+                                   ks=ksc, vs=vsc,
+                                   interpret=self_fa == 'interpret')
+            attn_out = linear(ctx[:, None, :].astype(h.dtype),
+                              layer_params['attn']['out']['w'],
+                              layer_params['attn']['out']['b'])
+        else:
+            def layer_slab(cache, scales):
+                slab = jax.lax.dynamic_slice(
+                    cache, (layer_idx, 0, 0, 0), (1, batch, n_ctx, d))[0]
+                if scales is None:
+                    return slab
+                sc = jax.lax.dynamic_slice(
+                    scales, (layer_idx, 0, 0, 0), (1, batch, 1, n_ctx))[0]
+                return slab.astype(jnp.float32) * sc.transpose(0, 2, 1)
+
+            k_cache = layer_slab(kc, ksc)
+            v_cache = layer_slab(vc, vsc)
+            attn_out, _, _ = _mha(layer_params['attn'], q_in, None, n_head,
+                                  mask=self_mask,
+                                  kv_override=(k_cache, v_cache),
+                                  q_override=q_proj)
         h = h + attn_out
         ca_in = layer_norm(h, layer_params['cross_attn_ln']['g'],
                            layer_params['cross_attn_ln']['b'])
@@ -732,52 +717,49 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
         h = h + _mlp(layer_params['mlp'],
                      layer_norm(h, layer_params['mlp_ln']['g'],
                                 layer_params['mlp_ln']['b']))
-        return (h, kc, vc), None
+        return (h, kc, vc, ksc, vsc), None
 
     cross_xs = ((cross_kv['kT'], cross_kv['ks'], cross_kv['kb'],
                  cross_kv['vT'], cross_kv['vs']) if fused_cross
                 else (cross_kv['k'], cross_kv['v']))
-    if fused_self:
-        carry0 = (x, (kv_cache['kT'], kv_cache['ks']),
-                  (kv_cache['vT'], kv_cache['vs']))
-    else:
-        carry0 = (x, kv_cache['k'], kv_cache['v'])
-    (x, new_k, new_v), _ = jax.lax.scan(
+    carry0 = (x, kv_cache['k'], kv_cache['v'],
+              kv_cache.get('ks'), kv_cache.get('vs'))
+    (x, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
         block, carry0, (params['blocks'], cross_xs, jnp.arange(n_layers)))
     x = layer_norm(x, params['ln']['g'], params['ln']['b'])
     logits = jnp.dot(x[:, 0], params['token_emb'].T,
                      preferred_element_type=jnp.float32)
-    if fused_self:
-        (kt, ks), (vt, vs) = new_k, new_v
-        return logits, {'kT': kt, 'ks': ks, 'vT': vt, 'vs': vs}
+    if quant_self:
+        return logits, {'k': new_k, 'ks': new_ks, 'v': new_v, 'vs': new_vs}
     return logits, {'k': new_k, 'v': new_v}
 
 
 def _quantize_cache_entry(t: jnp.ndarray, n_ctx: int):
-    """(B, T, d) -> transposed int8 (B, d, n_ctx) + per-position scales
-    (B, 1, n_ctx) for the fused self-attention cache."""
+    """(B, T, d) -> row-major int8 (B, n_ctx, d) + per-position scales
+    (B, 1, n_ctx) for the int8 self-attention cache."""
     t32 = t.astype(jnp.float32)
     amax = jnp.max(jnp.abs(t32), axis=-1, keepdims=True)      # (B, T, 1)
     sc = jnp.where(amax > 0, amax / 127.0, 1.0)
     qt = jnp.clip(jnp.round(t32 / sc), -127, 127).astype(jnp.int8)
     pad = n_ctx - t.shape[1]
-    qt = jnp.pad(qt.transpose(0, 2, 1), ((0, 0), (0, 0), (0, pad)))
+    qt = jnp.pad(qt, ((0, 0), (0, pad), (0, 0)))
     sc = jnp.pad(sc[..., 0], ((0, 0), (0, pad)),
                  constant_values=1.0)[:, None, :]
     return qt, sc
 
 
-@partial(jax.jit, static_argnames=('n_head', 'n_text_ctx', 'fused_cache'))
+@partial(jax.jit, static_argnames=('n_head', 'n_text_ctx', 'int8_cache'))
 def decoder_prefill(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
-                    n_head: int, n_text_ctx: int, fused_cache: bool = False):
+                    n_head: int, n_text_ctx: int, int8_cache: bool = False):
     """Teacher-forced forward over the initial tokens that also fills the
     fixed-size KV cache (positions [0, n_tok)) for subsequent decoder_step.
 
     Returns (logits (batch, n_tok, n_vocab), kv_cache dict).
-    ``fused_cache=True`` emits the TRANSPOSED int8 cache layout
-    ({'kT','ks','vT','vs'}, (L, B, d, n_ctx)) that decoder_step's fused
-    self-attention kernel consumes — the per-step self-KV stream halves vs
-    bf16, the same trade the int8 cross-KV cache already makes.
+    ``int8_cache=True`` emits the row-major int8 cache layout
+    ({'k','ks','v','vs'}: int8 (L, B, n_ctx, d) + per-position scales
+    (L, B, 1, n_ctx)) that decoder_step's fused self-attention kernel
+    dequantizes in registers — the per-step self-KV stream halves vs bf16,
+    the same trade the int8 cross-KV cache already makes.
     """
     b, n_tok = tokens.shape
     x = params['token_emb'][tokens] + params['pos_emb'][:n_tok]
@@ -802,7 +784,7 @@ def decoder_prefill(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
         h = h + _mlp(layer_params['mlp'],
                      layer_norm(h, layer_params['mlp_ln']['g'],
                                 layer_params['mlp_ln']['b']))
-        if fused_cache:
+        if int8_cache:
             kq, ksc = _quantize_cache_entry(k, n_text_ctx)
             vq, vsc = _quantize_cache_entry(v, n_text_ctx)
             return h, (kq, ksc, vq, vsc)
@@ -814,9 +796,9 @@ def decoder_prefill(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
     x, cache_ys = jax.lax.scan(block, x, params['blocks'])
     x = layer_norm(x, params['ln']['g'], params['ln']['b'])
     logits = jnp.dot(x, params['token_emb'].T, preferred_element_type=jnp.float32)
-    if fused_cache:
+    if int8_cache:
         kq, ksc, vq, vsc = cache_ys
-        return logits, {'kT': kq, 'ks': ksc, 'vT': vq, 'vs': vsc}
+        return logits, {'k': kq, 'ks': ksc, 'v': vq, 'vs': vsc}
     k_cache, v_cache = cache_ys
     return logits, {'k': k_cache, 'v': v_cache}
 

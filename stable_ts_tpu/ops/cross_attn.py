@@ -45,7 +45,7 @@ _S_CHUNK = 512
 
 
 def _kernel(q_ref, kt_ref, ks_ref, kb_ref, vt_ref, vs_ref, out_ref, *,
-            n_head: int, q_per_kv: int):
+            n_head: int, q_per_kv: int, g_pad: int):
     d = q_ref.shape[-1]
     d_head = d // n_head
     i = pl.program_id(0)
@@ -61,42 +61,57 @@ def _kernel(q_ref, kt_ref, ks_ref, kb_ref, vt_ref, vs_ref, out_ref, *,
     # the kernel is bandwidth/latency-bound, not FLOP-bound.
     #
     # ``q_per_kv = g > 1`` (beam search / best_of): g query rows share one
-    # K/V tile — q rows [i*g, (i+1)*g) embed into a (g*n_head, d) matrix
+    # K/V tile — the program's q rows embed into a (g_pad*n_head, d) matrix
     # (query row r of the group occupies rows [r*n_head, (r+1)*n_head)),
     # so the dominant K/V stream is read once per GROUP instead of once
-    # per beam.
-    col_head = jax.lax.broadcasted_iota(jnp.int32, (g * n_head, d), 1) // d_head
-    row_head = jax.lax.broadcasted_iota(jnp.int32, (g * n_head, d), 0) % n_head
-    hmask = (col_head == row_head).astype(jnp.float32)     # (g*n_head, d)
-
-    # q/out ride as full (rows, d) arrays — Mosaic requires sublane-dim
-    # blocks of >= 8 rows, so a (g, d) per-program row block won't lower;
-    # the full array is cheaper than re-tiling.
-    qrows = q_ref[pl.ds(i * g, g), :].astype(jnp.float32)  # (g, d)
-    # scatter the g query rows onto their n_head row blocks
-    row_q = jax.lax.broadcasted_iota(jnp.int32, (g * n_head, g), 0) // n_head
-    col_q = jax.lax.broadcasted_iota(jnp.int32, (g * n_head, g), 1)
-    expand = (row_q == col_q).astype(jnp.float32)          # (g*n_head, g)
-    qblk = (hmask * jax.lax.dot_general(
-        expand, qrows, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)).astype(jnp.bfloat16)
+    # per beam. The beam axis arrives PRE-BLOCKED as (b, g_pad, d) with
+    # g_pad a sublane multiple — Mosaic cannot lower a dynamic-start
+    # sublane slice at stride g, so the host reshapes instead.
+    if g == 1:
+        # q/out ride as full (rows, d) arrays — Mosaic requires sublane-dim
+        # blocks of >= 8 rows, so a (1, d) per-program row block won't
+        # lower; the full array is cheaper than re-tiling.
+        qrows = q_ref[pl.ds(i, 1), :].astype(jnp.float32)    # (1, d)
+        rows_blk = n_head
+        col_head = jax.lax.broadcasted_iota(jnp.int32, (rows_blk, d), 1) // d_head
+        row_head = jax.lax.broadcasted_iota(jnp.int32, (rows_blk, d), 0) % n_head
+        hmask = (col_head == row_head).astype(jnp.float32)
+        qblk = (hmask * qrows).astype(jnp.bfloat16)          # (H, d)
+    else:
+        qrows = q_ref[0].astype(jnp.float32)                 # (g_pad, d)
+        rows_blk = g_pad * n_head
+        col_head = jax.lax.broadcasted_iota(jnp.int32, (rows_blk, d), 1) // d_head
+        row_head = jax.lax.broadcasted_iota(jnp.int32, (rows_blk, d), 0) % n_head
+        hmask = (col_head == row_head).astype(jnp.float32)   # (g_pad*H, d)
+        # scatter the g_pad query rows onto their n_head row blocks
+        row_q = jax.lax.broadcasted_iota(jnp.int32, (rows_blk, g_pad), 0) // n_head
+        col_q = jax.lax.broadcasted_iota(jnp.int32, (rows_blk, g_pad), 1)
+        expand = (row_q == col_q).astype(jnp.float32)        # (g_pad*H, g_pad)
+        qblk = (hmask * jax.lax.dot_general(
+            expand, qrows, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)).astype(jnp.bfloat16)
 
     lg = jax.lax.dot_general(qblk, kt_ref[0], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (g*H, S)
+                             preferred_element_type=jnp.float32)  # (rows, S)
     # dequant scales + additive bias (pad positions carry -inf here)
     lg = lg * ks_ref[0] + kb_ref[0]
     m = jnp.max(lg, axis=1, keepdims=True)
     w = jnp.exp(lg - m)
     l = jnp.sum(w, axis=1, keepdims=True)
-    wv = (w * vs_ref[0]).astype(jnp.bfloat16)              # (g*H, S)
+    wv = (w * vs_ref[0]).astype(jnp.bfloat16)              # (rows, S)
     o2 = jax.lax.dot_general(wv, vt_ref[0], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (g*H, d)
-    # fold the n_head row blocks of each query row back to its d columns
-    o = jax.lax.dot_general(expand, o2 * hmask, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)   # (g, d)
-    l_d = jax.lax.dot_general(expand, hmask * l, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    out_ref[pl.ds(i * g, g), :] = o / l_d
+                             preferred_element_type=jnp.float32)  # (rows, d)
+    if g == 1:
+        o = jnp.sum(o2 * hmask, axis=0, keepdims=True)     # diag blocks
+        l_d = jnp.sum(hmask * l, axis=0, keepdims=True)
+        out_ref[pl.ds(i, 1), :] = o / l_d
+    else:
+        # fold the n_head row blocks of each query row back to its d columns
+        o = jax.lax.dot_general(expand, o2 * hmask, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (g_pad, d)
+        l_d = jax.lax.dot_general(expand, hmask * l, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        out_ref[0] = o / l_d
 
 
 def _pad_s(s: int) -> int:
@@ -108,29 +123,44 @@ def _call(q, kt, ks, kb, vt, vs, n_head: int, q_per_kv: int):
     import os
     b, d, s_pad = kt.shape
     rows = q.shape[0]
-    kernel = partial(_kernel, n_head=n_head, q_per_kv=q_per_kv)
+    g = q_per_kv
+    g_pad = (g + 7) // 8 * 8 if g > 1 else 1
+    kernel = partial(_kernel, n_head=n_head, q_per_kv=g, g_pad=g_pad)
     vec = pl.BlockSpec((1, 1, s_pad), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     mat = pl.BlockSpec((1, d, s_pad), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    if g > 1:
+        # beam layout: (b, g_pad, d) blocks, one sublane-aligned block per
+        # program (a dynamic-start (g, d) slice at stride g won't lower)
+        q = jnp.pad(q.reshape(b, g, d), ((0, 0), (0, g_pad - g), (0, 0)))
+        q_spec = pl.BlockSpec((1, g_pad, d), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, g_pad, d), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, g_pad, d), jnp.float32)
+    else:
+        q_spec = pl.BlockSpec((rows, d), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((rows, d), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((rows, d), jnp.float32)
+    out = pl.pallas_call(
         kernel,
         interpret=os.environ.get('STABLE_TS_TPU_CROSS') == 'interpret',
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((rows, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            mat, vec, vec, mat, vec,
-        ],
-        out_specs=pl.BlockSpec((rows, d), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, d), jnp.float32),
+        in_specs=[q_spec, mat, vec, vec, mat, vec],
+        out_specs=out_spec,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * rows * d * s_pad,
             bytes_accessed=2 * b * d * s_pad * kt.dtype.itemsize + rows * d * 4,
             transcendentals=rows * n_head * s_pad,
         ),
     )(q, kt, ks, kb, vt, vs)
+    if g > 1:
+        out = out[:, :g].reshape(rows, d)
+    return out
 
 
 def cross_attn_decode(q: jnp.ndarray, kt: jnp.ndarray, ks: jnp.ndarray,

@@ -8,8 +8,11 @@ scanned (L, B, n_ctx, d) carry (read + write), then the attention einsums
 re-read the copies, then the (B, H, 1, n_ctx) logits round-trip HBM. This
 kernel reads each layer's cache slab from HBM exactly once:
 
-    bf16 K/V slab --DMA--> VMEM --block-diagonal MXU QK^T
+    K/V slab --DMA--> VMEM --block-diagonal MXU QK^T
     -> masked softmax -> ·V accumulate            (nothing back to HBM)
+
+Measured on the v5e (probe_step.py `fa` variant): the full decode step
+dropped 12.48 -> 8.26 ms at large-v3 b16 — self-attention itself ~3.6x.
 
 Design notes:
 
@@ -18,12 +21,18 @@ Design notes:
   and steers the BlockSpec index map, so the kernel DMAs the right layer's
   slab directly — no host-side ``dynamic_slice`` copy ever exists. The
   cache keeps its natural row-major layout: the per-step cache update
-  stays a cheap contiguous ``dynamic_update_slice`` row write (the
+  stays a cheap contiguous ``dynamic_update_slice`` row write (the earlier
   transposed-int8 variant died on strided column writes — BASELINE.md).
+- **int8 cache rows ride the same kernel.** Per-position dequant scales
+  ``(1, n_ctx)`` multiply the (n_head, n_ctx) logit/weight rows — they
+  never touch the (n_ctx, d) tiles, and the MXU consumes the int8 rows
+  directly (no dequantized copy exists anywhere), halving the dominant
+  cache stream. The bf16 path passes all-ones scales: the two extra
+  (1, n_ctx) vector DMAs are noise next to the slab stream.
 - **Block-diagonal MXU contraction**, same trick as ops/cross_attn.py: a
   batch row's query embeds into an (n_head, d) matrix that is zero off
   each head's d_head block, turning per-head QK^T and softmax·V into one
-  MXU matmul each, consuming the bf16 cache tiles directly.
+  MXU matmul each.
 - **Several batch rows per grid step** (``rows_per_step``) amortize the
   per-grid-step sequencing overhead that made a one-row-per-step variant
   only break even.
@@ -45,8 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ['self_attn_decode']
 
 
-def _kernel(scalars_ref, q_ref, kc_ref, vc_ref, out_ref, *, n_head: int,
-            rows: int):
+def _kernel(scalars_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, out_ref, *,
+            n_head: int, rows: int):
     d = q_ref.shape[-1]
     n_ctx = kc_ref.shape[2]
     d_head = d // n_head
@@ -60,17 +69,19 @@ def _kernel(scalars_ref, q_ref, kc_ref, vc_ref, out_ref, *, n_head: int,
     bias = jnp.where(key_pos <= pos, 0.0, -jnp.inf).astype(jnp.float32)
 
     cache_dtype = kc_ref.dtype
+    op_dtype = jnp.bfloat16 if cache_dtype == jnp.int8 else cache_dtype
     for r in range(rows):
         qrow = q_ref[pl.ds(i * rows + r, 1), :].astype(jnp.float32)  # (1, d)
-        qblk = (hmask * qrow).astype(cache_dtype)                    # (H, d)
+        qblk = (hmask * qrow).astype(op_dtype)                       # (H, d)
         k = kc_ref[0, r]                                             # (n_ctx, d)
         lg = jax.lax.dot_general(qblk, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        lg = lg + bias                                               # (H, n_ctx)
+        lg = lg * ks_ref[0, r] + bias                                # (H, n_ctx)
         m = jnp.max(lg, axis=1, keepdims=True)
         w = jnp.exp(lg - m)
         l = jnp.sum(w, axis=1, keepdims=True)
-        o2 = jax.lax.dot_general(w.astype(cache_dtype), vc_ref[0, r],
+        o2 = jax.lax.dot_general((w * vs_ref[0, r]).astype(op_dtype),
+                                 vc_ref[0, r],
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # (H, d)
         o = jnp.sum(o2 * hmask, axis=0, keepdims=True)
@@ -79,26 +90,28 @@ def _kernel(scalars_ref, q_ref, kc_ref, vc_ref, out_ref, *, n_head: int,
 
 
 @partial(jax.jit, static_argnames=('n_head', 'interpret'))
-def _call(scalars, q, kc, vc, n_head: int, interpret: bool):
+def _call(scalars, q, kc, ks, vc, vs, n_head: int, interpret: bool):
     n_layers, b, n_ctx, d = kc.shape
     # widest row block whose double-buffered K+V tiles stay well inside
-    # VMEM: rows * n_ctx * d * 2B * 2(kv) * 2(buffers) <= ~12 MB
+    # VMEM: rows * n_ctx * d * itemsize * 2(kv) * 2(buffers) <= ~12 MB
     rows = 1
     for cand in (4, 2):
-        if b % cand == 0 and cand * n_ctx * d * 2 * 2 * 2 <= 12 * 2 ** 20:
+        if (b % cand == 0
+                and cand * n_ctx * d * kc.dtype.itemsize * 4 <= 12 * 2 ** 20):
             rows = cand
             break
     kernel = partial(_kernel, n_head=n_head, rows=rows)
+    slab = pl.BlockSpec((1, rows, n_ctx, d), lambda i, s: (s[0], i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, rows, 1, n_ctx), lambda i, s: (s[0], i, 0, 0),
+                       memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b // rows,),
         in_specs=[
             pl.BlockSpec((b, d), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, n_ctx, d), lambda i, s: (s[0], i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, n_ctx, d), lambda i, s: (s[0], i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            slab, vec, slab, vec,
         ],
         out_specs=pl.BlockSpec((b, d), lambda i, s: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -113,22 +126,30 @@ def _call(scalars, q, kc, vc, n_head: int, interpret: bool):
             bytes_accessed=2 * b * d * n_ctx * kc.dtype.itemsize + b * d * 4,
             transcendentals=b * n_head * n_ctx,
         ),
-    )(scalars, q, kc, vc)
+    )(scalars, q, kc, ks, vc, vs)
 
 
 def self_attn_decode(q: jnp.ndarray, kc: jnp.ndarray, vc: jnp.ndarray,
                      layer_idx, pos, n_head: int,
+                     ks: jnp.ndarray = None, vs: jnp.ndarray = None,
                      interpret: bool = False) -> jnp.ndarray:
     """One decode step of self-attention against the full layered KV cache.
 
     q: (batch, d) query at the current position, ALREADY scaled by
         d_head**-0.5 (the kernel applies no further scaling).
-    kc/vc: (n_layers, batch, n_ctx, d) cache — the CURRENT token's K/V row
-        must already be written at ``pos``.
+    kc/vc: (n_layers, batch, n_ctx, d) cache, bf16/f32 or int8 — the
+        CURRENT token's K/V row must already be written at ``pos``.
+    ks/vs: (n_layers, batch, 1, n_ctx) per-position dequant scales for the
+        int8 cache (None -> ones; required when kc/vc are int8).
     layer_idx / pos: int32 scalars — which layer's slab to attend in, and
         the highest valid cache position (keys at j <= pos participate).
     Returns (batch, d) float32 attention output (pre out-projection).
     """
+    n_layers, b, n_ctx, _ = kc.shape
+    if ks is None:
+        ks = jnp.ones((n_layers, b, 1, n_ctx), jnp.float32)
+    if vs is None:
+        vs = jnp.ones((n_layers, b, 1, n_ctx), jnp.float32)
     scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
                          jnp.asarray(pos, jnp.int32)])
-    return _call(scalars, q, kc, vc, n_head, interpret)
+    return _call(scalars, q, kc, ks, vc, vs, n_head, interpret)

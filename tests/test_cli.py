@@ -310,3 +310,22 @@ class TestModelCacheAndOptions:
                                   '-d', str(tmp_path)])
         _run_once(args, {})
         assert [c[0] for c in fake_model.calls] == ['transcribe', 'refine']
+
+
+def test_batched_method_forwards_stabilization_options(tmp_path, fake_model):
+    """--transcribe_method transcribe_batched must forward the shared
+    stabilization/decode options and --batch_size (round-3 option parity)."""
+    from stable_ts_tpu.cli import cli
+    wav = _wav(tmp_path / 'a.wav')
+    cli([wav, '-y', '-v', '0', '-d', str(tmp_path),
+         '--transcribe_method', 'transcribe_batched',
+         '--batch_size', '4', '--max_instant_words', '0.7',
+         '--suppress_ts_tokens', 'True',
+         '--nonspeech_skip', '4.5', '--beam_size', '2'])
+    kwargs = fake_model.calls[0][1]
+    assert kwargs['batch_size'] == 4
+    assert kwargs['max_instant_words'] == 0.7
+    assert kwargs['suppress_ts_tokens'] is True
+    assert kwargs['nonspeech_skip'] == 4.5
+    assert kwargs['beam_size'] == 2
+    assert 'resume' not in kwargs and 'mel_first' not in kwargs

@@ -120,10 +120,12 @@ def test_decoder_step_fused_quantized_close():
         jnp.std(lg_ref))
 
 
-def test_decoder_step_fused_self_cache_close():
-    """int8 transposed self-KV cache + fused self-attention vs the legacy
-    bf16 cache path: logits must stay within dynamic-int8 error, across
-    several sequential steps (exercises the per-step column updates)."""
+def test_decoder_step_int8_self_cache_close():
+    """Row-major int8 self-KV cache vs the bf16 cache path: logits must
+    stay within dynamic-int8 error across several sequential steps
+    (exercises the per-step row+scale updates and the dequantizing read,
+    on both the XLA fallback and the fused-kernel interpret path)."""
+    import os
     from stable_ts_tpu.models.whisper import (
         init_kv_cache, init_params, tiny_test_dims)
     from stable_ts_tpu.models.whisper.model import (decoder_prefill,
@@ -143,23 +145,33 @@ def test_decoder_step_fused_self_cache_close():
                                         dims.n_text_head, cache_len)
     lg_f, cache_f = decoder_prefill(params['decoder'], tokens0, xa,
                                     dims.n_text_head, cache_len,
-                                    fused_cache=True)
-    assert set(cache_f) == {'kT', 'ks', 'vT', 'vs'}
+                                    int8_cache=True)
+    assert set(cache_f) == {'k', 'ks', 'v', 'vs'}
+    assert cache_f['k'].dtype == jnp.int8
     np.testing.assert_allclose(np.asarray(lg_f), np.asarray(lg_ref),
                                rtol=1e-4, atol=1e-4)
 
-    tok = jnp.asarray(rng.integers(0, dims.n_vocab, (b, 1)), jnp.int32)
-    for step in range(3):
-        pos = jnp.int32(n_tok + step)
-        out_ref, cache_ref = decoder_step(params['decoder'], tok, pos,
-                                          cross, cache_ref,
-                                          dims.n_text_head)
-        out_f, cache_f = decoder_step(params['decoder'], tok, pos, cross,
-                                      cache_f, dims.n_text_head)
-        ref = np.asarray(out_ref)
-        diff = np.abs(np.asarray(out_f) - ref)
-        assert diff.mean() < 0.05 * ref.std(), (step, diff.mean(), ref.std())
-        tok = jnp.asarray(np.asarray(out_ref).argmax(-1)[:, None], jnp.int32)
+    for mode in ('off', 'interpret'):
+        os.environ['STABLE_TS_TPU_SELF'] = mode
+        try:
+            c_ref, c_q = cache_ref, cache_f
+            tok = jnp.asarray(rng.integers(0, dims.n_vocab, (b, 1)),
+                              jnp.int32)
+            for step in range(3):
+                pos = jnp.int32(n_tok + step)
+                out_ref, c_ref = decoder_step.__wrapped__(
+                    params['decoder'], tok, pos, cross, c_ref,
+                    dims.n_text_head, 1)
+                out_q, c_q = decoder_step.__wrapped__(
+                    params['decoder'], tok, pos, cross, c_q,
+                    dims.n_text_head, 1)
+                ref = np.asarray(out_ref)
+                diff = np.abs(np.asarray(out_q) - ref)
+                assert diff.mean() < 0.05 * ref.std(), \
+                    (mode, step, diff.mean(), ref.std())
+                tok = jnp.asarray(ref.argmax(-1)[:, None], jnp.int32)
+        finally:
+            os.environ.pop('STABLE_TS_TPU_SELF', None)
 
 
 @pytest.mark.parametrize('quantize', [False, True])
