@@ -197,7 +197,7 @@ def main_e2e():
     print(f'[bench] phases (last iter): {split}, '
           f'other(host)={times[-1] - accounted:.2f}s', file=sys.stderr)
     print(json.dumps({
-        'metric': f'xRT_e2e_{MODEL}_b{BATCH}',
+        'metric': f'xRT_e2e_{MODEL}_b{BATCH}' + (f'_beam{beam}' if beam else ''),
         'value': round(xrt, 2),
         'unit': 'audio_sec/sec/chip',
         'vs_baseline': round(xrt / BASELINE_XRT, 3),

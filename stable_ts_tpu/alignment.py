@@ -94,13 +94,27 @@ def _whisper_alignment_batch_func(model, tokenizer, options: AllOptions) -> Call
     runs on each segment's qks slice via ``add_word_timestamps`` with
     ``precomputed`` — identical host logic to the sequential path.
     """
-    import jax
     import jax.numpy as jnp
+    from .batched import _next_token_probs
     from .models.whisper.model import decoder_apply, encoder_apply
-    from .models.whisper.timing import add_word_timestamps
+    from .models.whisper.timing import (add_word_timestamps,
+                                        build_head_capture_table)
 
     sot_seq = list(tokenizer.sot_sequence)
     sot_len = len(sot_seq)
+    # Default mode (legacy aligner, known heads): capture ONLY the ~10
+    # alignment heads' QK rows on device and download just those — the
+    # full (L, B, H, T, 1500) capture is multi-GB at large-v3 and its host
+    # download was what made align SLOWER than transcribe (the reference
+    # promises the opposite, alignment.py:48-49).
+    aligner = options.align.aligner
+    legacy_known = (aligner == 'legacy' and not isinstance(aligner, dict)
+                    and model.alignment_heads is not None
+                    and not options.align.dynamic_heads)
+    capture_index = capture_slots = None
+    if legacy_known:
+        capture_index, capture_slots = build_head_capture_table(
+            model.alignment_heads, model.dims.n_text_layer)
 
     def batch_func(requests):
         mels, rows, metas = [], [], []
@@ -126,20 +140,34 @@ def _whisper_alignment_batch_func(model, tokenizer, options: AllOptions) -> Call
 
         xa = encoder_apply(model.params['encoder'], jnp.asarray(mel_batch),
                            model.dims.n_audio_head)
+        tokens_in = jnp.asarray(tok_batch)
         logits, qks = decoder_apply(model.params['decoder'],
-                                    jnp.asarray(tok_batch), xa,
-                                    model.dims.n_text_head, capture_qk=True)
-        probs_all = np.asarray(jax.nn.softmax(
-            logits[:, :, :tokenizer.eot].astype(jnp.float32), axis=-1))
-        qks_np = np.asarray(qks)
+                                    tokens_in, xa,
+                                    model.dims.n_text_head, capture_qk=True,
+                                    capture_index=capture_index)
+        # realized-next-token probs gathered ON DEVICE — the full-vocab
+        # softmax download was ~160 MB per batch at large-v3
+        tok_probs = np.asarray(
+            _next_token_probs(logits, tokens_in, tokenizer.eot))
+        if capture_slots is not None:
+            # stays a DEVICE array: per-segment slices flow into the
+            # timing pipeline, which crops to each segment's real audio
+            # frames on device before anything crosses the ~30 MB/s link
+            layers = np.array([l for l, _ in capture_slots])
+            cols = np.array([s for _, s in capture_slots])
+            qks_dev = qks[layers, :, cols]              # (n_sel, B, T, 1500)
+        else:
+            qks_np = np.asarray(qks)        # dynamic/'new': needs all heads
 
         outputs = []
         for i, (word_tokens, text_tokens, segment_samples) in enumerate(metas):
             n_text = len(text_tokens)
-            qks_i = qks_np[:, i, :, :sot_len + 1 + n_text + 1]
-            token_probs = probs_all[i, sot_len:sot_len + n_text]
-            text_token_probs = token_probs[
-                np.arange(n_text), np.asarray(text_tokens)].tolist()
+            t_keep = sot_len + 1 + n_text + 1
+            if capture_slots is not None:
+                qks_i = qks_dev[:, i, :t_keep]          # pre-selected heads
+            else:
+                qks_i = qks_np[:, i, :, :t_keep]
+            text_token_probs = tok_probs[i, sot_len:sot_len + n_text].tolist()
             curr_words = [wt.word for wt in word_tokens]
             curr_word_tokens = [wt.tokens for wt in word_tokens]
             temp_segments = [dict(seek=0,

@@ -283,9 +283,13 @@ def _beam_loop(params, cross_kv, kv_cache, init_logits, tokens_init,
     # streams each window's K/V once per step for all its beams.
     """Beam search over ``n_groups`` windows with ``beam_size`` beams each.
 
-    All rows (= n_groups * beam_size) advance in lockstep; the KV cache is
-    re-gathered along the batch axis after each beam reshuffle. Finished
-    (EOT-ended) hypotheses accumulate in a fixed-size per-group pool of
+    All rows (= n_groups * beam_size) advance in lockstep. The self-KV
+    cache is NEVER gathered on reshuffle: each row's K/V rows stay where
+    they were written, and a (rows, n_ctx) int32 ancestry table — which
+    group row wrote the K/V this beam should attend at each position — is
+    gathered instead (~KBs vs the GBs of cache; the fused kernel selects
+    by ancestor in VMEM, ops/self_attn.py). Finished (EOT-ended)
+    hypotheses accumulate in a fixed-size per-group pool of
     ``max_candidates`` (= ceil(beam_size * patience)); a group stops
     contributing once its pool is full, and the loop exits when every pool
     is full or ``sample_len`` is exhausted.
@@ -332,12 +336,14 @@ def _beam_loop(params, cross_kv, kv_cache, init_logits, tokens_init,
 
     def cond(state):
         i = state[0]
-        fin_scores = state[10]
+        fin_scores = state[11]
         pool_full = jnp.all(fin_scores > NEG / 2, axis=1)  # (groups, cand)
         return (i < sample_len) & ~jnp.all(pool_full)
 
+    local_idx = (jnp.arange(rows, dtype=jnp.int32) % beam_size)
+
     def body(state):
-        (i, tokens, logits, kv, cum_lp, last_tok, penult_tok, max_ts,
+        (i, tokens, logits, kv, anc, cum_lp, last_tok, penult_tok, max_ts,
          group_done, fin_tokens, fin_scores) = state
         filtered = apply_filters(logits, i, last_tok, penult_tok, max_ts)
         logprobs = jax.nn.log_softmax(filtered, axis=-1)  # (rows, V)
@@ -379,13 +385,16 @@ def _beam_loop(params, cross_kv, kv_cache, init_logits, tokens_init,
         flat_src = new_src_rows.reshape(-1)
         new_tok_flat = jnp.where(group_done[:, None], eot, new_tok).reshape(-1)
 
-        # Reorder sequence state to the chosen source beams.
+        # Reorder sequence state to the chosen source beams. The KV cache
+        # itself stays put — only the ancestry table reshuffles.
         tokens = tokens[flat_src]
         pos = sample_begin + i
         tokens = jax.lax.dynamic_update_slice(
             tokens, new_tok_flat[:, None].astype(jnp.int32), (0, pos))
-        kv = jax.tree.map(lambda c: c[:, flat_src], kv)  # batch is axis 1
-                                                         # in every layout
+        anc = anc[flat_src]
+        # The step below writes the new token's K/V into each row's OWN
+        # cache slot at ``pos``.
+        anc = jax.lax.dynamic_update_slice(anc, local_idx[:, None], (0, pos))
         new_last = new_tok_flat.astype(jnp.int32)
         new_penult = last_tok[flat_src]
         new_max_ts = jnp.where(
@@ -394,14 +403,18 @@ def _beam_loop(params, cross_kv, kv_cache, init_logits, tokens_init,
             max_ts[flat_src])
 
         new_logits, kv = decoder_step(params, new_last[:, None], pos, cross_kv,
-                                      kv, n_head, q_per_kv=beam_size)
-        return (i + 1, tokens, new_logits, kv, new_cum.reshape(-1), new_last,
-                new_penult, new_max_ts, new_group_done, fin_tokens, fin_scores)
+                                      kv, n_head, q_per_kv=beam_size, anc=anc)
+        return (i + 1, tokens, new_logits, kv, anc, new_cum.reshape(-1),
+                new_last, new_penult, new_max_ts, new_group_done, fin_tokens,
+                fin_scores)
 
     # Only beam 0 of each group starts live so step 0 diversifies the beams.
     init_cum = jnp.where(jnp.arange(rows) % beam_size == 0, 0.0, NEG)
+    # Prefill wrote every row's own prefix in place -> ancestor = self.
+    cache_ctx = kv_cache['k'].shape[2]
+    init_anc = jnp.broadcast_to(local_idx[:, None], (rows, cache_ctx))
     init_state = (
-        jnp.int32(0), tokens_init, init_logits, kv_cache, init_cum,
+        jnp.int32(0), tokens_init, init_logits, kv_cache, init_anc, init_cum,
         jnp.full((rows,), -1, jnp.int32),
         jnp.full((rows,), -1, jnp.int32),
         jnp.full((rows,), -1, jnp.int32),
@@ -410,7 +423,7 @@ def _beam_loop(params, cross_kv, kv_cache, init_logits, tokens_init,
         jnp.full((n_groups, max_candidates), NEG),
     )
     final = jax.lax.while_loop(cond, body, init_state)
-    (_, tokens, _, _, cum_lp, *_rest, fin_tokens, fin_scores) = final
+    (_, tokens, _, _, _, cum_lp, *_rest, fin_tokens, fin_scores) = final
     return tokens, cum_lp, fin_tokens, fin_scores
 
 

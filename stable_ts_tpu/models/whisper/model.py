@@ -588,7 +588,7 @@ def _shared_kv_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 @partial(jax.jit, static_argnames=('n_head', 'q_per_kv'))
 def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
                  cross_kv: Params, kv_cache: Params, n_head: int,
-                 q_per_kv: int = 1):
+                 q_per_kv: int = 1, anc: jnp.ndarray = None):
     """One incremental decode step with a fixed-size KV cache.
 
     tokens: (batch, 1) int32 — tokens at position ``pos``.
@@ -598,6 +598,12 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     q_per_kv: consecutive batch rows sharing one cross-KV row (beam
         search / best_of — the encoder features are identical across a
         window's beams, so K/V is stored and streamed once per window).
+    anc: (batch, n_ctx) int32 beam-ancestry table or None — row r's
+        self-K/V at position j lives in group row ``anc[r, j]`` (local
+        index in [0, q_per_kv)). The beam loop carries and gathers THIS
+        table on reshuffle instead of re-gathering the cache itself
+        (decoding.py:_beam_loop); ``anc[:, pos]`` must be each row's own
+        local index (the current token's K/V is written in place here).
     Returns (logits (batch, n_vocab), updated kv_cache).
     """
     x = params['token_emb'][tokens] + jax.lax.dynamic_slice_in_dim(
@@ -663,7 +669,8 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
             q = (q_proj[:, 0, :].astype(jnp.float32)
                  * ((d // n_head) ** -0.5))
             ctx = self_attn_decode(q, kc, vc, layer_idx, pos, n_head,
-                                   ks=ksc, vs=vsc,
+                                   ks=ksc, vs=vsc, anc=anc,
+                                   q_per_kv=q_per_kv,
                                    interpret=self_fa == 'interpret')
             attn_out = linear(ctx[:, None, :].astype(h.dtype),
                               layer_params['attn']['out']['w'],
@@ -680,6 +687,20 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
 
             k_cache = layer_slab(kc, ksc)
             v_cache = layer_slab(vc, vsc)
+            if anc is not None and q_per_kv > 1:
+                # XLA fallback for the beam ancestry table: gather each
+                # row's effective K/V from its group by per-position
+                # ancestor (materializes one layer's slab — test path).
+                def by_ancestor(slab):
+                    grp = slab.reshape(batch // q_per_kv, q_per_kv,
+                                       n_ctx, -1)
+                    idx = anc.reshape(batch // q_per_kv, q_per_kv,
+                                      n_ctx)[..., None]
+                    return jnp.take_along_axis(grp, idx, axis=1).reshape(
+                        batch, n_ctx, -1)
+
+                k_cache = by_ancestor(k_cache)
+                v_cache = by_ancestor(v_cache)
             attn_out, _, _ = _mha(layer_params['attn'], q_in, None, n_head,
                                   mask=self_mask,
                                   kv_override=(k_cache, v_cache),
@@ -690,14 +711,18 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
         if fused_cross:
             # Fused Pallas kernel (ops/cross_attn.py): the int8 K/V tiles
             # stream HBM -> VMEM once and dequantize in registers — the
-            # unfused path re-materializes bf16 K/V + logits in HBM.
+            # unfused path re-materializes bf16 K/V + logits in HBM. The
+            # FULL layer stack is the operand (closed over, loop-invariant);
+            # layer_idx steers the kernel's BlockSpec, so no per-layer
+            # scan-xs slice copy of the 60+ MB tiles exists.
             from ...ops.cross_attn import cross_attn_decode
             ca = layer_params['cross_attn']
-            kt, ks, kb, vt, vs = layer_cross_kv
             q = linear(ca_in, ca['q']['w'], ca['q']['b'])[:, 0, :]
             q = q.astype(jnp.float32) * ((d // n_head) ** -0.5)
-            ctx = cross_attn_decode(q, kt, ks, kb, vt, vs, n_head,
-                                    q_per_kv=q_per_kv)
+            ctx = cross_attn_decode(
+                q, cross_kv['kT'], cross_kv['ks'], cross_kv['kb'],
+                cross_kv['vT'], cross_kv['vs'], n_head,
+                q_per_kv=q_per_kv, layer_idx=layer_idx)
             cross_out = linear(ctx[:, None, :].astype(h.dtype),
                                ca['out']['w'], ca['out']['b'])
         elif q_per_kv > 1:
@@ -719,8 +744,9 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
                                 layer_params['mlp_ln']['b']))
         return (h, kc, vc, ksc, vsc), None
 
-    cross_xs = ((cross_kv['kT'], cross_kv['ks'], cross_kv['kb'],
-                 cross_kv['vT'], cross_kv['vs']) if fused_cross
+    # Fused cross-attention closes over the full stacks (loop-invariant);
+    # only the unfused paths ride per-layer slices through scan xs.
+    cross_xs = (() if fused_cross
                 else (cross_kv['k'], cross_kv['v']))
     carry0 = (x, kv_cache['k'], kv_cache['v'],
               kv_cache.get('ks'), kv_cache.get('vs'))

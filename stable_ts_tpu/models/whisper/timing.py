@@ -180,13 +180,23 @@ def legacy_weights_batched(qks_sel: jnp.ndarray, qk_lens: jnp.ndarray,
 
 
 def legacy_head_weights(qks_sel, max_qk_len: int, sot_len: int,
-                        qk_scale: float, medfilt_width: int) -> np.ndarray:
+                        qk_scale: float, medfilt_width: int):
     """Normalized attention weights over the selected heads, cropped to
     ``max_qk_len`` frames. Dispatches to the device kernel for full 30-s
-    windows and the host reference-order path for short windows."""
+    windows and the host reference-order path for short windows.
+
+    Device-array input stays minimal on the host link (measured ~30 MB/s
+    through the tunnel): full windows return the DEVICE weights (callers
+    feed them straight to the device DTW); short windows crop the frame
+    axis ON DEVICE before the download, so only the real audio columns
+    ever cross."""
+    on_device = isinstance(qks_sel, jnp.ndarray)
     if max_qk_len >= qks_sel.shape[-1]:
-        return np.asarray(_legacy_head_weights(
-            qks_sel, max_qk_len, sot_len, qk_scale, medfilt_width))
+        w = _legacy_head_weights(
+            qks_sel, max_qk_len, sot_len, qk_scale, medfilt_width)
+        return w if on_device else np.asarray(w)
+    if on_device:
+        qks_sel = np.asarray(qks_sel[..., :max_qk_len])
     return _legacy_head_weights_host(
         np.asarray(qks_sel), max_qk_len, sot_len, qk_scale, medfilt_width)
 
@@ -464,10 +474,17 @@ def find_alignment(
     selective = legacy_known_heads and precomputed is None
     capture_slots = None
     if precomputed is not None:
-        # (qks (L, H, T, 1500), text_token_probs) from an external batched
-        # forward — the lockstep align_words path (alignment.py)
+        # (qks, text_token_probs) from an external batched forward — the
+        # lockstep align/align_words path (alignment.py). qks is either the
+        # full (L, H, T, 1500) capture or, in the legacy+known-heads mode,
+        # the ALREADY-SELECTED (n_sel, T, 1500) head rows from a selective
+        # device capture (3D marks it — the full capture never crossed the
+        # host link).
         qks, text_token_probs = precomputed
         qks = jnp.asarray(qks)
+        if qks.ndim == 3:
+            assert legacy_known_heads, \
+                'pre-selected qks require the legacy aligner with known heads'
     else:
         capture_index = None
         if selective:
@@ -488,7 +505,10 @@ def find_alignment(
             w_coverage=float(new_kwargs['w_coverage']))
         jump_indices = _matrix_to_jumps(matrix)
     elif dynamic_count:
-        qks_np = np.asarray(qks, dtype=np.float32)
+        # crop the frame axis ON DEVICE before the download — the scorer
+        # only reads [:, :, :max_qk_len] anyway (reference timing.py:87-89)
+        # and the full 1500-frame capture is hundreds of MB at large-v3
+        qks_np = np.asarray(qks[..., :max(max_qk_len, 1)], dtype=np.float32)
         jump_indices = None
         for _ in range(dynamic_iterations or 1):
             weights = _dynamic_head_weights(
@@ -499,6 +519,8 @@ def find_alignment(
     else:
         if capture_slots is not None:
             qks_sel = gather_captured_heads(qks, capture_slots)
+        elif qks.ndim == 3:
+            qks_sel = qks      # pre-selected by the batched selective capture
         else:
             heads = np.asarray(alignment_heads)
             qks_sel = qks[heads[:, 0], heads[:, 1]]  # (n_heads, T, 1500)

@@ -44,8 +44,8 @@ __all__ = ['cross_attn_decode']
 _S_CHUNK = 512
 
 
-def _kernel(q_ref, kt_ref, ks_ref, kb_ref, vt_ref, vs_ref, out_ref, *,
-            n_head: int, q_per_kv: int, g_pad: int):
+def _kernel(scalars_ref, q_ref, kt_ref, ks_ref, kb_ref, vt_ref, vs_ref,
+            out_ref, *, n_head: int, q_per_kv: int, g_pad: int):
     d = q_ref.shape[-1]
     d_head = d // n_head
     i = pl.program_id(0)
@@ -91,15 +91,15 @@ def _kernel(q_ref, kt_ref, ks_ref, kb_ref, vt_ref, vs_ref, out_ref, *,
             expand, qrows, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)).astype(jnp.bfloat16)
 
-    lg = jax.lax.dot_general(qblk, kt_ref[0], (((1,), (0,)), ((), ())),
+    lg = jax.lax.dot_general(qblk, kt_ref[0, 0], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)  # (rows, S)
     # dequant scales + additive bias (pad positions carry -inf here)
-    lg = lg * ks_ref[0] + kb_ref[0]
+    lg = lg * ks_ref[0, 0] + kb_ref[0, 0]
     m = jnp.max(lg, axis=1, keepdims=True)
     w = jnp.exp(lg - m)
     l = jnp.sum(w, axis=1, keepdims=True)
-    wv = (w * vs_ref[0]).astype(jnp.bfloat16)              # (rows, S)
-    o2 = jax.lax.dot_general(wv, vt_ref[0], (((1,), (1,)), ((), ())),
+    wv = (w * vs_ref[0, 0]).astype(jnp.bfloat16)              # (rows, S)
+    o2 = jax.lax.dot_general(wv, vt_ref[0, 0], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)  # (rows, d)
     if g == 1:
         o = jnp.sum(o2 * hmask, axis=0, keepdims=True)     # diag blocks
@@ -119,45 +119,53 @@ def _pad_s(s: int) -> int:
 
 
 @partial(jax.jit, static_argnames=('n_head', 'q_per_kv'))
-def _call(q, kt, ks, kb, vt, vs, n_head: int, q_per_kv: int):
+def _call(scalars, q, kt, ks, kb, vt, vs, n_head: int, q_per_kv: int):
     import os
-    b, d, s_pad = kt.shape
-    rows = q.shape[0]
+    n_layers, b, d, s_pad = kt.shape
+    rows = q.shape[0] if q.ndim == 2 else b * q_per_kv
     g = q_per_kv
     g_pad = (g + 7) // 8 * 8 if g > 1 else 1
     kernel = partial(_kernel, n_head=n_head, q_per_kv=g, g_pad=g_pad)
-    vec = pl.BlockSpec((1, 1, s_pad), lambda i: (i, 0, 0),
+    # The layer index arrives via scalar prefetch and steers the leading
+    # block axis, so the kernel DMAs the layer's tiles straight out of the
+    # FULL (L, B, d, S) stack — the per-layer scan-xs dynamic_slice copy
+    # that used to precede every launch never exists.
+    vec = pl.BlockSpec((1, 1, 1, s_pad), lambda i, s: (s[0], i, 0, 0),
                        memory_space=pltpu.VMEM)
-    mat = pl.BlockSpec((1, d, s_pad), lambda i: (i, 0, 0),
+    mat = pl.BlockSpec((1, 1, d, s_pad), lambda i, s: (s[0], i, 0, 0),
                        memory_space=pltpu.VMEM)
     if g > 1:
         # beam layout: (b, g_pad, d) blocks, one sublane-aligned block per
         # program (a dynamic-start (g, d) slice at stride g won't lower)
         q = jnp.pad(q.reshape(b, g, d), ((0, 0), (0, g_pad - g), (0, 0)))
-        q_spec = pl.BlockSpec((1, g_pad, d), lambda i: (i, 0, 0),
+        q_spec = pl.BlockSpec((1, g_pad, d), lambda i, s: (i, 0, 0),
                               memory_space=pltpu.VMEM)
-        out_spec = pl.BlockSpec((1, g_pad, d), lambda i: (i, 0, 0),
+        out_spec = pl.BlockSpec((1, g_pad, d), lambda i, s: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((b, g_pad, d), jnp.float32)
     else:
-        q_spec = pl.BlockSpec((rows, d), lambda i: (0, 0),
+        q_spec = pl.BlockSpec((rows, d), lambda i, s: (0, 0),
                               memory_space=pltpu.VMEM)
-        out_spec = pl.BlockSpec((rows, d), lambda i: (0, 0),
+        out_spec = pl.BlockSpec((rows, d), lambda i, s: (0, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((rows, d), jnp.float32)
-    out = pl.pallas_call(
-        kernel,
-        interpret=os.environ.get('STABLE_TS_TPU_CROSS') == 'interpret',
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[q_spec, mat, vec, vec, mat, vec],
         out_specs=out_spec,
+    )
+    out = pl.pallas_call(
+        kernel,
+        interpret=os.environ.get('STABLE_TS_TPU_CROSS') == 'interpret',
+        grid_spec=grid_spec,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * rows * d * s_pad,
             bytes_accessed=2 * b * d * s_pad * kt.dtype.itemsize + rows * d * 4,
             transcendentals=rows * n_head * s_pad,
         ),
-    )(q, kt, ks, kb, vt, vs)
+    )(scalars, q, kt, ks, kb, vt, vs)
     if g > 1:
         out = out[:, :g].reshape(rows, d)
     return out
@@ -166,21 +174,33 @@ def _call(q, kt, ks, kb, vt, vs, n_head: int, q_per_kv: int):
 def cross_attn_decode(q: jnp.ndarray, kt: jnp.ndarray, ks: jnp.ndarray,
                       kb: jnp.ndarray, vt: jnp.ndarray,
                       vs: jnp.ndarray, n_head: int,
-                      q_per_kv: int = 1) -> jnp.ndarray:
+                      q_per_kv: int = 1, layer_idx=None) -> jnp.ndarray:
     """One decode step of cross-attention against transposed K/V.
 
     q:  (rows, d) queries at the current position, ALREADY scaled by
         d_head**-0.5 (the kernel applies no further scaling);
         rows = batch * q_per_kv.
     kt/vt: (batch, d, S_pad) keys/values transposed, int8 or float;
-        S_pad must be a multiple of 512.
+        S_pad must be a multiple of 512. With ``layer_idx`` given, the
+        FULL layer stack (n_layers, batch, d, S_pad) instead — the
+        prefetched scalar picks the layer's tiles inside the kernel, so no
+        host/XLA slice copy of the layer ever exists (decoder_step passes
+        the whole stack from its scan body).
     ks/vs: (batch, 1, S_pad) per-position dequant scales (ones when kt/vt
-        are unquantized floats).
+        are unquantized floats); (n_layers, batch, 1, S_pad) with
+        ``layer_idx``.
     kb: (batch, 1, S_pad) additive logit bias — 0 on real key positions,
-        -inf on padding (the mask is baked at precompute time).
+        -inf on padding (the mask is baked at precompute time);
+        (n_layers, batch, 1, S_pad) with ``layer_idx``.
     q_per_kv: consecutive query rows sharing each K/V batch row (beam
         search / best_of sampling: all beams of a window attend to the same
         encoder output, so the K/V tile streams from HBM ONCE per group).
+    layer_idx: int32 scalar selecting the layer when the operands carry the
+        full stack; None -> operands are single-layer 3D.
     Returns (rows, d) float32 attention output (pre out-projection).
     """
-    return _call(q, kt, ks, kb, vt, vs, n_head, q_per_kv)
+    if layer_idx is None:
+        kt, ks, kb, vt, vs = (t[None] for t in (kt, ks, kb, vt, vs))
+        layer_idx = 0
+    scalars = jnp.asarray([layer_idx], jnp.int32)
+    return _call(scalars, q, kt, ks, kb, vt, vs, n_head, q_per_kv)

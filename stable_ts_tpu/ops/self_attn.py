@@ -39,6 +39,17 @@ Design notes:
 - The causal mask is built in-kernel from the prefetched ``pos`` scalar
   (position j participates iff j <= pos) — kernels must not capture array
   constants.
+- **Beam search attends through an ancestry table instead of a cache
+  gather.** The beam reshuffle used to re-gather the whole (L, rows,
+  n_ctx, d) cache along the batch axis every step (~3.4 GB read+write at
+  large-v3 beam 5 x 16 windows — the biggest line item of the beam step).
+  Instead the cache rows stay physically fixed and a (rows, n_ctx) int32
+  ``anc`` table records, per position, WHICH beam of the group wrote the
+  K/V this row should attend to. The kernel loads the whole group's g
+  slabs (they share one grid step), computes each beam's logits against
+  every sibling's keys (g extra MXU dots — FLOPs are free, the kernel is
+  bandwidth-bound), and one-hot-selects by ancestor. Reshuffle then costs
+  a (rows, n_ctx) int32 gather (~80 KB) instead of gigabytes.
 
 Reference context: stable-ts inherits whisper's torch MHA with its hook
 machinery (timing.py:50-57); there is no decode-step kernel to mirror —
@@ -89,6 +100,91 @@ def _kernel(scalars_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, out_ref, *,
         out_ref[pl.ds(i * rows + r, 1), :] = o / l_d
 
 
+def _kernel_beam(scalars_ref, q_ref, anc_ref, kc_ref, ks_ref, vc_ref, vs_ref,
+                 out_ref, *, n_head: int, g: int):
+    """One grid step = one window group of ``g`` beams.
+
+    kc/vc blocks hold ALL g beams' slabs; beam r's key at position j is
+    row ``anc[r, j]`` of the group, selected by one-hot masks folded into
+    the dequant scales (one-hot x scale rides the same (1, n_ctx) vector
+    multiply the int8 path already does, so selection is free on the VPU).
+    """
+    d = q_ref.shape[-1]
+    n_ctx = kc_ref.shape[2]
+    d_head = d // n_head
+    i = pl.program_id(0)
+    pos = scalars_ref[1]
+
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 1) // d_head
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 0)
+    hmask = (col_head == row_id).astype(jnp.float32)
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, (n_head, n_ctx), 1)
+    bias = jnp.where(key_pos <= pos, 0.0, -jnp.inf).astype(jnp.float32)
+
+    cache_dtype = kc_ref.dtype
+    op_dtype = jnp.bfloat16 if cache_dtype == jnp.int8 else cache_dtype
+    for r in range(g):
+        qrow = q_ref[pl.ds(i * g + r, 1), :].astype(jnp.float32)  # (1, d)
+        qblk = (hmask * qrow).astype(op_dtype)                    # (H, d)
+        anc_r = anc_ref[0, r]                                     # (1, n_ctx)
+        sels = [(anc_r == s).astype(jnp.float32) for s in range(g)]
+        lg = bias
+        for s in range(g):
+            lg_s = jax.lax.dot_general(qblk, kc_ref[0, s],
+                                       (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            lg = lg + lg_s * (sels[s] * ks_ref[0, s])             # (H, n_ctx)
+        m = jnp.max(lg, axis=1, keepdims=True)
+        w = jnp.exp(lg - m)
+        l = jnp.sum(w, axis=1, keepdims=True)
+        o2 = jnp.zeros((n_head, d), jnp.float32)
+        for s in range(g):
+            o2 = o2 + jax.lax.dot_general(
+                (w * (sels[s] * vs_ref[0, s])).astype(op_dtype),
+                vc_ref[0, s], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)               # (H, d)
+        o = jnp.sum(o2 * hmask, axis=0, keepdims=True)
+        l_d = jnp.sum(hmask * l, axis=0, keepdims=True)
+        out_ref[pl.ds(i * g + r, 1), :] = o / l_d
+
+
+@partial(jax.jit, static_argnames=('n_head', 'g', 'interpret'))
+def _call_beam(scalars, q, anc, kc, ks, vc, vs, n_head: int, g: int,
+               interpret: bool):
+    n_layers, b, n_ctx, d = kc.shape
+    n_groups = b // g
+    kernel = partial(_kernel_beam, n_head=n_head, g=g)
+    slab = pl.BlockSpec((1, g, n_ctx, d), lambda i, s: (s[0], i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, g, 1, n_ctx), lambda i, s: (s[0], i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    anc4 = anc.reshape(n_groups, g, 1, n_ctx)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, 1, n_ctx), lambda i, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            slab, vec, slab, vec,
+        ],
+        out_specs=pl.BlockSpec((b, d), lambda i, s: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * g * d * n_ctx,
+            bytes_accessed=2 * b * d * n_ctx * kc.dtype.itemsize + b * d * 4,
+            transcendentals=b * n_head * n_ctx,
+        ),
+    )(scalars, q, anc4, kc, ks, vc, vs)
+
+
 @partial(jax.jit, static_argnames=('n_head', 'interpret'))
 def _call(scalars, q, kc, ks, vc, vs, n_head: int, interpret: bool):
     n_layers, b, n_ctx, d = kc.shape
@@ -132,6 +228,7 @@ def _call(scalars, q, kc, ks, vc, vs, n_head: int, interpret: bool):
 def self_attn_decode(q: jnp.ndarray, kc: jnp.ndarray, vc: jnp.ndarray,
                      layer_idx, pos, n_head: int,
                      ks: jnp.ndarray = None, vs: jnp.ndarray = None,
+                     anc: jnp.ndarray = None, q_per_kv: int = 1,
                      interpret: bool = False) -> jnp.ndarray:
     """One decode step of self-attention against the full layered KV cache.
 
@@ -141,6 +238,10 @@ def self_attn_decode(q: jnp.ndarray, kc: jnp.ndarray, vc: jnp.ndarray,
         CURRENT token's K/V row must already be written at ``pos``.
     ks/vs: (n_layers, batch, 1, n_ctx) per-position dequant scales for the
         int8 cache (None -> ones; required when kc/vc are int8).
+    anc: (batch, n_ctx) int32 beam-ancestry table, with ``q_per_kv`` the
+        beams per window group: row r's key/value at position j live in
+        group row ``anc[r, j]`` (a LOCAL index in [0, q_per_kv)). None ->
+        every row attends its own cache rows (the non-beam layout).
     layer_idx / pos: int32 scalars — which layer's slab to attend in, and
         the highest valid cache position (keys at j <= pos participate).
     Returns (batch, d) float32 attention output (pre out-projection).
@@ -152,4 +253,7 @@ def self_attn_decode(q: jnp.ndarray, kc: jnp.ndarray, vc: jnp.ndarray,
         vs = jnp.ones((n_layers, b, 1, n_ctx), jnp.float32)
     scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
                          jnp.asarray(pos, jnp.int32)])
+    if anc is not None and q_per_kv > 1:
+        return _call_beam(scalars, q, anc, kc, ks, vc, vs, n_head,
+                          q_per_kv, interpret)
     return _call(scalars, q, kc, ks, vc, vs, n_head, interpret)
