@@ -12,8 +12,8 @@ from typing import Callable, List, Optional, Tuple, Union
 
 import numpy as np
 
-from .constants import (CHUNK_LENGTH, FRAMES_PER_SECOND, N_FRAMES, N_SAMPLES,
-                        SAMPLE_RATE, TOKENS_PER_SECOND)
+from .constants import (CHUNK_LENGTH, FRAMES_PER_SECOND, HOP_LENGTH, N_FFT,
+                        N_FRAMES, N_SAMPLES, SAMPLE_RATE, TOKENS_PER_SECOND)
 from .non_whisper.alignment import Aligner, WordToken
 from .non_whisper.refinement import Refiner
 from .options import AllOptions
@@ -323,17 +323,55 @@ def _whisper_refinement_func(model, tokenizer) -> Callable:
     return inference_func
 
 
+def _refine_mel_batch(audio, frames, n_mels):
+    """(R, T_bucket) muted audio rows -> (R, n_mels, 3000) device mels.
+
+    Per-row real frame counts arrive as an ARRAY so every round of a step
+    reuses one compiled program regardless of how span lengths mix; frames
+    beyond a row's real count are zeroed (the host path zero-padded mels
+    the same way, _pad_mel)."""
+    global _REFINE_MEL_FN
+    if _REFINE_MEL_FN is None:
+        import jax
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=('n_mels',))
+        def fn(audio, frames, n_mels):
+            import jax.numpy as jnp
+            mel = log_mel_spectrogram(audio, n_mels)   # (R, n_mels, T//160)
+            mask = (jnp.arange(mel.shape[-1])[None, None, :]
+                    < frames[:, None, None])
+            mel = jnp.where(mask, mel, 0.0)
+            if mel.shape[-1] >= 3000:
+                return mel[..., :3000]
+            return jnp.pad(mel, ((0, 0), (0, 0), (0, 3000 - mel.shape[-1])))
+        _REFINE_MEL_FN = fn
+    return _REFINE_MEL_FN(audio, frames, n_mels=n_mels)
+
+
+_REFINE_MEL_FN = None
+
+
 def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
-    """list[(audio(2, T_i), tokens_i)] -> list[probs (2, n_i, vocab<eot)].
+    """list[(audio(2, T_i), tokens_i)] -> list[(probs (2, n_i),
+    ranks (2, n_i))] — realized-token probabilities and vocab ranks.
 
     The lockstep refine driver (non_whisper/refinement.py) evaluates every
     pending span's probe in ONE forward per bisection round: all 2S muted
     variants batch through the encoder+decoder with right-padded token rows
-    (exact under causal masking). Batch and token lengths are bucketed so
-    XLA compiles a handful of shapes, not one per round.
+    (exact under causal masking). Batch, token, and audio lengths are
+    bucketed so XLA compiles a handful of shapes, not one per round.
+
+    Everything heavy stays on device: muted audio uploads at its bucketed
+    real length (with the STFT's 200-sample reflect continuation written
+    into the pad, so kept mel frames are bit-identical to an exact-length
+    transform), mels feed the encoder without a host round-trip, and only
+    the (2, n) realized-token probs + ranks ever download — the previous
+    full-vocab softmax download was ~400 MB per bisection round at
+    large-v3, dwarfing the compute on a slow host link.
     """
-    import jax
     import jax.numpy as jnp
+    from .batched import _next_token_probs_and_ranks
     from .models.whisper.model import decoder_apply, encoder_apply
 
     sot_seq = list(tokenizer.sot_sequence)
@@ -343,42 +381,63 @@ def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
         return max(step, int(np.ceil(n / step) * step))
 
     def batch_func(requests):
-        mels = []
+        audios = []
         rows = []
         lengths = []
         for audio_segment, tokens in requests:
-            mel = np.asarray(log_mel_spectrogram(np.asarray(audio_segment),
-                                                 model.dims.n_mels))
-            mels.append(_pad_mel(mel))
+            a = np.asarray(audio_segment, np.float32)
+            audios.append(a[None] if a.ndim == 1 else a)
             rows.append(sot_seq + [tokenizer.no_timestamps] + list(tokens)
                         + [tokenizer.eot])
             lengths.append(len(tokens))
-        mel_batch = np.concatenate(mels, axis=0)  # (2S, n_mels, 3000)
-        # power-of-two row bucket: the active-span count shrinks every round
-        # as bisections converge, and each distinct shape is a fresh XLA
-        # compile — pow2 bounds that at log2(max_spans) compiles
-        pad_rows = 1 << max(3, int(np.ceil(np.log2(mel_batch.shape[0]))))
-        if pad_rows > mel_batch.shape[0]:
-            mel_batch = np.pad(mel_batch,
-                               ((0, pad_rows - mel_batch.shape[0]), (0, 0), (0, 0)))
-        max_len = _bucket(max(len(r) for r in rows), 32)
+        # one audio bucket per round (span lengths are fixed across a
+        # step's rounds, so this compiles once per step): room for the
+        # longest span plus the 200-sample reflect tail, 1-s granularity
+        t_max = max(a.shape[-1] for a in audios)
+        t_bucket = _bucket(t_max + N_FFT // 2, SAMPLE_RATE)
+        n_rows = sum(a.shape[0] for a in audios)
+        pad_rows = 1 << max(3, int(np.ceil(np.log2(n_rows))))
+        audio_batch = np.zeros((pad_rows, t_bucket), np.float32)
+        frames = np.zeros((pad_rows,), np.int32)
+        r = 0
+        for a in audios:
+            t = a.shape[-1]
+            refl = min(N_FFT // 2, t - 1) if t > 1 else 0
+            for row in a:
+                audio_batch[r, :t] = row
+                if refl:
+                    # np.pad 'reflect' continuation: padded[t+i] = row[t-2-i]
+                    audio_batch[r, t:t + refl] = row[t - 2:t - 2 - refl:-1]
+                frames[r] = min(t // HOP_LENGTH, 3000)
+                r += 1
+        max_len = _bucket(max(len(row) for row in rows), 32)
         tok_batch = np.full((pad_rows, max_len), tokenizer.eot, np.int32)
-        for i, row in enumerate(rows):
+        row_starts = np.zeros(len(audios), np.int32)
+        r = 0
+        for i, (a, row) in enumerate(zip(audios, rows)):
+            row_starts[i] = r
             padded = np.pad(row, (0, max_len - len(row)),
                             constant_values=tokenizer.eot)
-            tok_batch[2 * i] = padded
-            tok_batch[2 * i + 1] = padded
+            for _ in range(a.shape[0]):
+                tok_batch[r] = padded
+                r += 1
 
-        xa = encoder_apply(model.params['encoder'], jnp.asarray(mel_batch),
+        mel_batch = _refine_mel_batch(jnp.asarray(audio_batch),
+                                      jnp.asarray(frames), model.dims.n_mels)
+        xa = encoder_apply(model.params['encoder'], mel_batch,
                            model.dims.n_audio_head)
-        logits, _ = decoder_apply(model.params['decoder'],
-                                  jnp.asarray(tok_batch), xa,
+        tokens_in = jnp.asarray(tok_batch)
+        logits, _ = decoder_apply(model.params['decoder'], tokens_in, xa,
                                   model.dims.n_text_head)
-        probs = np.asarray(jax.nn.softmax(
-            logits[:, :, :tokenizer.eot].astype(jnp.float32), axis=-1))
+        per_token, ranks = _next_token_probs_and_ranks(logits, tokens_in,
+                                                       tokenizer.eot)
+        per_token = np.asarray(per_token)
+        ranks = np.asarray(ranks)
         out = []
         for i, n in enumerate(lengths):
-            out.append(probs[2 * i:2 * i + 2, sot_len:sot_len + n])
+            r0 = row_starts[i]
+            sl = (slice(r0, r0 + 2), slice(sot_len, sot_len + n))
+            out.append((per_token[sl], ranks[sl]))
         return out
 
     return batch_func

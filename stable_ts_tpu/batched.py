@@ -83,6 +83,42 @@ def _next_token_probs(logits, tokens, eot: int):
     return _NEXT_TOKEN_PROBS_FN(logits, tokens, eot=eot)
 
 
+_NEXT_TOKEN_PROBS_RANKS_FN = None
+
+
+def _next_token_probs_and_ranks(logits, tokens, eot: int):
+    """(B, T, V) logits + (B, T) realized tokens -> per-position probability
+    AND ascending-sort vocab rank of the realized next token, both (B, T-1).
+
+    The rank is the token's position in an ascending stable sort of the
+    text-vocab distribution — what the reference computes host-side via
+    ``token_positions.sort().indices == tokens`` (non_whisper/
+    refinement.py:320) after downloading the FULL (2, n, vocab) probs.
+    Computed here as #(logit < v) + #(tied logits at a lower index), on
+    raw logits (softmax is monotonic per row), so only two (B, T-1)
+    vectors ever cross the host link instead of ~vocab x more.
+    """
+    global _NEXT_TOKEN_PROBS_RANKS_FN
+    if _NEXT_TOKEN_PROBS_RANKS_FN is None:
+        import jax
+        import jax.numpy as jnp
+
+        @partial(jax.jit, static_argnames=('eot',))
+        def fn(logits, tokens, eot):
+            lg = logits[:, :-1, :eot].astype(jnp.float32)
+            idx = jnp.clip(tokens[:, 1:, None], 0, eot - 1)
+            v = jnp.take_along_axis(lg, idx, axis=-1)
+            vocab_iota = jnp.arange(eot, dtype=jnp.int32)
+            ranks = (jnp.sum(lg < v, axis=-1, dtype=jnp.int32)
+                     + jnp.sum((lg == v) & (vocab_iota < idx), axis=-1,
+                               dtype=jnp.int32))
+            probs = jax.nn.softmax(lg, axis=-1)
+            per_token = jnp.take_along_axis(probs, idx, axis=-1)[..., 0]
+            return per_token, ranks
+        _NEXT_TOKEN_PROBS_RANKS_FN = fn
+    return _NEXT_TOKEN_PROBS_RANKS_FN(logits, tokens, eot=eot)
+
+
 def _dtw_cost_batched(neg_matrices):
     """Batched DTW cost DP; one jitted program reused across every chunk."""
     global _DTW_BATCH_FN
@@ -691,62 +727,55 @@ def _launch_word_timing(model, tokenizer, features, metas,
                tok_probs=tok_probs, capture_slots=capture_slots,
                aligner_mode=aligner, dynamic_heads=dynamic_heads)
     if capture_slots is not None:
-        # Per-window dispatch: full 30-s windows go through the on-device
-        # weights+DTW fast path (head selection, normalization, DTW DP all
-        # on device); short windows (usually just the file's tail — the
-        # reference crops BEFORE the median filter, which device masking
-        # can't reproduce at the boundary) take the host path on their
-        # downloaded selected-head QKs.
+        # EVERY window — full or short — rides the on-device weights+DTW
+        # fast path: head selection, normalization, median filter (with the
+        # reflect-continuation gather reproducing the reference's
+        # crop-first boundary exactly, timing.py:legacy_weights_batched),
+        # DTW DP and traceback all on device; only the per-token jump
+        # frames cross the host link.
         layers = np.array([l for l, _ in capture_slots])
         cols = np.array([s for _, s in capture_slots])
         sel = qks[layers, :, cols]  # (n_sel, B, T, 1500)
-        full = [k for k, m in enumerate(max_qk_lens) if m >= N_FRAMES // 2]
-        short = [k for k in range(len(todo)) if k not in full]
+        full = list(range(len(todo)))
         out['full'] = full
-        out['short'] = short
-        if full:
-            pad_b = sel.shape[1]
-            qk_lens_in = jnp.asarray(
-                max_qk_lens + [1] * (pad_b - len(todo)), jnp.int32)
-            rows_in = jnp.asarray(
-                row_counts + [1] * (pad_b - len(todo)), jnp.int32)
-            matrices_dev = legacy_weights_batched(
-                sel, qk_lens_in, rows_in, sot_len, 1.0, 7)
-            cost = _dtw_cost_batched(-matrices_dev)
-            # traceback on device too: downloading the (B, R, 1501) f32
-            # cost matrices costs ~0.5 s/group through the host link; the
-            # jump-frame array is a few KB
-            from .ops.dtw import dtw_jumps_device
-            out['jumps'] = dtw_jumps_device(cost, rows_in, qk_lens_in)
-        if short:
-            out['sel_short'] = sel[:, np.asarray(short)]
+        out['short'] = []
+        pad_b = sel.shape[1]
+        qk_lens_in = jnp.asarray(
+            max_qk_lens + [1] * (pad_b - len(todo)), jnp.int32)
+        rows_in = jnp.asarray(
+            row_counts + [1] * (pad_b - len(todo)), jnp.int32)
+        matrices_dev = legacy_weights_batched(
+            sel, qk_lens_in, rows_in, sot_len, 1.0, 7)
+        cost = _dtw_cost_batched(-matrices_dev)
+        # traceback on device too: downloading the (B, R, 1501) f32
+        # cost matrices costs ~0.5 s/group through the host link; the
+        # jump-frame array is a few KB
+        from .ops.dtw import dtw_jumps_device
+        out['jumps'] = dtw_jumps_device(cost, rows_in, qk_lens_in)
     else:
         # Non-selective capture (dynamic heads / 'new' aligner / unknown
         # heads): score heads ON DEVICE per window and dispatch the DTW —
         # the (L, B, H, T, 1500) capture never crosses the host link
         # (VERDICT r2 #4; the host download was multi-GB per group at
-        # large-v3). Short tail windows still take the reference-order
-        # host path on a per-window slice of the capture.
-        full = [k for k, m in enumerate(max_qk_lens) if m >= N_FRAMES // 2]
-        short = [k for k in range(len(todo)) if k not in full]
+        # large-v3). Short windows ride the same path — the device scorers
+        # reproduce the reference's crop-first filter boundary exactly via
+        # the reflect-continuation gather (timing.py:_reflect_src).
+        full = list(range(len(todo)))
         out['full'] = full
-        out['short'] = short
-        if full:
-            matrices = [_device_matrix(model, qks, k, max_qk_lens[k],
-                                       row_counts[k], sot_len, None,
-                                       dynamic_heads, aligner)
-                        for k in full]
-            mats = jnp.stack(matrices)
-            rows_in = jnp.asarray([row_counts[k] for k in full], jnp.int32)
-            qk_lens_in = jnp.asarray([max_qk_lens[k] for k in full],
-                                     jnp.int32)
-            cost = _dtw_cost_batched(-mats)
-            from .ops.dtw import dtw_jumps_device
-            out['jumps'] = dtw_jumps_device(cost, rows_in, qk_lens_in)
-            if _dynamic_iterations(dynamic_heads, aligner) > 1:
-                out['qks_dev'] = qks  # retained for the refinement loop
-        if short:
-            out['qks_short'] = qks[:, np.asarray(short)]
+        out['short'] = []
+        matrices = [_device_matrix(model, qks, k, max_qk_lens[k],
+                                   row_counts[k], sot_len, None,
+                                   dynamic_heads, aligner)
+                    for k in full]
+        mats = jnp.stack(matrices)
+        rows_in = jnp.asarray([row_counts[k] for k in full], jnp.int32)
+        qk_lens_in = jnp.asarray([max_qk_lens[k] for k in full],
+                                 jnp.int32)
+        cost = _dtw_cost_batched(-mats)
+        from .ops.dtw import dtw_jumps_device
+        out['jumps'] = dtw_jumps_device(cost, rows_in, qk_lens_in)
+        if _dynamic_iterations(dynamic_heads, aligner) > 1:
+            out['qks_dev'] = qks  # retained for the refinement loop
     return out
 
 
@@ -827,19 +856,6 @@ def _finish_word_timing(model, tokenizer, pending, metas,
                       file=sys.stderr)
             for k in pending['full']:
                 all_jumps[k] = jumps_np[k, :row_counts[k]]
-        if pending['short']:
-            # bf16 transfer, f32 upcast on host (halves the download)
-            sel_short = np.asarray(pending['sel_short']).astype(np.float32)
-            short_matrices = []
-            for j, k in enumerate(pending['short']):
-                n_text = row_counts[k] - 1
-                qk = sel_short[:, j, :sot_len + 1 + n_text + 1]
-                weights = legacy_head_weights(qk, max_qk_lens[k], sot_len,
-                                              1.0, 7)
-                short_matrices.append(weights.mean(axis=0))
-            for k, jumps in zip(pending['short'],
-                                _matrices_to_jumps(short_matrices)):
-                all_jumps[k] = jumps
     else:
         # dynamic / 'new' aligner modes: head scoring ran ON DEVICE at
         # launch; only the jump frames (and any short windows' slice of
@@ -873,18 +889,6 @@ def _finish_word_timing(model, tokenizer, pending, metas,
                     dtw_jumps_device(cost, rows_in, qk_lens_in))
             for idx, k in enumerate(pending['full']):
                 all_jumps[k] = jumps_np[idx, :row_counts[k]]
-        if pending['short']:
-            qks_np = np.asarray(pending['qks_short']).astype(np.float32)
-            short_matrices = []
-            for j, k in enumerate(pending['short']):
-                n_text = row_counts[k] - 1
-                qk = qks_np[:, j, :, :sot_len + 1 + n_text + 1]
-                short_matrices.append(_select_matrix_host(
-                    model, qk, max_qk_lens[k], sot_len,
-                    pending['dynamic_heads'], pending['aligner_mode']))
-            for k, jumps in zip(pending['short'],
-                                _matrices_to_jumps(short_matrices)):
-                all_jumps[k] = jumps
 
     for k, i in enumerate(todo):
         text_tokens, token_split, seg_indices = prep[i]

@@ -105,6 +105,22 @@ def compute_qks_and_probs(params, dims: ModelDimensions,
     return qks[:, 0], text_token_probs.tolist(), audio_features
 
 
+def _reflect_src(lens, n_frames: int):
+    """Column source indices that write np.pad-'reflect' continuations at
+    dynamic crop boundaries: column >= len reads column 2*len - 2 - column.
+
+    The reference crops attention weights to the window's real frames
+    BEFORE median filtering (timing.py:106-110), so the filter reflects at
+    the crop; gathering this continuation into the fixed-width array makes
+    the masked device pipeline equal the cropped computation on every kept
+    column. ``lens``: scalar or (B, 1) int; returns int32 broadcastable
+    against a frames-last axis."""
+    idx = jnp.arange(n_frames, dtype=jnp.int32)
+    lens = jnp.asarray(lens, jnp.int32)
+    return jnp.where(idx < lens, idx,
+                     jnp.clip(2 * lens - 2 - idx, 0, n_frames - 1))
+
+
 @partial(jax.jit, static_argnames=('medfilt_width', 'sot_len'))
 def _legacy_head_weights(qks_sel: jnp.ndarray, max_qk_len: int, sot_len: int,
                          qk_scale: float, medfilt_width: int) -> jnp.ndarray:
@@ -120,6 +136,10 @@ def _legacy_head_weights(qks_sel: jnp.ndarray, max_qk_len: int, sot_len: int,
     mean = jnp.mean(w, axis=-2, keepdims=True)
     # constant rows (e.g. max_qk_len == 1) have std 0; NaNs would poison DTW
     w = (w - mean) / jnp.where(std > 0, std, 1.0)
+    # reflect continuation at the crop boundary (identity at full width);
+    # columns >= max_qk_len of the OUTPUT are reflected duplicates — crop
+    # the result or bound the DTW at max_qk_len
+    w = w[..., _reflect_src(max_qk_len, w.shape[-1])]
     return median_filter(w, medfilt_width)
 
 
@@ -155,8 +175,12 @@ def legacy_weights_batched(qks_sel: jnp.ndarray, qk_lens: jnp.ndarray,
     qk_lens: (B,) valid audio frames per window; row_counts: (B,) valid token
     rows per window (n_text + 1) after the sot slice. Column masking
     reproduces the reference's frame crop and row masking confines the
-    per-column normalization stats to each window's real tokens, so for
-    full 30-s windows the output equals the per-window host path exactly.
+    per-column normalization stats to each window's real tokens. For SHORT
+    windows the reference crops to qk_len frames BEFORE median filtering, so
+    its filter reflects at the crop boundary; a per-window gather writes
+    that same reflect continuation into columns >= qk_len here, making the
+    fixed-1500-frame output equal the reference's cropped computation on
+    every kept column (crop the result, or bound the DTW, at qk_len).
     Returns (B, T', 1500) f32 matrices, already meaned over heads — feed
     ``-matrix`` straight to the batched DTW without the QK capture ever
     leaving the device.
@@ -176,27 +200,34 @@ def legacy_weights_batched(qks_sel: jnp.ndarray, qk_lens: jnp.ndarray,
                   axis=-2, keepdims=True) / count
     std = jnp.sqrt(var)
     w = (w - mean) / jnp.where(std > 0, std, 1.0)
+    # reflect continuation at each window's crop boundary (identity for
+    # full windows)
+    src = _reflect_src(qk_lens[:, None], n_frames)        # (B, n_frames)
+    w = jnp.take_along_axis(w, src[None, :, None, :], axis=-1)
     return median_filter(w, medfilt_width).mean(axis=0)
 
 
 def legacy_head_weights(qks_sel, max_qk_len: int, sot_len: int,
                         qk_scale: float, medfilt_width: int):
     """Normalized attention weights over the selected heads, cropped to
-    ``max_qk_len`` frames. Dispatches to the device kernel for full 30-s
-    windows and the host reference-order path for short windows.
+    ``max_qk_len`` frames.
 
-    Device-array input stays minimal on the host link (measured ~30 MB/s
-    through the tunnel): full windows return the DEVICE weights (callers
-    feed them straight to the device DTW); short windows crop the frame
-    axis ON DEVICE before the download, so only the real audio columns
-    ever cross."""
+    Device-array input stays fully on device for ANY window length — the
+    reflect-continuation gather in :func:`_legacy_head_weights` reproduces
+    the reference's crop-before-medfilt boundary exactly, so short windows
+    no longer need the host path (which cost >1.5 s/window of host median
+    filtering at large-v3). The device result keeps the full frame width;
+    columns >= max_qk_len are reflected duplicates — callers bound the DTW
+    at max_qk_len. Host (NumPy) input keeps the reference-order host path
+    and returns the cropped array."""
     on_device = isinstance(qks_sel, jnp.ndarray)
-    if max_qk_len >= qks_sel.shape[-1]:
-        w = _legacy_head_weights(
-            qks_sel, max_qk_len, sot_len, qk_scale, medfilt_width)
-        return w if on_device else np.asarray(w)
     if on_device:
-        qks_sel = np.asarray(qks_sel[..., :max_qk_len])
+        return _legacy_head_weights(
+            qks_sel, max_qk_len, sot_len, qk_scale, medfilt_width)
+    if max_qk_len >= qks_sel.shape[-1]:
+        return np.asarray(_legacy_head_weights(
+            jnp.asarray(qks_sel), max_qk_len, sot_len, qk_scale,
+            medfilt_width))
     return _legacy_head_weights_host(
         np.asarray(qks_sel), max_qk_len, sot_len, qk_scale, medfilt_width)
 
@@ -277,6 +308,9 @@ def dynamic_weights_device(qks: jnp.ndarray, qk_len, row_count,
                   axis=-2, keepdims=True) / count
     std = jnp.sqrt(var)
     selected = (selected - mean) / jnp.where(std > 0, std, 1.0)
+    # reflect continuation at the crop boundary so the median filter matches
+    # the reference's crop-first order (identity for full windows)
+    selected = selected[..., _reflect_src(qk_len, F)]
     return median_filter(selected, medfilt_width).mean(axis=0)
 
 
@@ -296,6 +330,11 @@ def new_aligner_matrix_device(qks: jnp.ndarray, qk_len, row_count,
     L, H, T, F = qks.shape
     col_ok = jnp.arange(F)[None, None, :] < qk_len
     w = qks.reshape(L * H, T, F).astype(jnp.float32)
+    # the 'new' scorer median-filters the RAW capture before softmax
+    # (reference timing.py:138-141, crop-first): reflect the raw columns at
+    # the crop boundary so filtered columns < qk_len match the cropped
+    # computation exactly (identity for full windows)
+    w = w[..., _reflect_src(qk_len, F)]
     w = median_filter(w, medfilt_width)
     w = jnp.where(col_ok, w * qk_scale, -jnp.inf)
     w = jax.nn.softmax(w, axis=-1)
@@ -343,6 +382,9 @@ def _new_aligner_matrix(qks: jnp.ndarray, max_qk_len: int, sot_len: int,
     L, H, T, F = qks.shape
     mask = jnp.arange(F)[None, None, :] < max_qk_len
     w = qks.reshape(L * H, T, F).astype(jnp.float32)  # bf16 capture -> f32 math
+    # reflect raw columns at the crop boundary before the filter (the
+    # reference crops first, timing.py:138-141); identity at full width
+    w = w[..., _reflect_src(max_qk_len, F)]
     w = median_filter(w, medfilt_width)
     w = jnp.where(mask, w * qk_scale, -jnp.inf)
     w = jax.nn.softmax(w, axis=-1)
@@ -391,14 +433,21 @@ def _new_aligner_matrix_host(qks: np.ndarray, max_qk_len: int, sot_len: int,
 
 def new_aligner_matrix(qks, max_qk_len: int, sot_len: int, qk_scale: float,
                        medfilt_width: int, topk: int, w_colnorm: float,
-                       w_rownorm: float, w_coverage: float) -> np.ndarray:
-    """'new' aligner matrix cropped to ``max_qk_len``; device kernel for full
-    windows, host reference-order path for short ones."""
-    if max_qk_len >= qks.shape[-1]:
-        return np.asarray(_new_aligner_matrix(
+                       w_rownorm: float, w_coverage: float):
+    """'new' aligner matrix cropped to ``max_qk_len``.
+
+    Device-array input stays on device for any window length (the raw
+    reflect-continuation in :func:`_new_aligner_matrix` reproduces the
+    reference's crop-first median filter exactly); the result keeps the
+    full frame width — bound the DTW at ``max_qk_len``. NumPy input keeps
+    the reference-order host path for short windows."""
+    on_device = isinstance(qks, jnp.ndarray)
+    if on_device or max_qk_len >= qks.shape[-1]:
+        m = _new_aligner_matrix(
             jnp.asarray(qks), max_qk_len, sot_len, qk_scale,
             medfilt_width=medfilt_width, topk=topk, w_colnorm=w_colnorm,
-            w_rownorm=w_rownorm, w_coverage=w_coverage))
+            w_rownorm=w_rownorm, w_coverage=w_coverage)
+        return m if on_device else np.asarray(m)
     return _new_aligner_matrix_host(
         np.asarray(qks), max_qk_len, sot_len, qk_scale, medfilt_width, topk,
         w_colnorm, w_rownorm, w_coverage)
@@ -503,7 +552,7 @@ def find_alignment(
             w_colnorm=float(new_kwargs['w_colnorm']),
             w_rownorm=float(new_kwargs['w_rownorm']),
             w_coverage=float(new_kwargs['w_coverage']))
-        jump_indices = _matrix_to_jumps(matrix)
+        jump_indices = _matrix_to_jumps(matrix, m=max_qk_len)
     elif dynamic_count:
         # crop the frame axis ON DEVICE before the download — the scorer
         # only reads [:, :, :max_qk_len] anyway (reference timing.py:87-89)
@@ -527,7 +576,7 @@ def find_alignment(
         weights = legacy_head_weights(qks_sel, max_qk_len, sot_len, qk_scale,
                                       medfilt_width)
         matrix = weights.mean(axis=0)
-        jump_indices = _matrix_to_jumps(matrix)
+        jump_indices = _matrix_to_jumps(matrix, m=max_qk_len)
 
     jump_times = jump_indices / TOKENS_PER_SECOND
     start_times = jump_times[word_boundaries[:-1]]
@@ -564,15 +613,21 @@ def _vmapped_cost_fn():
     return _VMAPPED_COST_FN
 
 
-def _matrix_to_jumps(matrix: np.ndarray) -> np.ndarray:
+def _matrix_to_jumps(matrix, m: Optional[int] = None) -> np.ndarray:
     """DTW over -matrix (device DP + device traceback) -> per-token jump frames.
 
     The traceback runs on device too (ops/dtw.py:dtw_jumps_device): only the
     per-token jump-frame vector crosses the host link, not the (N+1, M+1)
     f32 cost matrix — a multi-MB transfer per window on slow links.
+
+    ``m`` bounds the walk to the first m frame columns — device matrices
+    keep the full 1500-frame width for short windows (columns beyond the
+    real audio hold reflected duplicates; the DP cells within the bound are
+    unaffected, cost[i, j] only reads columns <= j).
     """
     from ...ops.dtw import dtw_jumps_device
-    n, m = matrix.shape
+    n, m_full = matrix.shape
+    m = m_full if m is None else min(m, m_full)
     cost = _dtw_cost_fn()(jnp.asarray(-matrix, jnp.float32))
     jumps = dtw_jumps_device(cost[None], jnp.asarray([n]), jnp.asarray([m]))
     return np.asarray(jumps)[0]

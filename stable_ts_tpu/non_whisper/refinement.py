@@ -463,14 +463,40 @@ class Refiner:
             nxt = []
             for (machine, req), raw in zip(active, raw_list):
                 _, text_tokens, word_tokens, prob_indices = req
-                reply = self._probs_and_ranks(
-                    np.asarray(raw), text_tokens, word_tokens, prob_indices,
-                    is_end_ts)
+                if isinstance(raw, tuple):
+                    # device-side contract: (probs (2, n), ranks (2, n)) of
+                    # the REALIZED tokens, already reduced over the vocab on
+                    # device (the whisper glue's batch_func) — only the
+                    # per-word picking remains for the host
+                    reply = self._pick_reduced(
+                        raw, text_tokens, word_tokens, prob_indices,
+                        is_end_ts)
+                else:
+                    reply = self._probs_and_ranks(
+                        np.asarray(raw), text_tokens, word_tokens,
+                        prob_indices, is_end_ts)
                 try:
                     nxt.append((machine, machine.send(reply)))
                 except StopIteration:
                     pass
             active = nxt
+
+    def _pick_reduced(self, raw, text_tokens, word_tokens, prob_indices,
+                      is_end_ts: bool):
+        """Per-word picking for batch replies whose vocab reduction already
+        ran on device: ``raw`` = (probs (2, n_tokens), ranks (2, n_tokens))
+        of the realized tokens. Same picking as :meth:`_probs_and_ranks`."""
+        per_token, ranks = (np.asarray(r) for r in raw)
+        for arr in (per_token, ranks):
+            if arr.shape != (2, len(text_tokens)):
+                raise RuntimeError(f'expected reduced reply of shape '
+                                   f'(2, {len(text_tokens)}) but got '
+                                   f'{arr.shape}')
+        rows = np.asarray(prob_indices)
+        cols = np.arange(len(text_tokens))
+        bounds = np.pad(np.cumsum([len(t) for t in word_tokens]), (1, 0))
+        pick = (bounds[1:] - 1) if is_end_ts else bounds[:-1]
+        return per_token[rows, cols][pick], ranks[rows, cols][pick]
 
     def _span_machine(self, span, step: str, total_duration: float):
         """Generator shell around :class:`_SpanBisect`: yields probe

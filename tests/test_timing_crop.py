@@ -155,36 +155,83 @@ class TestSelectiveCapture:
             model.alignment_heads = None
 
     def test_device_timing_path_matches_host(self, model, monkeypatch):
-        """Full-window batched timing: the on-device weights+DTW fast path
-        must produce the same words as the per-window host path."""
-        import stable_ts_tpu.batched as B
+        """Batched timing: the on-device weights+DTW fast path must produce
+        the same words as reference-order host math (crop to real frames
+        FIRST, then softmax/normalize/median-filter per window) — for full
+        30-s windows AND the short tail window, which rides the same device
+        path via the reflect-continuation gather."""
         model.alignment_heads = [(0, 0), (1, 2), (1, 5)]
         try:
             rng = np.random.default_rng(31)
-            audio = (rng.standard_normal(16000 * 60) * 0.15).astype(np.float32)
+            # 50 s -> one full 30-s window + one 20-s short tail window
+            audio = (rng.standard_normal(16000 * 50) * 0.15).astype(np.float32)
 
             res_fast = model.transcribe_batched(audio, verbose=None,
                                                 regroup=False)
 
-            # force the host path by pretending a window is short
+            # swap the device weights kernel for per-window host-order math
+            import jax.numpy as jnp
             import stable_ts_tpu.models.whisper.timing as T
-            real_batched = T.legacy_weights_batched
 
-            def poisoned(*a, **kw):
-                raise AssertionError('device path must be disabled')
-            monkeypatch.setattr(T, 'legacy_weights_batched', poisoned)
-            monkeypatch.setattr(B, 'N_FRAMES', 10 ** 9)  # no window is "full"
+            def host_order(sel, qk_lens, row_counts, sot_len, qk_scale,
+                           medfilt_width):
+                sel_np = np.asarray(sel).astype(np.float32)
+                lens = np.asarray(qk_lens)
+                rows = np.asarray(row_counts)
+                n_sel, b, t, f = sel_np.shape
+                out = np.zeros((b, t - sot_len - 1, f), np.float32)
+                for i in range(b):
+                    qk = sel_np[:, i, :sot_len + rows[i] + 1]
+                    w = _legacy_head_weights_host(
+                        qk, int(lens[i]), sot_len, qk_scale, medfilt_width)
+                    out[i, :rows[i], :lens[i]] = w.mean(axis=0)
+                return jnp.asarray(out)
+
+            monkeypatch.setattr(T, 'legacy_weights_batched', host_order)
             res_host = model.transcribe_batched(audio, verbose=None,
                                                 regroup=False)
-            monkeypatch.setattr(T, 'legacy_weights_batched', real_batched)
 
             fast = [(w.word, w.start, w.end) for s in res_fast.segments
                     for w in s.words]
             host = [(w.word, w.start, w.end) for s in res_host.segments
                     for w in s.words]
             assert [w[0] for w in fast] == [w[0] for w in host]
+            assert len(fast) > 0
             for (_, fs, fe), (_, hs, he) in zip(fast, host):
                 assert abs(fs - hs) <= 0.021 and abs(fe - he) <= 0.021, \
                     (fs, hs, fe, he)
         finally:
             model.alignment_heads = None
+
+    def test_short_window_weights_device_matches_host_crop_first(self):
+        """The reflect-continuation gather must make the full-width device
+        kernel equal the reference's crop-first host math on every kept
+        column, for a SHORT window."""
+        import jax.numpy as jnp
+        rng = np.random.default_rng(41)
+        qks = _fake_qks(rng, T=10, F=1500)
+        sel = qks[[0, 1], [1, 2]]
+        max_qk_len = 400
+        dev = np.asarray(legacy_head_weights(
+            jnp.asarray(sel), max_qk_len, sot_len=2, qk_scale=1.0,
+            medfilt_width=7))
+        host = _legacy_head_weights_host(sel, max_qk_len, sot_len=2,
+                                         qk_scale=1.0, medfilt_width=7)
+        assert dev.shape[-1] == 1500  # full width; kept columns must match
+        np.testing.assert_allclose(dev[..., :max_qk_len], host,
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_short_window_new_aligner_device_matches_host(self):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(43)
+        qks = _fake_qks(rng, T=10, F=1500)
+        max_qk_len = 250
+        dev = np.asarray(new_aligner_matrix(
+            jnp.asarray(qks), max_qk_len, sot_len=2, qk_scale=1.0,
+            medfilt_width=7, topk=4, w_colnorm=1.0, w_rownorm=1.0,
+            w_coverage=0.5))
+        host = _new_aligner_matrix_host(
+            qks, max_qk_len, sot_len=2, qk_scale=1.0, medfilt_width=7,
+            topk=4, w_colnorm=1.0, w_rownorm=1.0, w_coverage=0.5)
+        np.testing.assert_allclose(dev[..., :max_qk_len], host,
+                                   rtol=2e-4, atol=2e-5)
