@@ -343,17 +343,57 @@ def _bench_loop(run, audio_seconds: float, name: str):
 def main_align():
     """e2e forced alignment (model.align) — the reference calls align
     "significantly faster than transcribing" (alignment.py:48-49); this
-    mode makes that claim measurable on TPU."""
+    mode makes that claim measurable on TPU.
+
+    The aligned text is the model's OWN transcript of the audio (the
+    product use case: align a known-correct transcript), so the one-pass
+    success path dominates — arbitrary text under random weights drives
+    the failure/requeue ladder on ~every segment instead, which is a
+    worst-case number, not the align number (BENCH_ALIGN_TEXT=dense
+    measures that case; align_words mode measures a dense success-path
+    workload)."""
     model = build_model()
     minutes = float(os.environ.get('BENCH_MINUTES', '10'))
     audio = synth_speech_like(minutes * 60.0)
-    # ~2 words/s of short synthetic words (BPE-encodable byte tokens)
-    text = ' '.join(f'w{i % 97:02d}' for i in range(int(minutes * 60 * 2)))
+    if os.environ.get('BENCH_ALIGN_TEXT') == 'dense':
+        # ~2 words/s of short synthetic words (BPE-encodable byte tokens)
+        text = ' '.join(f'w{i % 97:02d}' for i in range(int(minutes * 60 * 2)))
+    else:
+        text = model.transcribe_batched(audio, language='en',
+                                        verbose=None).text
 
     def run():
         return model.align(audio, text, language='en', verbose=None)
 
     _bench_loop(run, minutes * 60.0, f'xRT_align_{MODEL}')
+
+
+def main_align_words():
+    """e2e align_words: dense word grid with KNOWN segment boundaries — no
+    fallback re-decode (the reference calls it "drastically faster",
+    alignment.py:235-237). This is the teacher-forced timing machinery at
+    a production word density (~2.2 words/s) regardless of what the random
+    weights would decode."""
+    model = build_model()
+    minutes = float(os.environ.get('BENCH_MINUTES', '10'))
+    seconds = minutes * 60.0
+    audio = synth_speech_like(seconds)
+    segs, t, i = [], 0.0, 0
+    seg_dur = 10.0
+    while t < seconds - 1.0:
+        end = min(t + seg_dur, seconds)
+        n = int((end - t) * 2.2)
+        segs.append(dict(start=round(t, 2), end=round(end, 2),
+                         text=' '.join(f'w{(i + j) % 97:02d}'
+                                       for j in range(n))))
+        i += n
+        t = end
+
+    def run():
+        return model.align_words(audio, [dict(s) for s in segs],
+                                 language='en', verbose=None)
+
+    _bench_loop(run, seconds, f'xRT_align_words_{MODEL}')
 
 
 def main_refine():
@@ -403,4 +443,5 @@ def main_locate():
 if __name__ == '__main__':
     _enable_cache()
     {'e2e': main_e2e, 'kernel': main_kernel, 'align': main_align,
-     'refine': main_refine, 'locate': main_locate}[MODE]()
+     'align_words': main_align_words, 'refine': main_refine,
+     'locate': main_locate}[MODE]()

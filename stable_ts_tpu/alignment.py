@@ -609,19 +609,55 @@ def locate(
         matrix = np.asarray(weights.mean(axis=0))
         return round(float(matrix[-1].argmax() / sec_per_emb), 3), xa
 
+    from .models.whisper.decoding import _use_cross_kernel
+    from .models.whisper.model import fuse_self_qkv, precompute_cross_kv_t
+    dec_step_params = dict(model.params['decoder'])
+    dec_step_params['blocks'] = fuse_self_qkv(dec_step_params['blocks'])
+    # worst-case token count: initial prompt + the bounded prediction run
+    confirm_cache_len = min(
+        model.dims.n_text_ctx,
+        ((len(initial_tokens) + max_token_per_seg + 8 + 127) // 128) * 128)
+
     def greedy_confirm(mel_section: np.ndarray):
-        """KV-cached greedy decode with target-token forcing and rollback."""
+        """KV-cached greedy decode with target-token forcing and rollback.
+
+        The reference re-runs the whole prefix through the model per token
+        (alignment.py:845-867 rebuilds inference_tokens each step); here the
+        common append-one-token case is ONE ``decoder_step`` against the
+        held KV cache, and only a rollback (suffix replaced) re-prefills —
+        prefill lengths are bucketed to 32 so XLA compiles a handful of
+        shapes, not one per prefix length."""
         xa = encoder_apply(model.params['encoder'],
                            jnp.asarray(mel_section)[None], model.dims.n_audio_head)
-        cross_kv = precompute_cross_kv(model.params['decoder'], xa)
+        if _use_cross_kernel():
+            cross_kv = precompute_cross_kv_t(model.params['decoder'], xa)
+        else:
+            cross_kv = precompute_cross_kv(model.params['decoder'], xa)
+        state = dict(kv=None, tokens=[])
 
         def logits_at(tokens_so_far: List[int]):
-            # Re-prefill on rollback (cache restart), else step.
-            toks = jnp.asarray([tokens_so_far], jnp.int32)
-            logits, _ = decoder_prefill(model.params['decoder'], toks, xa,
-                                        model.dims.n_text_head,
-                                        model.dims.n_text_ctx)
-            return np.array(logits[0, -1, :tokenizer.eot + 1])
+            n = len(tokens_so_far)
+            if (state['kv'] is not None and n == len(state['tokens']) + 1
+                    and n <= confirm_cache_len
+                    and tokens_so_far[:-1] == state['tokens']):
+                logits, state['kv'] = decoder_step(
+                    dec_step_params,
+                    jnp.asarray([[tokens_so_far[-1]]], jnp.int32),
+                    jnp.int32(n - 1), cross_kv, state['kv'],
+                    model.dims.n_text_head)
+                state['tokens'] = list(tokens_so_far)
+                return np.array(logits[0, :tokenizer.eot + 1])
+            # (re)prefill, right-padded to a 32-bucket (positions past the
+            # real prefix hold junk K/V but decoder_step masks them out and
+            # overwrites slot n before attending)
+            pad = min(confirm_cache_len, -(-n // 32) * 32)
+            toks = jnp.asarray(
+                [tokens_so_far + [tokenizer.eot] * (pad - n)], jnp.int32)
+            logits, state['kv'] = decoder_prefill(
+                model.params['decoder'], toks, xa, model.dims.n_text_head,
+                confirm_cache_len)
+            state['tokens'] = list(tokens_so_far)
+            return np.array(logits[0, n - 1, :tokenizer.eot + 1])
 
         infer_tokens = list(initial_tokens)
         predictions = []
