@@ -43,7 +43,10 @@ def audio_to_numpy_resample(
     if audio.dtype == np.int16:
         audio = audio.astype(np.float32) / 32768.0
     else:
-        audio = audio.astype(np.float32)
+        # copy=False: an already-float32 source (the common array input)
+        # passes through without a full-length copy — the loader never
+        # mutates it, and downstream chunking slices views anyway
+        audio = audio.astype(np.float32, copy=False)
     if audio.ndim == 2:  # downmix (channels, samples) or (samples, channels)
         audio = audio.mean(axis=0 if audio.shape[0] < audio.shape[1] else 1)
     if sr is not None and sr not in target_srs:

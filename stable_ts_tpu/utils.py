@@ -107,6 +107,37 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:
     return cache_dir
 
 
+def tune_host_allocator(threshold_bytes: int = 256 << 20) -> bool:
+    """Keep large host buffers in glibc's main arena so they are REUSED.
+
+    glibc serves any malloc above ~128 KB (dynamically up to 32 MB) via
+    mmap and returns it to the OS on free — so every large NumPy array the
+    audio/decode pipeline allocates (window stacks, mel inputs, decode
+    downloads) is backed by brand-new pages whose first touch page-faults.
+    On virtualized hosts with expensive fault-in (measured here: ~40 us per
+    4 KB page — a 115 MB copy ran at 99 MB/s fresh vs 3.5 GB/s reused) that
+    charges multi-second "host" overhead to what should be memcpys.
+
+    Raising M_MMAP_THRESHOLD/M_TRIM_THRESHOLD makes those buffers heap
+    allocations that stay cached in the arena across free/alloc cycles.
+    No-op (returns False) off glibc or when STABLE_TS_TPU_NO_MALLOC_TUNE
+    is set. Fragmentation risk is bounded: the pipeline re-allocates the
+    same handful of sizes each group.
+    """
+    import os
+    if os.environ.get('STABLE_TS_TPU_NO_MALLOC_TUNE'):
+        return False
+    try:
+        import ctypes
+        libc = ctypes.CDLL(None, use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        ok = libc.mallopt(M_MMAP_THRESHOLD, int(threshold_bytes))
+        ok &= libc.mallopt(M_TRIM_THRESHOLD, int(threshold_bytes))
+        return bool(ok)
+    except Exception:
+        return False
+
+
 def timestamp_spans(tokens, ts_begin: int):
     """Cut one window's decoded tokens at consecutive-timestamp pairs.
 
