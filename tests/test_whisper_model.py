@@ -86,6 +86,46 @@ class TestDecoder:
                                    rtol=2e-4, atol=2e-4)
 
 
+    def test_padded_prefill_then_step_matches_full(self, tiny_model,
+                                                   mel_window):
+        """The locate() confirmation-decode invariant: a prefix prefilled
+        with junk right-padding (cache slots past the real length hold
+        garbage K/V) must yield the same logits at the last real position,
+        and a subsequent decoder_step appending one token must match the
+        full teacher-forced forward — junk slots are masked, and the step
+        overwrites its own slot before attending (alignment.py:
+        greedy_confirm)."""
+        from stable_ts_tpu.models.whisper.model import (decoder_prefill,
+                                                        fuse_self_qkv)
+        dims, params = tiny_model
+        xa = encoder_apply(params['encoder'], mel_window, dims.n_audio_head)
+        seq = [7, 11, 13, 17, 19, 23, 29]
+        n = 5
+        cache_len = 16
+        junk = 3  # any in-vocab id; its K/V must never leak into outputs
+        full_logits, _ = decoder_apply(
+            params['decoder'], jnp.asarray([seq], jnp.int32), xa,
+            dims.n_text_head)
+
+        padded = seq[:n] + [junk] * (8 - n)  # bucket-of-8 right padding
+        pre_logits, kv = decoder_prefill(
+            params['decoder'], jnp.asarray([padded], jnp.int32), xa,
+            dims.n_text_head, cache_len)
+        np.testing.assert_allclose(
+            np.asarray(pre_logits[0, n - 1]), np.asarray(full_logits[0, n - 1]),
+            rtol=2e-4, atol=2e-4)
+
+        dec = dict(params['decoder'])
+        dec['blocks'] = fuse_self_qkv(dec['blocks'])
+        cross_kv = precompute_cross_kv(params['decoder'], xa)
+        step_logits, kv = decoder_step(
+            dec, jnp.asarray([[seq[n]]], jnp.int32), jnp.int32(n),
+            cross_kv, kv, dims.n_text_head)
+        np.testing.assert_allclose(
+            np.asarray(step_logits[0]), np.asarray(full_logits[0, n]),
+            rtol=2e-4, atol=2e-4)
+
+
 class TestCheckpointRoundTrip:
     def test_openai_pt_roundtrip(self, tiny_model, mel_window, tmp_path):
         dims, params = tiny_model
