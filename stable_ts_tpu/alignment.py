@@ -407,7 +407,12 @@ def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
                 audio_batch[r, :t] = row
                 if refl:
                     # np.pad 'reflect' continuation: padded[t+i] = row[t-2-i]
-                    audio_batch[r, t:t + refl] = row[t - 2:t - 2 - refl:-1]
+                    # (stop index pinned to None when the reflection reaches
+                    # row[0] — a negative stop would wrap and empty the slice
+                    # for spans of <= N_FFT//2 + 1 samples)
+                    stop = t - 2 - refl
+                    audio_batch[r, t:t + refl] = \
+                        row[t - 2:stop if stop >= 0 else None:-1]
                 frames[r] = min(t // HOP_LENGTH, 3000)
                 r += 1
         max_len = _bucket(max(len(row) for row in rows), 32)
@@ -602,10 +607,14 @@ def locate(
         else:
             L, H, T, F = qks.shape
             weights = qks.reshape(L * H, T, F)
-        weights = jax.nn.softmax(weights, axis=-1)
+        # capture is bf16 in HBM — upcast before softmax/normalization
+        # (repo rule; bf16 softmax quantizes the attention peaks the argmax
+        # below rides on), and guard zero std (single-token T)
+        weights = jax.nn.softmax(weights.astype(jnp.float32), axis=-1)
         std = jnp.std(weights, axis=-2, keepdims=True)
         mean = jnp.mean(weights, axis=-2, keepdims=True)
-        weights = median_filter((weights - mean) / std, 7)
+        weights = median_filter((weights - mean)
+                                / jnp.where(std == 0, 1.0, std), 7)
         matrix = np.asarray(weights.mean(axis=0))
         return round(float(matrix[-1].argmax() / sec_per_emb), 3), xa
 

@@ -405,9 +405,16 @@ def transcribe_batched(
             prompt = initial_prompt_tokens if first_group else []
         first_group = False
         grp.prompt = prompt or None
+        mask = _group_ts_mask(grp, range(len(grp.metas)))
+        if mask is not None and grp.features.shape[0] > mask.shape[0]:
+            # mesh dp padding: shard_batch may have padded the feature rows
+            # past batch_size (same repair as the retry path below)
+            mask = np.concatenate(
+                [mask, np.repeat(mask[-1:],
+                                 grp.features.shape[0] - mask.shape[0], 0)])
         grp.pending = model.decode_launch(
             grp.features, _make_options(temperatures[0], grp.prompt),
-            ts_silence_mask=_group_ts_mask(grp, range(len(grp.metas))))
+            ts_silence_mask=mask)
 
     def _group_ts_mask(grp: _Group, idxs):
         """Stack the windows' silence timestamp-token masks, padded to the
@@ -415,7 +422,9 @@ def transcribe_batched(
         if not suppress_ts_tokens:
             return None
         rows = [grp.metas[i]['ts_mask'] for i in idxs]
-        rows = [(r if r is not None else np.zeros(1501, bool)) for r in rows]
+        from .stabilization import _TS_MASK_LEN
+        rows = [(r if r is not None else np.zeros(_TS_MASK_LEN, bool))
+                for r in rows]
         if not rows:
             return None
         rows = rows + [rows[-1]] * (batch_size - len(rows))
@@ -767,10 +776,19 @@ def _launch_word_timing(model, tokenizer, features, metas,
                                    row_counts[k], sot_len, None,
                                    dynamic_heads, aligner)
                     for k in full]
+        # pad to the device batch (repeat the last matrix, sentinel
+        # lengths 1) so the batched DTW compiles ONE shape per group
+        # geometry instead of one per distinct todo count — mirrors the
+        # selective branch's pad_b padding above
+        pad_b = qks.shape[1]
+        matrices += [matrices[-1]] * (pad_b - len(matrices))
         mats = jnp.stack(matrices)
-        rows_in = jnp.asarray([row_counts[k] for k in full], jnp.int32)
-        qk_lens_in = jnp.asarray([max_qk_lens[k] for k in full],
-                                 jnp.int32)
+        rows_in = jnp.asarray(
+            [row_counts[k] for k in full] + [1] * (pad_b - len(full)),
+            jnp.int32)
+        qk_lens_in = jnp.asarray(
+            [max_qk_lens[k] for k in full] + [1] * (pad_b - len(full)),
+            jnp.int32)
         cost = _dtw_cost_batched(-mats)
         from .ops.dtw import dtw_jumps_device
         out['jumps'] = dtw_jumps_device(cost, rows_in, qk_lens_in)
@@ -793,7 +811,7 @@ def _device_matrix(model, qks, k: int, qk_len: int, row_count: int,
                    sot_len: int, peaks, dynamic_heads, aligner):
     """One window's head-scored alignment matrix, computed on device from
     the resident (L, B, H, T, 1500) capture (same dispatch rules as the
-    host path, _select_matrix_host)."""
+    sequential driver's host path, timing.py:find_alignment)."""
     import jax.numpy as jnp
     from .models.whisper.timing import (dynamic_weights_device,
                                         new_aligner_matrix_device)
@@ -825,9 +843,7 @@ def _finish_word_timing(model, tokenizer, pending, metas,
                         per_window_segments, prepend_punctuations,
                         append_punctuations, min_word_dur):
     """Materialize the dispatched timing work and assemble per-word dicts."""
-    from .models.whisper.timing import (WordTimingRaw, _matrices_to_jumps,
-                                        legacy_head_weights,
-                                        merge_punctuations,
+    from .models.whisper.timing import (WordTimingRaw, merge_punctuations,
                                         pop_empty_alignment)
 
     import os
@@ -880,10 +896,17 @@ def _finish_word_timing(model, tokenizer, pending, metas,
                         model, pending['qks_dev'], k, max_qk_lens[k],
                         row_counts[k], sot_len, jnp.asarray(peaks),
                         pending['dynamic_heads'], pending['aligner_mode']))
-                rows_in = jnp.asarray([row_counts[k] for k in pending['full']],
-                                      jnp.int32)
+                # pad to the device batch for one compiled DTW shape
+                # (same reasoning as the launch-side padding)
+                pad_b = pending['qks_dev'].shape[1]
+                n_full = len(pending['full'])
+                matrices += [matrices[-1]] * (pad_b - n_full)
+                rows_in = jnp.asarray(
+                    [row_counts[k] for k in pending['full']]
+                    + [1] * (pad_b - n_full), jnp.int32)
                 qk_lens_in = jnp.asarray(
-                    [max_qk_lens[k] for k in pending['full']], jnp.int32)
+                    [max_qk_lens[k] for k in pending['full']]
+                    + [1] * (pad_b - n_full), jnp.int32)
                 cost = _dtw_cost_batched(-jnp.stack(matrices))
                 jumps_np = np.asarray(
                     dtw_jumps_device(cost, rows_in, qk_lens_in))
@@ -937,45 +960,3 @@ def _finish_word_timing(model, tokenizer, pending, metas,
     if _dbg:
         print(f'[timing-debug] finish total {_time.perf_counter() - _t0:.3f}s',
               file=sys.stderr)
-
-
-def _select_matrix_host(model, qk, max_qk_len, sot_len, dynamic_heads,
-                        aligner):
-    """Per-window host head selection for the non-selective capture modes
-    (same dispatch as find_alignment, timing.py)."""
-    from .models.whisper.timing import (_dynamic_head_weights,
-                                        legacy_head_weights,
-                                        new_aligner_matrix)
-    if aligner != 'legacy' or isinstance(aligner, dict):
-        kwargs = dict(topk=20, w_colnorm=1.0, w_rownorm=1.0, w_coverage=0.0)
-        if isinstance(aligner, dict):
-            kwargs.update(aligner)
-        return new_aligner_matrix(
-            qk, max_qk_len, sot_len, 1.0, medfilt_width=7,
-            topk=min(int(kwargs['topk']),
-                     model.dims.n_text_layer * model.dims.n_text_head),
-            w_colnorm=float(kwargs['w_colnorm']),
-            w_rownorm=float(kwargs['w_rownorm']),
-            w_coverage=float(kwargs['w_coverage']))
-    if model.alignment_heads is not None and not dynamic_heads:
-        heads = np.asarray(model.alignment_heads)
-        sel = qk[heads[:, 0], heads[:, 1]]
-        weights = legacy_head_weights(sel, max_qk_len, sot_len, 1.0, 7)
-        return weights.mean(axis=0)
-    if isinstance(dynamic_heads, str):
-        count = int(dynamic_heads.split(',')[0])
-    elif dynamic_heads in (None, True):
-        count = 6
-    else:
-        count = int(dynamic_heads)
-    iterations = _dynamic_iterations(dynamic_heads, aligner)
-    from .models.whisper.timing import _matrix_to_jumps
-    jump_indices = None
-    matrix = None
-    for it in range(iterations):
-        weights = _dynamic_head_weights(qk, sot_len, max_qk_len, 1.0, 7,
-                                        count, jump_indices)
-        matrix = weights.mean(axis=0)
-        if it < iterations - 1:
-            jump_indices = _matrix_to_jumps(matrix)
-    return matrix

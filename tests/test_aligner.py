@@ -203,6 +203,28 @@ class TestAlignerWhisperGlue:
         assert refined.has_words
         assert len(refined.all_words()) == len(before)
 
+    def test_refine_tiny_audio_does_not_crash(self, model):
+        """A probe span of <= N_FFT//2 + 1 audio samples used to empty the
+        reflect-continuation slice in the batched prob function
+        (row[t-2:-1:-1] wraps to row[t-2:len-1:-1]) and crash with a
+        broadcast error. Audio shorter than the reflect tail forces the
+        span below that bound."""
+        from stable_ts_tpu.result import WhisperResult
+        audio = (np.random.default_rng(7).standard_normal(150) * 0.3
+                 ).astype(np.float32)  # 150 samples < N_FFT//2 + 2
+        tokenizer = model.get_tokenizer(language='en', task='transcribe')
+        words = [dict(word=' a', start=0.001, end=0.005, probability=0.9,
+                      tokens=tokenizer.encode(' a')),
+                 dict(word=' b', start=0.005, end=0.009, probability=0.9,
+                      tokens=tokenizer.encode(' b'))]
+        base = WhisperResult(dict(
+            text=' a b', language='en',
+            segments=[dict(start=0.001, end=0.009, text=' a b',
+                           words=words)]))
+        refined = model.refine(audio, base, inplace=False, verbose=None,
+                               parallel=True)  # force the batched prob fn
+        assert refined.has_words
+
     def test_refine_parallel_matches_sequential(self, model):
         """Lockstep-batched refine must produce identical timestamps."""
         audio = np.random.default_rng(4).standard_normal(
