@@ -449,7 +449,7 @@ def transcribe_batched(
         segmentize; dispatch the word-timing pass (async)."""
         nonlocal prompt_reset_since
         n = len(grp.metas)
-        results = model.decode_collect(grp.pending)[:n]
+        results = model.decode_collect(grp.pending, with_features=False)[:n]
         grp.pending = None
         for t in temperatures[1:]:
             pending_idx = [i for i, r in enumerate(results)
@@ -478,7 +478,7 @@ def transcribe_batched(
                         [mask, np.repeat(mask[-1:],
                                          feats.shape[0] - mask.shape[0], 0)])
             retry = model.decode(feats, _make_options(t, grp.prompt),
-                                 ts_silence_mask=mask)
+                                 ts_silence_mask=mask, with_features=False)
             for i, r in zip(pending_idx, retry):
                 results[i] = r
         grp.results = results

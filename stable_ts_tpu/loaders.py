@@ -155,14 +155,16 @@ class WhisperTPU:
         return encoder_apply(self.params['encoder'], mel, self.dims.n_audio_head)
 
     def decode(self, mel_or_features, options: Optional[DecodingOptions] = None,
-               ts_silence_mask=None, language: Optional[str] = None, **kwargs):
+               ts_silence_mask=None, language: Optional[str] = None,
+               with_features: bool = True, **kwargs):
         if options is None:
             options = DecodingOptions(**kwargs)
         tokenizer = self.get_tokenizer(
             language=options.language or language or ('en' if not self.is_multilingual else 'en'),
             task=options.task)
         return _decode(self.params, self.dims, tokenizer, mel_or_features,
-                       options, ts_silence_mask=ts_silence_mask)
+                       options, ts_silence_mask=ts_silence_mask,
+                       with_features=with_features)
 
     def decode_launch(self, mel_or_features,
                       options: Optional[DecodingOptions] = None,
@@ -182,9 +184,9 @@ class WhisperTPU:
                               mel_or_features, options,
                               ts_silence_mask=ts_silence_mask)
 
-    def decode_collect(self, pending):
+    def decode_collect(self, pending, with_features: bool = True):
         """Block on a dispatched decode and return its DecodingResults."""
-        return _decode_collect(pending)
+        return _decode_collect(pending, with_features=with_features)
 
     def detect_language(self, mel):
         tokenizer = self.get_tokenizer(language=None, task=None)

@@ -503,7 +503,7 @@ def _finalize_beam(tokens_act, cum_lp, fin_tokens, fin_scores, batch,
                            if len(seq) == len(best_seq)
                            and np.array_equal(seq, best_seq)), -np.inf)
         results.append(DecodingResult(
-            audio_features=xa[b],
+            audio_features=xa[b] if xa is not None else None,
             language=language,
             tokens=text_tokens,
             text=text,
@@ -542,7 +542,8 @@ class PendingDecode:
 def decode(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
            mel_or_features, options: DecodingOptions = DecodingOptions(),
            ts_silence_mask: Optional[np.ndarray] = None,
-           rng: Optional[jax.Array] = None) -> List[DecodingResult]:
+           rng: Optional[jax.Array] = None,
+           with_features: bool = True) -> List[DecodingResult]:
     """Decode a batch of 30-s windows. Returns one DecodingResult per row.
 
     ``ts_silence_mask``: optional bool (B, 1501) — True marks timestamp
@@ -550,7 +551,8 @@ def decode(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
     """
     return decode_collect(decode_launch(
         params, dims, tokenizer, mel_or_features, options,
-        ts_silence_mask=ts_silence_mask, rng=rng))
+        ts_silence_mask=ts_silence_mask, rng=rng),
+        with_features=with_features)
 
 
 def decode_launch(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
@@ -697,12 +699,19 @@ def decode_launch(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
         outputs=(tokens_out, sum_logprobs))
 
 
-def decode_collect(pending: PendingDecode) -> List[DecodingResult]:
-    """Materialize a :class:`PendingDecode` into DecodingResults (blocks)."""
+def decode_collect(pending: PendingDecode,
+                   with_features: bool = True) -> List[DecodingResult]:
+    """Materialize a :class:`PendingDecode` into DecodingResults (blocks).
+
+    ``with_features=False`` skips the per-row ``xa[b]`` feature slices —
+    the batched driver keeps the group features itself and never reads
+    ``DecodingResult.audio_features``, and the eager slice dispatches are
+    measurable host overhead across the fallback ladder's rungs.
+    """
     options, tokenizer = pending.options, pending.tokenizer
     batch, n_group = pending.batch, pending.n_group
     sample_begin, sample_len = pending.sample_begin, pending.sample_len
-    xa = pending.xa
+    xa = pending.xa if with_features else None
     no_speech_probs = np.asarray(pending.no_speech_probs)
 
     if pending.kind == 'beam':
@@ -738,7 +747,7 @@ def decode_collect(pending: PendingDecode) -> List[DecodingResult]:
         text = tokenizer.decode([t for t in text_tokens if t < tokenizer.eot]).strip()
         avg_logprob = sum_logprobs[best_row] / (len(best_tokens) + 1)
         results.append(DecodingResult(
-            audio_features=xa[b],
+            audio_features=xa[b] if xa is not None else None,
             language=language,
             tokens=text_tokens,
             text=text,
