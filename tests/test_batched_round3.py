@@ -253,6 +253,42 @@ class TestBatchedOptionParity:
                     mid = (w.start + w.end) / 2
                     assert not (sil_lo < mid < sil_hi), (res, w)
 
+    @pytest.mark.parametrize('seed', [11, 23, 47])
+    def test_mid_window_trim_fuzz_random_layouts(self, model, seed):
+        """Seeded fuzz of the re-seek/trim rule: random speech/silence
+        layouts must never yield words inside any long silence, in either
+        driver (the silences land at arbitrary offsets, so both the
+        window-start skip and the mid-window trim paths get exercised)."""
+        rng = np.random.default_rng(seed)
+        parts, spans, t_cursor = [], [], 0.0
+        for _ in range(rng.integers(3, 6)):
+            speech_dur = float(rng.uniform(3.0, 14.0))
+            n = int(speech_dur * SAMPLE_RATE)
+            t = np.arange(n) / SAMPLE_RATE
+            tone = (np.sin(2 * np.pi * rng.uniform(200, 500) * t)
+                    * (0.3 + 0.2 * np.sin(2 * np.pi * 4 * t))
+                    ).astype(np.float32)
+            tone += rng.standard_normal(n).astype(np.float32) * 0.01
+            parts.append(tone)
+            t_cursor += speech_dur
+            sil_dur = float(rng.uniform(6.0, 13.0))
+            parts.append(np.zeros(int(sil_dur * SAMPLE_RATE), np.float32))
+            spans.append((t_cursor, t_cursor + sil_dur))
+            t_cursor += sil_dur
+        audio = np.concatenate(parts)
+        for res in (
+                model.transcribe_batched(audio, verbose=None, batch_size=2,
+                                         temperature=0.0, nonspeech_skip=5.0,
+                                         language='en'),
+                model.transcribe(audio, verbose=None, temperature=0.0,
+                                 nonspeech_skip=5.0, language='en')):
+            for seg in res.segments:
+                for w in seg.words or ():
+                    mid = (w.start + w.end) / 2
+                    for lo, hi in spans:
+                        assert not (lo + 1.0 < mid < hi - 1.0), (
+                            seed, (lo, hi), w)
+
     def test_new_options_accepted_and_effective(self, model,
                                                 silence_heavy_audio):
         # max_instant_words=0 prunes every segment containing any
