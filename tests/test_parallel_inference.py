@@ -70,6 +70,20 @@ class TestShardedInference:
         result = model.transcribe_batched(audio[:16000 * 35], verbose=None)
         assert result is not None
 
+    def test_sharded_beam_matches_unsharded(self, audio):
+        """Beam rows (windows x beams) must survive the dp row padding —
+        the reshapes inside _beam_loop assume contiguous per-window beam
+        groups, which shard_batch's padding must not break."""
+        plain = load_test_model()
+        sharded = load_test_model().shard()
+        short = audio[:16000 * 35]
+        r_plain = plain.transcribe_batched(short, verbose=None, beam_size=2)
+        r_shard = sharded.transcribe_batched(short, verbose=None, beam_size=2)
+        assert r_plain.text == r_shard.text
+        starts_p = [w.start for s in r_plain.segments for w in s.words]
+        starts_s = [w.start for s in r_shard.segments for w in s.words]
+        assert starts_p == pytest.approx(starts_s, abs=0.021)
+
     def test_sharded_tp2_matches_unsharded(self, audio):
         plain = load_test_model()
         sharded = load_test_model().shard(tp=2)
