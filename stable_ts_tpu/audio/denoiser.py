@@ -90,7 +90,9 @@ def _apply_demucs_chunked(model, wav, *, shifts: int = 0,
                           overlap: float = 0.25,
                           transition_power: float = 1.0,
                           segment: Optional[float] = None,
-                          device=None, seed: Optional[int] = None):
+                          device=None, seed: Optional[int] = None,
+                          progress: bool = False, num_workers: int = 0,
+                          pool=None):
     """Chunked overlap-weighted source separation.
 
     Behavioral counterpart of the reference's own apply
@@ -107,6 +109,11 @@ def _apply_demucs_chunked(model, wav, *, shifts: int = 0,
     """
     import random
     import torch
+    # progress/num_workers/pool are accepted for surface parity with the
+    # reference's apply (audio/demucs.py:75) — this serial bounded-memory
+    # apply has nothing to parallelize, and progress is the caller's
+    # verbose-print concern; they are deliberately inert here.
+    del num_workers, pool
     device = torch.device(device or 'cpu')
     model = model.to(device)
     channels, length = wav.shape
@@ -171,7 +178,8 @@ def _run_demucs(audio: np.ndarray, model=None, device=None, **kw):
     if kw.pop('split', True):
         stems = _apply_demucs_chunked(model, wav, device=device, **kw)
     else:
-        with torch.no_grad():
+        model = model.to(device or 'cpu')  # whole-signal path: model must
+        with torch.no_grad():              # follow the input's device
             stems = model(wav[None].to(device or 'cpu'))[0].cpu()
     vocals = stems[model.sources.index('vocals')].mean(0).numpy()
     out = resample(vocals.reshape(-1), model.samplerate, in_sr)

@@ -563,13 +563,10 @@ def transcribe_batched(
             grp.timing = None
         for meta, segs in zip(grp.metas, grp.segments):
             if word_timestamps:
-                segs = [s for s in segs if s.get('words')]
-                # prune segments that are mostly instant words
-                # (reference original_whisper.py:654-663); an all-instant
-                # empty list never reaches here (filtered above)
-                segs = [s for s in segs
-                        if np.mean([w['start'] == w['end']
-                                    for w in s['words']]) <= max_instant_words]
+                from .utils import keep_segment_instant_rule
+                segs = [s for s in segs if s.get('words')
+                        and keep_segment_instant_rule(s['words'],
+                                                      max_instant_words)]
                 if avg_prob_threshold and segs:
                     # reference original_whisper.py:665-674 minus the seek
                     # rewind (see transcribe_batched docstring)
@@ -800,11 +797,10 @@ def _launch_word_timing(model, tokenizer, features, metas,
 def _dynamic_iterations(dynamic_heads, aligner) -> int:
     """Iteration count of the iterated dynamic-head refinement (reference
     timing.py:254-265: 'count,iterations' string form)."""
+    from .models.whisper.timing import parse_dynamic_heads
     if aligner != 'legacy' or isinstance(aligner, dict):
         return 1
-    if isinstance(dynamic_heads, str) and ',' in dynamic_heads:
-        return int(dynamic_heads.split(',')[1])
-    return 1
+    return parse_dynamic_heads(dynamic_heads)[1]
 
 
 def _device_matrix(model, qks, k: int, qk_len: int, row_count: int,
@@ -828,12 +824,9 @@ def _device_matrix(model, qks, k: int, qk_len: int, row_count: int,
             w_colnorm=float(kwargs['w_colnorm']),
             w_rownorm=float(kwargs['w_rownorm']),
             w_coverage=float(kwargs['w_coverage']))
-    if isinstance(dynamic_heads, str):
-        count = int(dynamic_heads.split(',')[0])
-    elif dynamic_heads in (None, True):
-        count = 6
-    else:
-        count = int(dynamic_heads)
+    # unknown-heads windows reach here with dynamic_heads=None -> default 6
+    from .models.whisper.timing import parse_dynamic_heads
+    count = parse_dynamic_heads(dynamic_heads or True)[0]
     return dynamic_weights_device(
         qk, jnp.int32(qk_len), jnp.int32(row_count), peaks, sot_len, 1.0,
         medfilt_width=7, heads_count=count)

@@ -623,6 +623,15 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     # dominated the step cost and OOM'd large batches.
     fused_cross = 'kT' in cross_kv
     self_fa = _self_fa_mode()
+    if self_fa != 'off' and anc is not None and q_per_kv > 1:
+        # the beam kernel's grid step holds the WHOLE group's K+V slabs
+        # (double-buffered) in VMEM; past the budget Mosaic fails the
+        # launch at runtime — fall back to the XLA ancestry-gather path
+        # (bf16 self-KV at beam>=5, or long-prompt 448-slot caches)
+        itemsize = jnp.dtype(kv_cache['k'].dtype).itemsize
+        blk = q_per_kv * n_ctx * d * itemsize * 2 * 2
+        if blk > 12 * 2 ** 20:
+            self_fa = 'off'
 
     def block(carry, scanned):
         h, kc, vc, ksc, vsc = carry

@@ -232,6 +232,25 @@ def legacy_head_weights(qks_sel, max_qk_len: int, sot_len: int,
         np.asarray(qks_sel), max_qk_len, sot_len, qk_scale, medfilt_width)
 
 
+def parse_dynamic_heads(dynamic_heads) -> Tuple[Optional[int], int]:
+    """Normalize the ``dynamic_heads`` spec to ``(count, iterations)``.
+
+    Accepts the reference's forms (timing.py:254-265): True -> 6 heads,
+    int -> that many heads, 'count' or 'count,iterations' strings. Count
+    is None when dynamic selection is off (falsy spec). The one place this
+    mini-grammar is parsed — the batched and sequential drivers both call
+    it, so they cannot diverge.
+    """
+    if not dynamic_heads:
+        return None, 1
+    if dynamic_heads is True:
+        return 6, 1
+    if isinstance(dynamic_heads, int):
+        return int(dynamic_heads), 1
+    parts = str(dynamic_heads).split(',')
+    return int(parts[0]), (int(parts[1]) if len(parts) > 1 else 1)
+
+
 def _dynamic_head_weights(qks: np.ndarray, sot_len: int, max_qk_len: int,
                           qk_scale: float, medfilt_width: int,
                           heads_count: int,
@@ -506,17 +525,9 @@ def find_alignment(
     if not use_new:
         if dynamic_heads is None and alignment_heads is None:
             dynamic_heads = True
-        if dynamic_heads:
-            if dynamic_heads is True:
-                dynamic_count = 6
-            elif isinstance(dynamic_heads, int):
-                dynamic_count = dynamic_heads
-            else:
-                parts = str(dynamic_heads).split(',')
-                dynamic_count = int(parts[0])
-                dynamic_iterations = int(parts[1])
-        else:
-            dynamic_count = None
+        dynamic_count, its = parse_dynamic_heads(dynamic_heads)
+        if its > 1:
+            dynamic_iterations = its
 
     legacy_known_heads = (not use_new and not dynamic_count
                           and alignment_heads is not None)

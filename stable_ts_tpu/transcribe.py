@@ -365,13 +365,10 @@ def transcribe_stable(
                 dynamic_heads=dynamic_heads,
                 aligner=aligner,
             )
+            from .utils import keep_segment_instant_rule
             for i in reversed(range(len(current_segments))):
-                words = current_segments[i]['words']
-                # an empty word list is KEPT: the reference computes
-                # np.mean([]) = NaN and NaN > threshold is False
-                # (original_whisper.py:654-663)
-                if words and (np.mean([w['start'] == w['end'] for w in words])
-                              > max_instant_words):
+                if not keep_segment_instant_rule(
+                        current_segments[i]['words'], max_instant_words):
                     del current_segments[i]
             if avg_prob_threshold and current_segments:
                 all_probs = [w['probability'] for s in current_segments

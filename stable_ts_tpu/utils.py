@@ -107,6 +107,19 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:
     return cache_dir
 
 
+def keep_segment_instant_rule(words, max_instant_words: float) -> bool:
+    """The ``max_instant_words`` prune shared by both transcribe drivers:
+    drop a segment whose fraction of zero-duration words exceeds the
+    threshold (reference original_whisper.py:654-663). An empty word list
+    is KEPT — the reference computes ``np.mean([]) = NaN`` and
+    ``NaN > threshold`` is False."""
+    import numpy as np
+    if not words:
+        return True
+    frac = np.mean([w['start'] == w['end'] for w in words])
+    return not frac > max_instant_words
+
+
 def tune_host_allocator(threshold_bytes: int = 256 << 20) -> bool:
     """Keep large host buffers in glibc's main arena so they are REUSED.
 

@@ -311,13 +311,23 @@ class TestBatchedOptionParity:
             gap_padding=None)
         assert result is not None
 
-    def test_max_instant_words_matches_sequential_rule(self, model):
-        """Drive both prune rules on a synthetic word layout."""
-        # covered behaviorally: a fully-instant segment must be dropped at
-        # max_instant_words=0.4 in BOTH drivers. Build via direct calls.
-        from stable_ts_tpu.result import WhisperResult
-        segs = [dict(start=0.0, end=1.0, text='ab', words=[
-            dict(word='a', start=0.5, end=0.5, probability=0.9),
-            dict(word='b', start=0.5, end=0.9, probability=0.9)])]
-        frac = np.mean([w['start'] == w['end'] for w in segs[0]['words']])
-        assert frac == 0.5  # 0.5 > 0.4 -> dropped under the rule
+    def test_max_instant_words_rule_shared_by_both_drivers(self):
+        """Both drivers prune through ONE helper; pin its semantics,
+        including the reference's NaN edge (empty word list is kept:
+        np.mean([]) = NaN and NaN > threshold is False,
+        original_whisper.py:654-663)."""
+        from stable_ts_tpu.utils import keep_segment_instant_rule
+        import stable_ts_tpu.batched as batched_src
+        import stable_ts_tpu.transcribe as transcribe_src
+        import inspect
+        mk = lambda *durs: [dict(word=f'w{i}', start=0.5,
+                                 end=0.5 + d, probability=0.9)
+                            for i, d in enumerate(durs)]
+        assert keep_segment_instant_rule(mk(0.0, 0.4), 0.5)       # 0.5 <= 0.5
+        assert not keep_segment_instant_rule(mk(0.0, 0.4), 0.4)   # 0.5 > 0.4
+        assert not keep_segment_instant_rule(mk(0.0, 0.0), 0.99)  # all instant
+        assert keep_segment_instant_rule([], 0.0)                 # NaN edge
+        assert keep_segment_instant_rule(mk(0.1, 0.2), 0.0)       # none instant
+        # both drivers actually call the shared rule
+        for mod in (batched_src, transcribe_src):
+            assert 'keep_segment_instant_rule' in inspect.getsource(mod)

@@ -17,6 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(model_name='large-v3', windows=16, beam=5):
+    # bench.py freezes BENCH_MODEL at import — set it BEFORE importing
+    os.environ['BENCH_MODEL'] = model_name
     import jax.numpy as jnp
     from stable_ts_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
@@ -27,7 +29,6 @@ def main(model_name='large-v3', windows=16, beam=5):
     from stable_ts_tpu.models.whisper.decoding import DecodingOptions
     import bench as B  # tokenizer-building helper via build_model
 
-    os.environ.setdefault('BENCH_MODEL', model_name)
     model = B.build_model()
     dims = model.dims
     tokenizer = model.get_tokenizer(language='en', task='transcribe')
