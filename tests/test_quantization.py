@@ -145,6 +145,28 @@ class TestKVQuantAccuracy:
         assert ts_quant == ts_base
 
 
+class TestSelfKVQuantAccuracy:
+    """The row-major int8 self-KV cache is auto-ON with the fused self
+    kernel (decoding.py:_use_int8_self_cache) — pin its transcription
+    accuracy against the float cache the same way the cross-KV default is
+    pinned. CPU runs the fused kernel in interpret mode."""
+
+    def test_int8_self_kv_matches_float_decode(self, monkeypatch):
+        from stable_ts_tpu.loaders import load_test_model
+        audio = (np.random.default_rng(5).standard_normal(16000 * 35)
+                 * 0.1).astype(np.float32)
+        monkeypatch.setenv('STABLE_TS_TPU_SELF', 'interpret')
+        monkeypatch.setenv('STABLE_TS_TPU_SELFKV', '0')
+        base = load_test_model().transcribe_batched(audio, verbose=None)
+        monkeypatch.setenv('STABLE_TS_TPU_SELFKV', '1')
+        quant = load_test_model().transcribe_batched(audio, verbose=None)
+        assert quant.text == base.text
+        ts_base = [(w.start, w.end) for s in base.segments for w in s.words]
+        ts_quant = [(w.start, w.end)
+                    for s in quant.segments for w in s.words]
+        assert ts_quant == ts_base
+
+
 class TestWOQKernel:
     """Pallas int8 weight-streaming matmul (ops/woq_matmul.py) — numerics vs
     the plain dequantized dot, via the interpreter on the CPU mesh."""
