@@ -7,13 +7,12 @@ teacher-forced probability passes), plus ``locate`` — finding words in audio
 without full transcription via cross-attention end estimates and a
 kv-cached confirmation decode.
 """
-import warnings
 from typing import Callable, List, Optional, Tuple, Union
 
 import numpy as np
 
 from .constants import (CHUNK_LENGTH, FRAMES_PER_SECOND, HOP_LENGTH, N_FFT,
-                        N_FRAMES, N_SAMPLES, SAMPLE_RATE, TOKENS_PER_SECOND)
+                        N_FRAMES, N_SAMPLES, SAMPLE_RATE)
 from .non_whisper.alignment import Aligner, WordToken
 from .non_whisper.refinement import Refiner
 from .options import AllOptions

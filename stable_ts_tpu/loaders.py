@@ -7,8 +7,7 @@ is a thin wrapper owning (dims, params, tokenizer factory) and exposing
 ``transcribe / align / align_words / refine / locate / decode``.
 """
 import os
-from functools import lru_cache
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

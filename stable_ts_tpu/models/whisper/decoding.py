@@ -18,7 +18,7 @@ same loop; beam search runs in its own fixed-shape while_loop (``_beam_loop``)
 with the beam axis batched, selected via ``beam_size``.
 """
 import zlib
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from functools import partial
 from typing import List, Optional, Sequence, Tuple, Union
 
@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .model import (ModelDimensions, decoder_prefill, decoder_step, encoder_apply,
-                    init_kv_cache, precompute_cross_kv, precompute_cross_kv_t)
+                    precompute_cross_kv, precompute_cross_kv_t)
 from .tokenizer import WhisperTokenizer
 
 
