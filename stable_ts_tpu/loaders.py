@@ -158,9 +158,18 @@ class WhisperTPU:
                with_features: bool = True, **kwargs):
         if options is None:
             options = DecodingOptions(**kwargs)
-        tokenizer = self.get_tokenizer(
-            language=options.language or language or ('en' if not self.is_multilingual else 'en'),
-            task=options.task)
+        language = options.language or language
+        if language is None:
+            if self.is_multilingual:
+                # whisper's DecodingTask detects the language when none is
+                # given (decode.py: DecodingTask._detect_language); the
+                # transcribe drivers detect upstream, so this only runs for
+                # direct decode() calls
+                langs, _ = self.detect_language(mel_or_features)
+                language = langs[0]
+            else:
+                language = 'en'
+        tokenizer = self.get_tokenizer(language=language, task=options.task)
         return _decode(self.params, self.dims, tokenizer, mel_or_features,
                        options, ts_silence_mask=ts_silence_mask,
                        with_features=with_features)

@@ -161,6 +161,27 @@ class TestCheckpointRoundTrip:
         for hf, expected in cases.items():
             assert hf_key_to_openai(hf) == expected
 
+    def test_decode_without_language_detects(self):
+        """Direct decode() on a multilingual model with no language must run
+        language detection (whisper's DecodingTask behavior), not silently
+        assume English."""
+        from stable_ts_tpu.loaders import WhisperTPU
+        from stable_ts_tpu.models.whisper.model import tiny_test_dims
+        ranks = {bytes([b]): b for b in range(256)}
+        i = 256
+        while len(ranks) < 50257:
+            ranks[b'\x00' + i.to_bytes(3, 'big')] = i
+            i += 1
+        dims = tiny_test_dims(n_vocab=51866)
+        model = WhisperTPU(dims, init_params(dims, seed=1), ranks=ranks)
+        assert model.is_multilingual
+        rng = np.random.default_rng(2)
+        audio = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+        mel = np.asarray(log_mel_spectrogram(audio, padding=16000 * 28))
+        res = model.decode(mel[..., :3000])
+        from stable_ts_tpu.models.whisper.languages import LANGUAGES
+        assert res[0].language in LANGUAGES
+
     def test_model_catalog(self):
         dims = ModelDimensions(**OPENAI_MODEL_DIMS['large-v3'])
         assert dims.is_multilingual
