@@ -191,6 +191,18 @@ def transcribe_batched(
         clip_timestamps: Optional[Union[str, List[float]]] = None,
         stream: Optional[bool] = None,
         only_ffmpeg: bool = False,
+        split_callback: Optional[Callable] = None,
+        resume=None,
+        vad_onnx: bool = False,
+        demucs=None,
+        demucs_options: Optional[dict] = None,
+        extra_models: Optional[list] = None,
+        ignore_compatibility: bool = False,
+        mel_first: Optional[bool] = None,
+        suppress_attention: bool = False,
+        time_scale: Optional[float] = None,
+        ts_num: int = 0,
+        ts_noise: Optional[float] = None,
         **decode_options,
 ) -> WhisperResult:
     """Transcribe with all 30-s windows batched (throughput-optimized).
@@ -250,6 +262,33 @@ def transcribe_batched(
                 f'explicitly to silence this).')
             batch_size = scaled
 
+    if extra_models:
+        raise NotImplementedError(
+            'extra_models is not supported by the batched driver; use '
+            'model.transcribe() (the sequential driver) for multi-model '
+            'alignment')
+    # deprecated no-op knobs, accepted with the reference's warnings
+    if mel_first is not None:
+        warnings.warn('``mel_first`` is deprecated and will be removed in '
+                      'future versions. Use ``stream`` (e.g. replace '
+                      '``mel_first=True`` with ``stream=False``).',
+                      stacklevel=2)
+        stream = not mel_first
+    if suppress_attention:
+        warnings.warn('``suppress_attention`` is deprecated and will be '
+                      'removed in future versions', stacklevel=2)
+    if time_scale:
+        warnings.warn('``time_scale`` is deprecated and will be removed in '
+                      'future versions. It currently does not affect '
+                      'results.', stacklevel=2)
+    if ts_num:
+        warnings.warn('``ts_num`` is deprecated and will be removed in '
+                      'future versions.', stacklevel=2)
+    if ts_noise:
+        warnings.warn('``ts_noise`` is deprecated and will be removed in '
+                      'future versions.', stacklevel=2)
+    del ignore_compatibility  # no torch-whisper version surface to check
+
     min_word_dur = get_min_word_dur(min_word_dur)
     prepend_punctuations = get_prepend_punctuations(prepend_punctuations)
     append_punctuations = get_append_punctuations(append_punctuations)
@@ -269,7 +308,8 @@ def transcribe_batched(
 
     from .audio.denoiser import convert_demucs_kwargs
     denoiser, denoiser_options = convert_demucs_kwargs(
-        denoiser, denoiser_options)
+        denoiser, denoiser_options, demucs=demucs,
+        demucs_options=demucs_options)
     denoiser_options = dict(denoiser_options or {})
     denoised_save_path = denoiser_options.pop('save_path', None)
     loader = audio if isinstance(audio, AudioLoader) else AudioLoader(
@@ -297,6 +337,7 @@ def transcribe_batched(
         min_word_dur=min_word_dur,
         q_levels=q_levels, k_size=k_size,
         vad_threshold=vad_threshold,
+        vad_onnx=vad_onnx,
         sampling_rate=SAMPLE_RATE,
         verbose=None,
         store_timings=True,
@@ -307,6 +348,29 @@ def transcribe_batched(
 
     total_duration = loader.get_duration(2)
     seek_sample = 0
+
+    # -- resume (same semantics as the sequential driver / reference
+    # original_whisper.py: pick up from a saved partial result) ----------------
+    if resume is not None:
+        remove_last_seg = False
+        if not isinstance(resume, WhisperResult):
+            if isinstance(resume, str) and resume.endswith('+'):
+                resume = resume[:-1]
+                remove_last_seg = True
+            resume = WhisperResult(resume)
+        if len(resume.segments) and remove_last_seg:
+            del resume[-1]
+            resume.unfinished_start = -1.0
+        if resume.unfinished_start == -1.0:
+            resume_start = resume[-1].end if len(resume.segments) else 0.0
+        else:
+            resume_start = resume.unfinished_start
+        seek_sample = round(resume_start * SAMPLE_RATE)
+        if verbose is not None:
+            from .utils import format_timestamp
+            print(f'Resuming from {format_timestamp(resume_start)}')
+        language = resume.language
+
     tokenizer = None
     initial_prompt_tokens: List[int] = []
     all_tokens: List[int] = []          # conditioning context
@@ -494,7 +558,7 @@ def transcribe_batched(
             grp.timing = _launch_word_timing(
                 model, tokenizer, grp.features, grp.metas, grp.segments,
                 dynamic_heads, aligner, batch_size,
-                gap_padding=gap_padding)
+                gap_padding=gap_padding, split_callback=split_callback)
         grp.features = None
 
     def _segmentize(res, meta) -> List[dict]:
@@ -644,8 +708,34 @@ def transcribe_batched(
         dict(text=text, segments=all_segments, language=language),
         force_order=not word_timestamps)
 
-    if suppress_silence and predictor.nonspeech_timings is not None:
-        final_result.update_nonspeech_sections(*predictor.nonspeech_timings)
+    final_nonspeech_timings = (predictor.nonspeech_timings
+                               if suppress_silence else None)
+    if resume is not None:
+        # merge rules mirror the sequential driver (transcribe.py)
+        if len(resume.segments):
+            if len(final_result.segments):
+                if resume.has_words:
+                    resume.fill_in_gaps(final_result, verbose=False)
+                else:
+                    max_resume_end = final_result[0].start
+                    while (len(resume.segments)
+                           and resume[-1].end > max_resume_end):
+                        del resume[-1]
+                    resume.segments.extend(final_result.segments)
+                    resume.reassign_ids()
+            if final_nonspeech_timings:
+                resume.update_nonspeech_sections(*final_nonspeech_timings,
+                                                 overwrite=False)
+            final_result = resume
+        else:
+            ns_starts = [s['start'] for s in resume.nonspeech_sections]
+            ns_ends = [s['end'] for s in resume.nonspeech_sections]
+            if final_nonspeech_timings:
+                ns_starts.extend(final_nonspeech_timings[0])
+                ns_ends.extend(final_nonspeech_timings[1])
+            final_result.update_nonspeech_sections(ns_starts, ns_ends)
+    elif final_nonspeech_timings is not None:
+        final_result.update_nonspeech_sections(*final_nonspeech_timings)
     if word_timestamps and regroup:
         final_result.regroup(regroup)
     if progress_callback is not None and total_duration:
@@ -660,7 +750,8 @@ def transcribe_batched(
 
 def _launch_word_timing(model, tokenizer, features, metas,
                         per_window_segments, dynamic_heads, aligner,
-                        batch_size: int, gap_padding: str = ' ...'):
+                        batch_size: int, gap_padding: str = ' ...',
+                        split_callback=None):
     """Dispatch one padded teacher-forced QK pass for the group (async).
 
     Right-padding the token rows is exact: under the causal mask, padding
@@ -683,7 +774,8 @@ def _launch_word_timing(model, tokenizer, features, metas,
         for seg in segs:
             seg['words'] = []
         text_tokens, token_split, seg_indices = split_word_tokens(
-            segs, tokenizer, padding=gap_padding)
+            segs, tokenizer, padding=gap_padding,
+            split_callback=split_callback)
         prep.append((text_tokens, token_split, seg_indices)
                     if text_tokens else None)
 

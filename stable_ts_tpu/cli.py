@@ -490,8 +490,8 @@ def _run_once(args, cache: dict):
                 )
             if args.transcribe_method == 'transcribe_batched':
                 tr_kwargs.update(batch_size=args.batch_size)
-            if args.transcribe_method == 'transcribe':
-                # sequential-driver-only knobs
+            if args.transcribe_method in ('transcribe',
+                                          'transcribe_batched'):
                 tr_kwargs.update(
                     mel_first=args.mel_first or None,
                     resume=args.resume,

@@ -488,6 +488,7 @@ def find_alignment(
         dynamic_heads: Optional[Union[bool, int, str]] = None,
         aligner: Union[str, dict] = 'legacy',
         precomputed: Optional[Tuple] = None,
+        extra_models: Optional[Sequence] = None,
 ) -> List[WordTimingRaw]:
     """Align ``text_tokens`` to audio; return per-word raw timings.
 
@@ -495,6 +496,15 @@ def find_alignment(
     ``alignment_heads`` are given and ``dynamic_heads`` is unset, dynamic
     selection with 6 heads is used (the reference's missing-heads fallback,
     timing.py:85-86).
+
+    ``extra_models``: additional models (objects with ``params`` / ``dims``
+    / ``alignment_heads``) whose attention weights concatenate with the
+    main model's before head-averaging, and whose token probabilities
+    average in — the reference's multi-model alignment
+    (timing.py:177-189). Ignored for the 'new' aligner, as there. Each
+    extra model selects its OWN heads (dynamic when the main pass is
+    dynamic or the model has none — top-1 peaks, never the iterated
+    refinement, matching the reference's per-model caches).
     """
     assert isinstance(aligner, dict) or aligner in ('new', 'legacy'), \
         f'aligner must be "new"/"legacy", got {aligner!r}'
@@ -554,6 +564,34 @@ def find_alignment(
             params, dims, tokenizer, text_tokens, mel=mel,
             audio_features=audio_features, capture_index=capture_index)
 
+    extra_weights: List[np.ndarray] = []
+    if extra_models and not use_new:
+        if mel is None:
+            raise ValueError('extra_models need the mel segment '
+                             '(precomputed audio_features are per-model)')
+        extra_probs = []
+        for em in extra_models:
+            eqks, eprobs, _ = compute_qks_and_probs(
+                em.params, em.dims, tokenizer, text_tokens, mel=mel,
+                audio_features=None, capture_index=None)
+            e_count = dynamic_count or (
+                None if em.alignment_heads is not None else 6)
+            if e_count:
+                ew = _dynamic_head_weights(
+                    np.asarray(eqks[..., :max(max_qk_len, 1)], np.float32),
+                    sot_len, max_qk_len, qk_scale, medfilt_width, e_count,
+                    None)
+            else:
+                heads = np.asarray(em.alignment_heads)
+                ew = np.asarray(legacy_head_weights(
+                    eqks[heads[:, 0], heads[:, 1]], max_qk_len, sot_len,
+                    qk_scale, medfilt_width))
+            extra_weights.append(np.asarray(ew))
+            extra_probs.append(eprobs)
+        text_token_probs = np.mean(
+            [np.asarray(text_token_probs)] +
+            [np.asarray(p) for p in extra_probs], axis=0)
+
     if use_new:
         matrix = new_aligner_matrix(
             qks, max_qk_len, sot_len, qk_scale,
@@ -574,6 +612,13 @@ def find_alignment(
             weights = _dynamic_head_weights(
                 qks_np, sot_len, max_qk_len, qk_scale, medfilt_width,
                 dynamic_count, jump_indices)
+            if extra_weights:
+                # crop everything to the real frame span before mixing:
+                # device-path weights keep the full 1500-frame width while
+                # host/dynamic weights are already cropped
+                weights = np.concatenate(
+                    [np.asarray(w)[..., :max_qk_len]
+                     for w in [weights] + extra_weights], axis=0)
             matrix = weights.mean(axis=0)
             jump_indices = _matrix_to_jumps(matrix)
     else:
@@ -586,6 +631,11 @@ def find_alignment(
             qks_sel = qks[heads[:, 0], heads[:, 1]]  # (n_heads, T, 1500)
         weights = legacy_head_weights(qks_sel, max_qk_len, sot_len, qk_scale,
                                       medfilt_width)
+        if extra_weights:
+            # crop to the real frame span (see the dynamic branch note)
+            weights = np.concatenate(
+                [np.asarray(w)[..., :max_qk_len]
+                 for w in [weights] + extra_weights], axis=0)
         matrix = weights.mean(axis=0)
         jump_indices = _matrix_to_jumps(matrix, m=max_qk_len)
 

@@ -76,6 +76,10 @@ def transcribe_stable(
         progress_callback: Optional[Callable] = None,
         ignore_compatibility: bool = False,
         extra_models: Optional[list] = None,
+        suppress_attention: bool = False,
+        time_scale: Optional[float] = None,
+        ts_num: int = 0,
+        ts_noise: Optional[float] = None,
         dynamic_heads: Optional[Union[bool, int, str]] = None,
         nonspeech_sections_holder: Optional[list] = None,
         clip_timestamps: Optional[Union[str, List[float]]] = None,
@@ -92,6 +96,21 @@ def transcribe_stable(
     """
     if 'beam_size' in decode_options and decode_options['beam_size'] is None:
         decode_options.pop('beam_size')
+    # deprecated no-op knobs, accepted with the reference's warnings
+    # (original_whisper.py:242-244,267-270; timing.py:224-229)
+    if suppress_attention:
+        warnings.warn('``suppress_attention`` is deprecated and will be '
+                      'removed in future versions', stacklevel=2)
+    if time_scale:
+        warnings.warn('``time_scale`` is deprecated and will be removed in '
+                      'future versions. It currently does not affect '
+                      'results.', stacklevel=2)
+    if ts_num:
+        warnings.warn('``ts_num`` is deprecated and will be removed in '
+                      'future versions.', stacklevel=2)
+    if ts_noise:
+        warnings.warn('``ts_noise`` is deprecated and will be removed in '
+                      'future versions.', stacklevel=2)
     min_word_dur = get_min_word_dur(min_word_dur)
     prepend_punctuations = get_prepend_punctuations(prepend_punctuations)
     append_punctuations = get_append_punctuations(append_punctuations)
@@ -123,6 +142,15 @@ def transcribe_stable(
     task = decode_options.get('task', 'transcribe')
     if word_timestamps and task == 'translate':
         warnings.warn('Word-level timestamps on translations may not be reliable.')
+    if extra_models:
+        # mirror the reference's same-engine check (timing.py:219-223)
+        bad = [m for m in extra_models
+               if not (hasattr(m, 'params') and hasattr(m, 'dims'))]
+        if bad:
+            raise NotImplementedError(
+                f'invalid model type(s) in extra_models: '
+                f'{set(map(type, bad))}; all extra models must be '
+                f'{type(model)} instances')
 
     tokenizer = None
     language = None
@@ -364,6 +392,7 @@ def transcribe_stable(
                 alignment_heads=model.alignment_heads,
                 dynamic_heads=dynamic_heads,
                 aligner=aligner,
+                extra_models=extra_models,
             )
             from .utils import keep_segment_instant_rule
             for i in reversed(range(len(current_segments))):

@@ -311,6 +311,32 @@ class TestBatchedOptionParity:
             gap_padding=None)
         assert result is not None
 
+    def test_resume_continues_from_partial_result(self, model):
+        """resume= must seek past the saved result and merge segments,
+        matching the sequential driver's semantics."""
+        rng = np.random.default_rng(9)
+        audio = (rng.standard_normal(SAMPLE_RATE * 70) * 0.2
+                 ).astype(np.float32)
+        full = model.transcribe_batched(audio, verbose=None, language='en')
+        part = model.transcribe_batched(audio[:SAMPLE_RATE * 30],
+                                        verbose=None, language='en')
+        resumed = model.transcribe_batched(audio, verbose=None,
+                                           resume=part)
+        assert resumed.segments
+        # the resumed result must cover audio beyond the partial's end
+        if full.segments and part.segments:
+            assert resumed[-1].end >= part[-1].end
+
+    def test_deprecated_kwargs_warn_not_crash(self, model):
+        audio = (np.random.default_rng(1).standard_normal(SAMPLE_RATE * 5)
+                 * 0.2).astype(np.float32)
+        with pytest.warns(UserWarning):
+            model.transcribe_batched(audio, verbose=None, language='en',
+                                     mel_first=False, time_scale=2.0)
+        with pytest.raises(NotImplementedError):
+            model.transcribe_batched(audio, verbose=None, language='en',
+                                     extra_models=[model])
+
     def test_max_instant_words_rule_shared_by_both_drivers(self):
         """Both drivers prune through ONE helper; pin its semantics,
         including the reference's NaN edge (empty word list is kept:

@@ -328,4 +328,5 @@ def test_batched_method_forwards_stabilization_options(tmp_path, fake_model):
     assert kwargs['suppress_ts_tokens'] is True
     assert kwargs['nonspeech_skip'] == 4.5
     assert kwargs['beam_size'] == 2
-    assert 'resume' not in kwargs and 'mel_first' not in kwargs
+    # resume is supported by the batched driver too (round 3)
+    assert 'resume' in kwargs and kwargs['resume'] is None

@@ -93,6 +93,29 @@ class TestTranscribe:
         if len(result):
             assert result[-1].end <= 2.5
 
+    def test_extra_models_identity(self, model, audio):
+        """extra_models=[model] duplicates the model's own weights, whose
+        head-average (and mean token probs) are IDENTICAL to the
+        single-model pass — an exact invariant of the multi-model mixing
+        (reference timing.py:177-189)."""
+        base = model.transcribe(audio, verbose=None)
+        mixed = model.transcribe(audio, verbose=None, extra_models=[model])
+        assert mixed.text == base.text
+        a = [(w.word, w.start, w.end, round(w.probability, 6))
+             for w in base.all_words()]
+        b = [(w.word, w.start, w.end, round(w.probability, 6))
+             for w in mixed.all_words()]
+        assert a == b
+
+    def test_extra_models_rejects_foreign_objects(self, model, audio):
+        with pytest.raises(NotImplementedError):
+            model.transcribe(audio, verbose=None, extra_models=['not-a-model'])
+
+    def test_deprecated_kwargs_warn(self, model, audio):
+        with pytest.warns(UserWarning):
+            model.transcribe(audio[:16000 * 5], verbose=None, ts_num=3,
+                             suppress_attention=True)
+
     def test_transcribe_minimal(self, model, audio):
         result = model.transcribe_minimal(audio, verbose=None)
         assert isinstance(result, WhisperResult)
