@@ -259,6 +259,8 @@ def align_words(
         inplace: bool = True,
         normalize_text: bool = True,
         parallel: Optional[bool] = None,
+        ignore_compatibility: bool = False,  # reference surface; no torch-
+                                             # whisper version check applies
         **options,
 ) -> WhisperResult:
     """Confined per-segment alignment using each segment's start/end.
@@ -539,6 +541,8 @@ def locate(
         denoiser: Optional[str] = None,
         denoiser_options: Optional[dict] = None,
         only_voice_freq: bool = False,
+        demucs=None,
+        demucs_options: Optional[dict] = None,
 ) -> Union[List[Segment], List[dict]]:
     """Find when ``text`` is spoken without transcribing everything.
 
@@ -549,6 +553,10 @@ def locate(
     import jax
     import jax.numpy as jnp
     from .audio import prep_audio
+    from .audio.denoiser import convert_demucs_kwargs
+    denoiser, denoiser_options = convert_demucs_kwargs(
+        denoiser, denoiser_options, demucs=demucs,
+        demucs_options=demucs_options)
     from .models.whisper.decoding import DecodingOptions, build_suppress_list, \
         build_initial_tokens
     from .models.whisper.model import (decoder_apply, decoder_step, encoder_apply,
