@@ -63,6 +63,7 @@ def transcribe_any(
         check_sorted: bool = True,
         demucs=None,
         demucs_options: Optional[dict] = None,
+        only_ffmpeg: bool = False,
 ) -> WhisperResult:
     """Run ``inference_func`` on ``audio`` and stabilize the result.
 
@@ -99,6 +100,12 @@ def transcribe_any(
 
     # -- establish a decoded waveform + sample rate for preprocessing/suppression --
     if isinstance(audio, (str, bytes)):
+        if isinstance(audio, str):
+            # URL sources resolve like the reference (file:// -> path,
+            # yt-dlp -> bytes, else left for ffmpeg; transcribe.py:181)
+            from ..audio.source import load_source
+            audio = load_source(audio, verbose=verbose,
+                                only_ffmpeg=only_ffmpeg)
         if input_sr is None:
             input_sr = get_metadata(audio).get('sr')
         decoded, decoded_sr = decode_audio(audio)
