@@ -101,51 +101,86 @@ def _kernel(scalars_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, out_ref, *,
 
 
 def _kernel_beam(scalars_ref, q_ref, anc_ref, kc_ref, ks_ref, vc_ref, vs_ref,
-                 out_ref, *, n_head: int, g: int):
-    """One grid step = one window group of ``g`` beams.
+                 out_ref, *, n_head: int, g: int, g_pad: int, gps: int):
+    """One grid step = ``gps`` window groups of ``g`` beams each.
 
-    kc/vc blocks hold ALL g beams' slabs; beam r's key at position j is
-    row ``anc[r, j]`` of the group, selected by one-hot masks folded into
-    the dequant scales (one-hot x scale rides the same (1, n_ctx) vector
-    multiply the int8 path already does, so selection is free on the VPU).
+    kc/vc blocks hold ALL the step's beam slabs; beam r's key at position
+    j is row ``anc[r, j]`` of its group, selected by one-hot masks folded
+    into the dequant scales (one-hot x scale rides the same (1, n_ctx)
+    vector multiply the int8 path already does, so selection is free on
+    the VPU). All g beams of a group batch into ONE (g*n_head, d) query
+    block per sibling dot — g MXU matmuls per contraction instead of the
+    earlier g*g per-beam dots of sublane-starved M = n_head (same FLOPs,
+    5x fewer instructions at beam 5, full-M tiles).
     """
     d = q_ref.shape[-1]
     n_ctx = kc_ref.shape[2]
     d_head = d // n_head
-    i = pl.program_id(0)
     pos = scalars_ref[1]
+    rows_blk = g * n_head
 
-    col_head = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 1) // d_head
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 0)
-    hmask = (col_head == row_id).astype(jnp.float32)
-    key_pos = jax.lax.broadcasted_iota(jnp.int32, (n_head, n_ctx), 1)
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (rows_blk, d), 1) // d_head
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (rows_blk, d), 0) % n_head
+    hmask = (col_head == row_head).astype(jnp.float32)           # (g*H, d)
+    # scatter each beam's query row onto its n_head-row block
+    row_beam = jax.lax.broadcasted_iota(jnp.int32, (rows_blk, g_pad), 0) // n_head
+    col_q = jax.lax.broadcasted_iota(jnp.int32, (rows_blk, g_pad), 1)
+    expand = (row_beam == col_q).astype(jnp.float32)             # (g*H, g_pad)
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, (rows_blk, n_ctx), 1)
     bias = jnp.where(key_pos <= pos, 0.0, -jnp.inf).astype(jnp.float32)
 
     cache_dtype = kc_ref.dtype
     op_dtype = jnp.bfloat16 if cache_dtype == jnp.int8 else cache_dtype
-    for r in range(g):
-        qrow = q_ref[pl.ds(i * g + r, 1), :].astype(jnp.float32)  # (1, d)
-        qblk = (hmask * qrow).astype(op_dtype)                    # (H, d)
-        anc_r = anc_ref[0, r]                                     # (1, n_ctx)
-        sels = [(anc_r == s).astype(jnp.float32) for s in range(g)]
+    for gp in range(gps):
+        qrows = q_ref[0, pl.ds(gp * g_pad, g_pad), :].astype(jnp.float32)
+        qblk = (hmask * jax.lax.dot_general(
+            expand, qrows, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)).astype(op_dtype)  # (g*H, d)
+        # per-row ancestry, repeated over each beam's head block
+        anc_g = anc_ref[0, pl.ds(gp * g, g), 0, :].astype(jnp.float32)
+        anc_rows = jax.lax.dot_general(
+            expand[:, :g], anc_g, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (g*H, n_ctx)
         lg = bias
         for s in range(g):
-            lg_s = jax.lax.dot_general(qblk, kc_ref[0, s],
+            lg_s = jax.lax.dot_general(qblk, kc_ref[0, gp * g + s],
                                        (((1,), (1,)), ((), ())),
                                        preferred_element_type=jnp.float32)
-            lg = lg + lg_s * (sels[s] * ks_ref[0, s])             # (H, n_ctx)
+            sel = (anc_rows == s).astype(jnp.float32)
+            lg = lg + lg_s * (sel * ks_ref[0, gp * g + s])       # (g*H, n_ctx)
         m = jnp.max(lg, axis=1, keepdims=True)
         w = jnp.exp(lg - m)
         l = jnp.sum(w, axis=1, keepdims=True)
-        o2 = jnp.zeros((n_head, d), jnp.float32)
+        o2 = jnp.zeros((rows_blk, d), jnp.float32)
         for s in range(g):
+            sel = (anc_rows == s).astype(jnp.float32)
             o2 = o2 + jax.lax.dot_general(
-                (w * (sels[s] * vs_ref[0, s])).astype(op_dtype),
-                vc_ref[0, s], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)               # (H, d)
-        o = jnp.sum(o2 * hmask, axis=0, keepdims=True)
-        l_d = jnp.sum(hmask * l, axis=0, keepdims=True)
-        out_ref[pl.ds(i * g + r, 1), :] = o / l_d
+                (w * (sel * vs_ref[0, gp * g + s])).astype(op_dtype),
+                vc_ref[0, gp * g + s], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # (g*H, d)
+        # fold each beam's n_head rows back onto its d columns
+        o = jax.lax.dot_general(expand, o2 * hmask, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        l_d = jax.lax.dot_general(expand, hmask * l, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        out_ref[0, pl.ds(gp * g_pad, g_pad), :] = o / l_d
+
+
+def _beam_groups_per_step(n_groups: int, g: int, n_ctx: int, d: int,
+                          itemsize: int) -> int:
+    """Window groups per grid step: widest whose double-buffered K+V slab
+    blocks stay inside the VMEM budget (fewer grid steps = less per-step
+    sequencing overhead). ``STABLE_TS_TPU_BEAM_GPS`` overrides for
+    experiments on hardware."""
+    import os
+    env = os.environ.get('STABLE_TS_TPU_BEAM_GPS')
+    if env:
+        return int(env)
+    for cand in (4, 2):
+        if (n_groups % cand == 0
+                and cand * g * n_ctx * d * itemsize * 4 <= 12 * 2 ** 20):
+            return cand
+    return 1
 
 
 @partial(jax.jit, static_argnames=('n_head', 'g', 'interpret'))
@@ -153,36 +188,44 @@ def _call_beam(scalars, q, anc, kc, ks, vc, vs, n_head: int, g: int,
                interpret: bool):
     n_layers, b, n_ctx, d = kc.shape
     n_groups = b // g
-    kernel = partial(_kernel_beam, n_head=n_head, g=g)
-    slab = pl.BlockSpec((1, g, n_ctx, d), lambda i, s: (s[0], i, 0, 0),
+    g_pad = (g + 7) // 8 * 8
+    gps = _beam_groups_per_step(n_groups, g, n_ctx, d, kc.dtype.itemsize)
+    kernel = partial(_kernel_beam, n_head=n_head, g=g, g_pad=g_pad, gps=gps)
+    slab = pl.BlockSpec((1, gps * g, n_ctx, d), lambda i, s: (s[0], i, 0, 0),
                         memory_space=pltpu.VMEM)
-    vec = pl.BlockSpec((1, g, 1, n_ctx), lambda i, s: (s[0], i, 0, 0),
+    vec = pl.BlockSpec((1, gps * g, 1, n_ctx), lambda i, s: (s[0], i, 0, 0),
                        memory_space=pltpu.VMEM)
-    anc4 = anc.reshape(n_groups, g, 1, n_ctx)
+    anc4 = anc.reshape(n_groups // gps, gps * g, 1, n_ctx)
+    # beam layout: sublane-aligned (gps*g_pad, d) query/output blocks per
+    # program (a dynamic-start (g, d) slice at stride g won't lower)
+    qb = jnp.pad(q.reshape(n_groups, g, d), ((0, 0), (0, g_pad - g), (0, 0)))
+    qb = qb.reshape(n_groups // gps, gps * g_pad, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_groups,),
+        grid=(n_groups // gps,),
         in_specs=[
-            pl.BlockSpec((b, d), lambda i, s: (0, 0),
+            pl.BlockSpec((1, gps * g_pad, d), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g, 1, n_ctx), lambda i, s: (i, 0, 0, 0),
+            pl.BlockSpec((1, gps * g, 1, n_ctx), lambda i, s: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             slab, vec, slab, vec,
         ],
-        out_specs=pl.BlockSpec((b, d), lambda i, s: (0, 0),
+        out_specs=pl.BlockSpec((1, gps * g_pad, d), lambda i, s: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         interpret=interpret,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_groups // gps, gps * g_pad, d),
+                                       jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * g * d * n_ctx,
             bytes_accessed=2 * b * d * n_ctx * kc.dtype.itemsize + b * d * 4,
             transcendentals=b * n_head * n_ctx,
         ),
-    )(scalars, q, anc4, kc, ks, vc, vs)
+    )(scalars, qb, anc4, kc, ks, vc, vs)
+    return out.reshape(n_groups, g_pad, d)[:, :g].reshape(b, d)
 
 
 @partial(jax.jit, static_argnames=('n_head', 'interpret'))

@@ -74,8 +74,14 @@ def test_kernel_masks_future_positions(monkeypatch):
     assert not np.allclose(out_l0, out)
 
 
+@pytest.mark.parametrize('gps', ['1', '2'])
 @pytest.mark.parametrize('int8', [False, True])
-def test_beam_ancestry_matches_gathered_cache(int8):
+def test_beam_ancestry_matches_gathered_cache(int8, gps, monkeypatch):
+    monkeypatch.setenv('STABLE_TS_TPU_BEAM_GPS', gps)
+    _check_beam_ancestry(int8)
+
+
+def _check_beam_ancestry(int8):
     """Ancestry-indirect beam attention == attending a cache physically
     gathered by ancestor: for random valid ancestry tables, running the
     kernel with ``anc`` on the un-gathered cache must match running the
