@@ -450,10 +450,10 @@ def fuse_self_qkv(blocks: Params) -> Params:
 def precompute_cross_kv_t(params: Params, xa: jnp.ndarray,
                           quantize: bool = False) -> Params:
     """Cross-attention K/V in the TRANSPOSED layout the fused decode kernel
-    reads (ops/cross_attn.py): kT/vT (n_layers, batch, d, S_pad) + per-
-    position scales ks/vs (n_layers, batch, 1, S_pad) + additive pad mask
-    kb. S pads up to the kernel's 512-lane chunk; padded positions carry
-    -inf in kb so they never enter the softmax."""
+    reads (ops/cross_attn.py): kvT (n_layers, batch, 2, d, S_pad) stacked
+    K^T/V^T + per-position scales sc (n_layers, batch, 2, 1, S_pad) + the
+    real key length s. S pads up to the kernel's 512-lane chunk; the
+    kernel masks positions >= s with an in-kernel -inf bias."""
     from ...ops.cross_attn import _S_CHUNK
 
     s = xa.shape[-2]
@@ -484,10 +484,9 @@ def precompute_cross_kv_t(params: Params, xa: jnp.ndarray,
         return _, (kt, ks, vt, vs)
 
     _, (kt, ks, vt, vs) = jax.lax.scan(per_layer, None, params['blocks'])
-    kb = jnp.where(jnp.arange(s_pad) < s, 0.0,
-                   -jnp.inf).astype(jnp.float32)[None, None, None, :]
-    kb = jnp.broadcast_to(kb, ks.shape)
-    return {'kT': kt, 'ks': ks, 'kb': kb, 'vT': vt, 'vs': vs}
+    return {'kvT': jnp.stack([kt, vt], axis=2),
+            'sc': jnp.stack([ks, vs], axis=2),
+            's': jnp.int32(s)}
 
 
 @partial(jax.jit, static_argnames=('n_head', 'capture_qk'))
@@ -621,7 +620,7 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     # outputs instead would rewrite (and double-buffer) the entire
     # (n_layers, batch, n_ctx, d) stack every token step — that copy traffic
     # dominated the step cost and OOM'd large batches.
-    fused_cross = 'kT' in cross_kv
+    fused_cross = 'kvT' in cross_kv
     self_fa = _self_fa_mode()
     if self_fa != 'off' and anc is not None and q_per_kv > 1:
         # the beam kernel's grid step holds the WHOLE group's K+V slabs
@@ -729,9 +728,8 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
             q = linear(ca_in, ca['q']['w'], ca['q']['b'])[:, 0, :]
             q = q.astype(jnp.float32) * ((d // n_head) ** -0.5)
             ctx = cross_attn_decode(
-                q, cross_kv['kT'], cross_kv['ks'], cross_kv['kb'],
-                cross_kv['vT'], cross_kv['vs'], n_head,
-                q_per_kv=q_per_kv, layer_idx=layer_idx)
+                q, cross_kv['kvT'], cross_kv['sc'], n_head,
+                s=cross_kv['s'], q_per_kv=q_per_kv, layer_idx=layer_idx)
             cross_out = linear(ctx[:, None, :].astype(h.dtype),
                                ca['out']['w'], ca['out']['b'])
         elif q_per_kv > 1:

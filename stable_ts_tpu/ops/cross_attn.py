@@ -44,12 +44,24 @@ __all__ = ['cross_attn_decode']
 _S_CHUNK = 512
 
 
-def _kernel(scalars_ref, q_ref, kt_ref, ks_ref, kb_ref, vt_ref, vs_ref,
-            out_ref, *, n_head: int, q_per_kv: int, g_pad: int):
+def _kernel(scalars_ref, q_ref, kv_ref, sc_ref, out_ref, *,
+            n_head: int, q_per_kv: int, g_pad: int):
     d = q_ref.shape[-1]
+    s_pad = kv_ref.shape[-1]
     d_head = d // n_head
     i = pl.program_id(0)
     g = q_per_kv
+    # K^T / V^T and their dequant scales ride as TWO stacked operands
+    # (not five): fewer refs per grid step = fewer per-step DMA
+    # descriptors, and the pad-mask bias is built in-kernel from the
+    # prefetched real length instead of streaming an (1, S) row.
+    kt = kv_ref[0, 0, 0]                                     # (d, S)
+    vt = kv_ref[0, 0, 1]
+    ks = sc_ref[0, 0, 0]                                     # (1, S)
+    vs = sc_ref[0, 0, 1]
+    s_real = scalars_ref[1]
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
+    kb = jnp.where(key_pos < s_real, 0.0, -jnp.inf).astype(jnp.float32)
 
     # Block-diagonal MXU formulation. Per-head QK^T has a block-diagonal
     # contraction structure (head h contracts only its own d_head slice);
@@ -91,15 +103,15 @@ def _kernel(scalars_ref, q_ref, kt_ref, ks_ref, kb_ref, vt_ref, vs_ref,
             expand, qrows, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)).astype(jnp.bfloat16)
 
-    lg = jax.lax.dot_general(qblk, kt_ref[0, 0], (((1,), (0,)), ((), ())),
+    lg = jax.lax.dot_general(qblk, kt, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)  # (rows, S)
-    # dequant scales + additive bias (pad positions carry -inf here)
-    lg = lg * ks_ref[0, 0] + kb_ref[0, 0]
+    # dequant scales + additive bias (pad positions carry -inf)
+    lg = lg * ks + kb
     m = jnp.max(lg, axis=1, keepdims=True)
     w = jnp.exp(lg - m)
     l = jnp.sum(w, axis=1, keepdims=True)
-    wv = (w * vs_ref[0, 0]).astype(jnp.bfloat16)              # (rows, S)
-    o2 = jax.lax.dot_general(wv, vt_ref[0, 0], (((1,), (1,)), ((), ())),
+    wv = (w * vs).astype(jnp.bfloat16)                        # (rows, S)
+    o2 = jax.lax.dot_general(wv, vt, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)  # (rows, d)
     if g == 1:
         o = jnp.sum(o2 * hmask, axis=0, keepdims=True)     # diag blocks
@@ -119,20 +131,20 @@ def _pad_s(s: int) -> int:
 
 
 @partial(jax.jit, static_argnames=('n_head', 'q_per_kv'))
-def _call(scalars, q, kt, ks, kb, vt, vs, n_head: int, q_per_kv: int):
+def _call(scalars, q, kv, sc, n_head: int, q_per_kv: int):
     import os
-    n_layers, b, d, s_pad = kt.shape
+    n_layers, b, _, d, s_pad = kv.shape
     rows = q.shape[0] if q.ndim == 2 else b * q_per_kv
     g = q_per_kv
     g_pad = (g + 7) // 8 * 8 if g > 1 else 1
     kernel = partial(_kernel, n_head=n_head, q_per_kv=g, g_pad=g_pad)
     # The layer index arrives via scalar prefetch and steers the leading
     # block axis, so the kernel DMAs the layer's tiles straight out of the
-    # FULL (L, B, d, S) stack — the per-layer scan-xs dynamic_slice copy
+    # FULL (L, B, 2, d, S) stack — the per-layer scan-xs dynamic_slice copy
     # that used to precede every launch never exists.
-    vec = pl.BlockSpec((1, 1, 1, s_pad), lambda i, s: (s[0], i, 0, 0),
+    vec = pl.BlockSpec((1, 1, 2, 1, s_pad), lambda i, s: (s[0], i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
-    mat = pl.BlockSpec((1, 1, d, s_pad), lambda i, s: (s[0], i, 0, 0),
+    mat = pl.BlockSpec((1, 1, 2, d, s_pad), lambda i, s: (s[0], i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     if g > 1:
         # beam layout: (b, g_pad, d) blocks, one sublane-aligned block per
@@ -152,7 +164,7 @@ def _call(scalars, q, kt, ks, kb, vt, vs, n_head: int, q_per_kv: int):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
-        in_specs=[q_spec, mat, vec, vec, mat, vec],
+        in_specs=[q_spec, mat, vec],
         out_specs=out_spec,
     )
     out = pl.pallas_call(
@@ -162,45 +174,48 @@ def _call(scalars, q, kt, ks, kb, vt, vs, n_head: int, q_per_kv: int):
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * rows * d * s_pad,
-            bytes_accessed=2 * b * d * s_pad * kt.dtype.itemsize + rows * d * 4,
+            bytes_accessed=2 * b * d * s_pad * kv.dtype.itemsize + rows * d * 4,
             transcendentals=rows * n_head * s_pad,
         ),
-    )(scalars, q, kt, ks, kb, vt, vs)
+    )(scalars, q, kv, sc)
     if g > 1:
         out = out[:, :g].reshape(rows, d)
     return out
 
 
-def cross_attn_decode(q: jnp.ndarray, kt: jnp.ndarray, ks: jnp.ndarray,
-                      kb: jnp.ndarray, vt: jnp.ndarray,
-                      vs: jnp.ndarray, n_head: int,
+def cross_attn_decode(q: jnp.ndarray, kv: jnp.ndarray, sc: jnp.ndarray,
+                      n_head: int, s=None,
                       q_per_kv: int = 1, layer_idx=None) -> jnp.ndarray:
     """One decode step of cross-attention against transposed K/V.
 
     q:  (rows, d) queries at the current position, ALREADY scaled by
         d_head**-0.5 (the kernel applies no further scaling);
         rows = batch * q_per_kv.
-    kt/vt: (batch, d, S_pad) keys/values transposed, int8 or float;
-        S_pad must be a multiple of 512. With ``layer_idx`` given, the
-        FULL layer stack (n_layers, batch, d, S_pad) instead — the
-        prefetched scalar picks the layer's tiles inside the kernel, so no
-        host/XLA slice copy of the layer ever exists (decoder_step passes
-        the whole stack from its scan body).
-    ks/vs: (batch, 1, S_pad) per-position dequant scales (ones when kt/vt
-        are unquantized floats); (n_layers, batch, 1, S_pad) with
-        ``layer_idx``.
-    kb: (batch, 1, S_pad) additive logit bias — 0 on real key positions,
-        -inf on padding (the mask is baked at precompute time);
-        (n_layers, batch, 1, S_pad) with ``layer_idx``.
+    kv: (batch, 2, d, S_pad) keys/values stacked ([:, 0] = K^T, [:, 1] =
+        V^T), int8 or float; S_pad must be a multiple of 512. With
+        ``layer_idx`` given, the FULL layer stack (n_layers, batch, 2, d,
+        S_pad) instead — the prefetched scalar picks the layer's tiles
+        inside the kernel, so no host/XLA slice copy of the layer ever
+        exists (decoder_step passes the whole stack from its scan body).
+    sc: (batch, 2, 1, S_pad) per-position dequant scales for K and V
+        (ones when kv is unquantized float); (n_layers, batch, 2, 1,
+        S_pad) with ``layer_idx``. The K/V tiles and their scales ride as
+        two stacked operands rather than five separate refs — fewer DMA
+        descriptors per grid step.
+    s: real (unpadded) key length — key positions >= s are masked with an
+        in-kernel -inf bias (None -> no padding, all S_pad positions real).
     q_per_kv: consecutive query rows sharing each K/V batch row (beam
         search / best_of sampling: all beams of a window attend to the same
         encoder output, so the K/V tile streams from HBM ONCE per group).
     layer_idx: int32 scalar selecting the layer when the operands carry the
-        full stack; None -> operands are single-layer 3D.
+        full stack; None -> operands are single-layer 4D.
     Returns (rows, d) float32 attention output (pre out-projection).
     """
     if layer_idx is None:
-        kt, ks, kb, vt, vs = (t[None] for t in (kt, ks, kb, vt, vs))
+        kv, sc = kv[None], sc[None]
         layer_idx = 0
-    scalars = jnp.asarray([layer_idx], jnp.int32)
-    return _call(scalars, q, kt, ks, kb, vt, vs, n_head, q_per_kv)
+    if s is None:
+        s = kv.shape[-1]
+    scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
+                         jnp.asarray(s, jnp.int32)])
+    return _call(scalars, q, kv, sc, n_head, q_per_kv)

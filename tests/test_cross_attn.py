@@ -58,11 +58,9 @@ def test_kernel_matches_naive_attention(quantize, s):
     v = rng.standard_normal((b, s, d)).astype(np.float32)
     kt, ks, kdq = _to_kernel_layout(k, s_pad, quantize)
     vt, vs, vdq = _to_kernel_layout(v, s_pad, quantize)
-    kb = np.zeros((b, 1, s_pad), np.float32)
-    kb[:, :, s:] = -np.inf
     got = np.asarray(cross_attn_decode(
-        jnp.asarray(q * dh ** -0.5), jnp.asarray(kt), jnp.asarray(ks),
-        jnp.asarray(kb), jnp.asarray(vt), jnp.asarray(vs), n_head=n_head))
+        jnp.asarray(q * dh ** -0.5), jnp.asarray(np.stack([kt, vt], 1)),
+        jnp.asarray(np.stack([ks, vs], 1)), n_head=n_head, s=s))
     ref = _naive(q, kdq.astype(np.float32), vdq.astype(np.float32), n_head)
     # kernel operands ride the MXU as bf16 (same precision as the model's
     # own bf16 attention einsums) — tolerance is bf16-scale, not f32
@@ -187,17 +185,15 @@ def test_kernel_q_per_kv_matches_repeated_kv(quantize):
     v = rng.standard_normal((b, s, d)).astype(np.float32)
     kt, ks, _ = _to_kernel_layout(k, s_pad, quantize)
     vt, vs, _ = _to_kernel_layout(v, s_pad, quantize)
-    kb = np.zeros((b, 1, s_pad), np.float32)
-    kb[:, :, s:] = -np.inf
+    kv = np.stack([kt, vt], 1)
+    sc = np.stack([ks, vs], 1)
 
     shared = np.asarray(cross_attn_decode(
-        jnp.asarray(q * dh ** -0.5), jnp.asarray(kt), jnp.asarray(ks),
-        jnp.asarray(kb), jnp.asarray(vt), jnp.asarray(vs), n_head=n_head,
-        q_per_kv=g))
+        jnp.asarray(q * dh ** -0.5), jnp.asarray(kv), jnp.asarray(sc),
+        n_head=n_head, s=s, q_per_kv=g))
     rep = lambda x: jnp.asarray(np.repeat(x, g, axis=0))
     repeated = np.asarray(cross_attn_decode(
-        jnp.asarray(q * dh ** -0.5), rep(kt), rep(ks), rep(kb), rep(vt),
-        rep(vs), n_head=n_head))
+        jnp.asarray(q * dh ** -0.5), rep(kv), rep(sc), n_head=n_head, s=s))
     np.testing.assert_allclose(shared, repeated, rtol=1e-5, atol=1e-5)
 
 

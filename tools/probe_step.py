@@ -89,10 +89,11 @@ def main(model_name='large-v3', batch=16, steps=64):
                     ca = layer_params['cross_attn']
                     if fused_cross:
                         from stable_ts_tpu.ops.cross_attn import cross_attn_decode
-                        kt, ks, kb, vt, vs = layer_cross_kv
+                        kv_t, sc_t = layer_cross_kv
                         q = linear(ca_in, ca['q']['w'], ca['q']['b'])[:, 0, :]
                         q = q.astype(jnp.float32) * ((d // n_head) ** -0.5)
-                        ctx = cross_attn_decode(q, kt, ks, kb, vt, vs, n_head)
+                        ctx = cross_attn_decode(q, kv_t, sc_t, n_head,
+                                                s=cross_kv['s'])
                         cross_out = linear(ctx[:, None, :].astype(h.dtype),
                                            ca['out']['w'], ca['out']['b'])
                     h = h + cross_out
@@ -102,8 +103,7 @@ def main(model_name='large-v3', batch=16, steps=64):
                                             layer_params['mlp_ln']['b']))
                 return (h, kc, vc), None
 
-            cross_xs = (cross_kv['kT'], cross_kv['ks'], cross_kv['kb'],
-                        cross_kv['vT'], cross_kv['vs'])
+            cross_xs = (cross_kv['kvT'], cross_kv['sc'])
             (x, new_k, new_v), _ = jax.lax.scan(
                 block, (x, kv_cache['k'], kv_cache['v']),
                 (dec['blocks'], cross_xs, jnp.arange(n_layers)))
@@ -152,7 +152,7 @@ def main(model_name='large-v3', batch=16, steps=64):
         cross_kv = precompute_cross_kv_t(params['decoder'], xa, quantize=True)
         logits, kv = decoder_prefill(params['decoder'], sot, xa,
                                      dims.n_text_head, cache_len)
-        return logits.sum() + cross_kv['kT'].astype(jnp.float32).sum()
+        return logits.sum() + cross_kv['kvT'].astype(jnp.float32).sum()
 
     def timeit(fn, *a, **kw):
         float(fn(*a, **kw))  # compile + warm
