@@ -600,18 +600,30 @@ def locate(
     prev_target_end = None
     found = 0
 
+    # With known alignment heads, capture ONLY those heads' QK rows on
+    # device (same selective-capture table the batched timing pass uses) —
+    # the full (L, H, T, 1500) capture is what kept the estimate pass fat.
+    if model.alignment_heads is not None:
+        from .models.whisper.timing import build_head_capture_table
+        loc_capture_index, loc_capture_slots = build_head_capture_table(
+            model.alignment_heads, model.dims.n_text_layer)
+    else:
+        loc_capture_index = loc_capture_slots = None
+
     def attention_end_estimate(mel_segment: np.ndarray) -> float:
         """Seconds (within chunk) where the last text token attends most."""
         tokens = jnp.asarray([initial_tokens + text_tokens], jnp.int32)
         xa = encoder_apply(model.params['encoder'], jnp.asarray(mel_segment)[None],
                            model.dims.n_audio_head)
         _, qks = decoder_apply(model.params['decoder'], tokens, xa,
-                               model.dims.n_text_head, capture_qk=True)
-        qks = qks[:, 0]  # (L, H, T, 1500)
-        if model.alignment_heads is not None:
-            heads = np.asarray(model.alignment_heads)
-            weights = qks[heads[:, 0], heads[:, 1]]
+                               model.dims.n_text_head, capture_qk=True,
+                               capture_index=loc_capture_index)
+        if loc_capture_slots is not None:
+            layers = np.array([l for l, _ in loc_capture_slots])
+            cols = np.array([s for _, s in loc_capture_slots])
+            weights = qks[layers, 0, cols]  # (n_sel, T, 1500)
         else:
+            qks = qks[:, 0]  # (L, H, T, 1500)
             L, H, T, F = qks.shape
             weights = qks.reshape(L * H, T, F)
         # capture is bf16 in HBM — upcast before softmax/normalization

@@ -262,6 +262,26 @@ class TestAlignerWhisperGlue:
         assert isinstance(matches, list)
         assert matches and 'target_end' in matches[0]
 
+    def test_locate_selective_capture_matches_full(self, model):
+        """With alignment heads set, locate's end estimate rides the
+        device-side selective QK capture; selecting ALL heads must
+        reproduce the heads-None (full-capture) estimate exactly."""
+        audio = np.random.default_rng(3).standard_normal(
+            SAMPLE_RATE * 3).astype(np.float32) * 0.3
+        full = model.locate(audio, ' hello', language='en', mode=2,
+                            verbose=None)
+        all_heads = [(l, h) for l in range(model.dims.n_text_layer)
+                     for h in range(model.dims.n_text_head)]
+        old = model.alignment_heads
+        try:
+            model.alignment_heads = all_heads
+            sel = model.locate(audio, ' hello', language='en', mode=2,
+                               verbose=None)
+        finally:
+            model.alignment_heads = old
+        assert [m['target_end'] for m in sel] == \
+            [m['target_end'] for m in full]
+
     def test_locate_mode1_and_mode0(self, model):
         audio = np.random.default_rng(0).standard_normal(
             SAMPLE_RATE * 3).astype(np.float32) * 0.3
