@@ -24,6 +24,47 @@ from .profiling import traced
 __all__ = ['align', 'align_words', 'refine', 'locate']
 
 
+def _locate_spec_steps(dec, tok, pos, cross_kv, kv, sup_mask, k: int,
+                       n_head: int):
+    """``k`` greedy decode steps in ONE dispatch for locate's confirmation
+    loop — returns every step's logits row so the host pays one device
+    round-trip per K tokens instead of per token.
+
+    Each step feeds the previous step's suppressed argmax (exactly the
+    plain-greedy choice the host makes outside target-forcing regions);
+    the host consumes rows while its own choice keeps matching and falls
+    back to single steps on divergence. The KV cache after the call holds
+    the speculated tokens' K/V — safe to resume from any accepted prefix
+    because ``decoder_step`` overwrites slot ``pos`` before attending and
+    masks positions beyond it (reference context: the reference re-runs
+    the whole prefix per token, alignment.py:845-867)."""
+    import jax
+    import jax.numpy as jnp
+    from .models.whisper.model import decoder_step
+
+    def body(carry, _):
+        tok, pos, kv = carry
+        logits, kv = decoder_step(dec, tok, pos, cross_kv, kv, n_head)
+        row = logits[0, :sup_mask.shape[0]].astype(jnp.float32)
+        nxt = jnp.argmax(row + sup_mask).astype(jnp.int32)
+        return (nxt.reshape(1, 1), pos + 1, kv), row
+
+    (_, _, kv), rows = jax.lax.scan(body, (tok, pos, kv), None, length=k)
+    return rows, kv
+
+
+_locate_spec_steps_jit = None
+
+
+def _get_spec_steps():
+    global _locate_spec_steps_jit
+    if _locate_spec_steps_jit is None:
+        import jax
+        _locate_spec_steps_jit = jax.jit(
+            _locate_spec_steps, static_argnames=('k', 'n_head'))
+    return _locate_spec_steps_jit
+
+
 def _pad_mel(mel: np.ndarray) -> np.ndarray:
     """Pad/trim mel frames to exactly N_FRAMES."""
     if mel.shape[-1] >= N_FRAMES:
@@ -550,6 +591,7 @@ def locate(
     cross-attention row). mode 1: + confirmation decode around the estimate.
     mode 0: + word timestamps on the confirmed match.
     """
+    import os
     import jax
     import jax.numpy as jnp
     from .audio import prep_audio
@@ -661,20 +703,64 @@ def locate(
             cross_kv = precompute_cross_kv_t(model.params['decoder'], xa)
         else:
             cross_kv = precompute_cross_kv(model.params['decoder'], xa)
-        state = dict(kv=None, tokens=[])
+        state = dict(kv=None, tokens=[], spec=None, greedy_run=0,
+                     last_n=None, last_greedy=None)
+        spec_k = 0 if os.environ.get('STABLE_TS_TPU_SPEC') == '0' else 8
+        if spec_k:
+            sup_mask_np = np.zeros(tokenizer.eot + 1, np.float32)
+            sup_mask_np[suppress_ids] = -np.inf
+            sup_mask = jnp.asarray(sup_mask_np)
+
+        def _serve(row: np.ndarray, n: int) -> np.ndarray:
+            # remember what plain greedy would append so the next call can
+            # tell whether the host is in a greedy run (speculation only
+            # pays there; target-forcing regions fall back to single steps)
+            sup = row.copy()
+            sup[suppress_ids] = -np.inf
+            state['last_n'], state['last_greedy'] = n, int(np.argmax(sup))
+            return row
 
         def logits_at(tokens_so_far: List[int]):
             n = len(tokens_so_far)
+            if state['last_n'] is not None:
+                state['greedy_run'] = (
+                    state['greedy_run'] + 1
+                    if (n == state['last_n'] + 1
+                        and tokens_so_far[-1] == state['last_greedy'])
+                    else 0)
+            buf = state['spec']
+            if buf is not None:
+                off = n - buf['n0']
+                if (0 <= off < buf['rows'].shape[0]
+                        and tokens_so_far[:buf['n0']] == buf['base']
+                        and tokens_so_far[buf['n0']:] == buf['toks'][:off]):
+                    state['tokens'] = list(tokens_so_far)
+                    return _serve(buf['rows'][off].copy(), n)
+                state['spec'] = None
             if (state['kv'] is not None and n == len(state['tokens']) + 1
                     and n <= confirm_cache_len
                     and tokens_so_far[:-1] == state['tokens']):
+                tok = jnp.asarray([[tokens_so_far[-1]]], jnp.int32)
+                if (spec_k and state['greedy_run'] >= 2
+                        and n - 1 + spec_k <= confirm_cache_len):
+                    # host has been following plain greedy: run the next
+                    # spec_k steps in one dispatch and buffer the rows
+                    rows, state['kv'] = _get_spec_steps()(
+                        dec_step_params, tok, jnp.int32(n - 1), cross_kv,
+                        state['kv'], sup_mask, k=spec_k,
+                        n_head=model.dims.n_text_head)
+                    rows = np.asarray(rows)
+                    toks = [int(np.argmax(r + sup_mask_np)) for r in rows]
+                    state['spec'] = dict(n0=n, base=list(tokens_so_far),
+                                         rows=rows, toks=toks)
+                    state['tokens'] = list(tokens_so_far)
+                    return _serve(rows[0].copy(), n)
                 logits, state['kv'] = decoder_step(
-                    dec_step_params,
-                    jnp.asarray([[tokens_so_far[-1]]], jnp.int32),
+                    dec_step_params, tok,
                     jnp.int32(n - 1), cross_kv, state['kv'],
                     model.dims.n_text_head)
                 state['tokens'] = list(tokens_so_far)
-                return np.array(logits[0, :tokenizer.eot + 1])
+                return _serve(np.array(logits[0, :tokenizer.eot + 1]), n)
             # (re)prefill, right-padded to a 32-bucket (positions past the
             # real prefix hold junk K/V but decoder_step masks them out and
             # overwrites slot n before attending)
@@ -685,7 +771,7 @@ def locate(
                 model.params['decoder'], toks, xa, model.dims.n_text_head,
                 confirm_cache_len)
             state['tokens'] = list(tokens_so_far)
-            return np.array(logits[0, n - 1, :tokenizer.eot + 1])
+            return _serve(np.array(logits[0, n - 1, :tokenizer.eot + 1]), n)
 
         infer_tokens = list(initial_tokens)
         predictions = []

@@ -282,6 +282,22 @@ class TestAlignerWhisperGlue:
         assert [m['target_end'] for m in sel] == \
             [m['target_end'] for m in full]
 
+    def test_locate_speculative_confirm_matches_single_step(self, model,
+                                                            monkeypatch):
+        """The K-step speculative confirmation decode must reproduce the
+        single-step loop exactly: same matches, same tokens, same probs
+        (speculation only batches identical computations)."""
+        audio = np.random.default_rng(5).standard_normal(
+            SAMPLE_RATE * 5).astype(np.float32) * 0.3
+        monkeypatch.setenv('STABLE_TS_TPU_SPEC', '0')
+        plain = model.locate(audio, ' hello', language='en', mode=1,
+                             verbose=None)
+        monkeypatch.delenv('STABLE_TS_TPU_SPEC')
+        spec = model.locate(audio, ' hello', language='en', mode=1,
+                            verbose=None)
+        assert [(m.get('start'), m.get('end'), m.get('text')) for m in spec] \
+            == [(m.get('start'), m.get('end'), m.get('text')) for m in plain]
+
     def test_locate_mode1_and_mode0(self, model):
         audio = np.random.default_rng(0).standard_normal(
             SAMPLE_RATE * 3).astype(np.float32) * 0.3
