@@ -661,9 +661,8 @@ def locate(
                                model.dims.n_text_head, capture_qk=True,
                                capture_index=loc_capture_index)
         if loc_capture_slots is not None:
-            layers = np.array([l for l, _ in loc_capture_slots])
-            cols = np.array([s for _, s in loc_capture_slots])
-            weights = qks[layers, 0, cols]  # (n_sel, T, 1500)
+            from .models.whisper.timing import gather_captured_heads
+            weights = gather_captured_heads(qks[:, 0], loc_capture_slots)
         else:
             qks = qks[:, 0]  # (L, H, T, 1500)
             L, H, T, F = qks.shape

@@ -163,6 +163,9 @@ def _kernel_beam(scalars_ref, q_ref, anc_ref, kc_ref, ks_ref, vc_ref, vs_ref,
                                 preferred_element_type=jnp.float32)
         l_d = jax.lax.dot_general(expand, hmask * l, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
+        # padded beam rows (g..g_pad-1) have all-zero expand columns -> keep
+        # them finite (the host slices them off) so debug-nans stays usable
+        l_d = jnp.where(l_d == 0, 1.0, l_d)
         out_ref[0, pl.ds(gp * g_pad, g_pad), :] = o / l_d
 
 
@@ -171,11 +174,17 @@ def _beam_groups_per_step(n_groups: int, g: int, n_ctx: int, d: int,
     """Window groups per grid step: widest whose double-buffered K+V slab
     blocks stay inside the VMEM budget (fewer grid steps = less per-step
     sequencing overhead). ``STABLE_TS_TPU_BEAM_GPS`` overrides for
-    experiments on hardware."""
+    experiments on hardware (values < 1 or non-divisors of the group
+    count fall back to the auto choice)."""
     import os
     env = os.environ.get('STABLE_TS_TPU_BEAM_GPS')
     if env:
-        return int(env)
+        try:
+            val = int(env)
+        except ValueError:
+            val = 0
+        if val >= 1 and n_groups % val == 0:
+            return val
     for cand in (4, 2):
         if (n_groups % cand == 0
                 and cand * g * n_ctx * d * itemsize * 4 <= 12 * 2 ** 20):
@@ -183,13 +192,12 @@ def _beam_groups_per_step(n_groups: int, g: int, n_ctx: int, d: int,
     return 1
 
 
-@partial(jax.jit, static_argnames=('n_head', 'g', 'interpret'))
+@partial(jax.jit, static_argnames=('n_head', 'g', 'gps', 'interpret'))
 def _call_beam(scalars, q, anc, kc, ks, vc, vs, n_head: int, g: int,
-               interpret: bool):
+               gps: int, interpret: bool):
     n_layers, b, n_ctx, d = kc.shape
     n_groups = b // g
     g_pad = (g + 7) // 8 * 8
-    gps = _beam_groups_per_step(n_groups, g, n_ctx, d, kc.dtype.itemsize)
     kernel = partial(_kernel_beam, n_head=n_head, g=g, g_pad=g_pad, gps=gps)
     slab = pl.BlockSpec((1, gps * g, n_ctx, d), lambda i, s: (s[0], i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -297,6 +305,8 @@ def self_attn_decode(q: jnp.ndarray, kc: jnp.ndarray, vc: jnp.ndarray,
     scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
                          jnp.asarray(pos, jnp.int32)])
     if anc is not None and q_per_kv > 1:
+        gps = _beam_groups_per_step(b // q_per_kv, q_per_kv, n_ctx,
+                                    kc.shape[-1], jnp.dtype(kc.dtype).itemsize)
         return _call_beam(scalars, q, anc, kc, ks, vc, vs, n_head,
-                          q_per_kv, interpret)
+                          q_per_kv, gps, interpret)
     return _call(scalars, q, kc, ks, vc, vs, n_head, interpret)
