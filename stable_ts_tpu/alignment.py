@@ -602,8 +602,7 @@ def locate(
     from .models.whisper.decoding import DecodingOptions, build_suppress_list, \
         build_initial_tokens
     from .models.whisper.model import (decoder_apply, decoder_step, encoder_apply,
-                                       init_kv_cache, precompute_cross_kv,
-                                       decoder_prefill)
+                                       precompute_cross_kv, decoder_prefill)
     from .models.whisper.timing import add_word_timestamps
     from .ops.median import median_filter
 
