@@ -62,7 +62,11 @@ def synth_speech_like(seconds: float, sr: int = 16000):
                                         + rng.uniform(0, 6.28))
         out[pos:pos + burst] = sosfilt(sos, noise) * envelope * 0.15
         pos += burst + int(rng.uniform(0.2, 1.5) * sr)
-    return out
+    # Quantize to int16 PCM — the wire format real audio arrives in
+    # (ffmpeg s16le, WAV/FLAC). The driver keeps exact-PCM input int16
+    # through to the device upload (half the transfer bytes), so the bench
+    # should exercise that product path, not a float-only special case.
+    return (np.clip(out, -1.0, 1.0) * 32767.0).round().astype(np.int16)
 
 
 def _enable_cache():

@@ -312,6 +312,14 @@ def transcribe_batched(
         demucs_options=demucs_options)
     denoiser_options = dict(denoiser_options or {})
     denoised_save_path = denoiser_options.pop('save_path', None)
+    # int16 PCM passed directly (the wire format of real audio) can ride
+    # int16 all the way to the device: the loader's /32768 is reversed
+    # exactly at the upload boundary (every sample is k/32768, exact in
+    # float32), halving the host->device bytes of the dominant per-group
+    # window transfer with BIT-IDENTICAL results to the float32 path.
+    pcm_exact = (isinstance(audio, np.ndarray)
+                 and audio.dtype == np.int16
+                 and denoiser is None and not only_voice_freq)
     loader = audio if isinstance(audio, AudioLoader) else AudioLoader(
         audio,
         stream=stream,
@@ -444,6 +452,10 @@ def transcribe_batched(
         # device drains the previous group's decode (in-order execution),
         # serializing the whole pipeline — the mel + encode must queue
         # behind it asynchronously instead.
+        if pcm_exact:
+            # reverse the loader's /32768 (exact — see pcm_exact above) so
+            # the upload moves int16, not float32
+            wins = (wins * 32768.0).astype(np.int16)
         mels = log_mel_spectrogram(wins, model.dims.n_mels)[..., :N_FRAMES]
         mels_in, _ = model.shard_batch(mels)
         grp.features = model.embed_audio(mels_in)

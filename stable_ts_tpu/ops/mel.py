@@ -85,6 +85,11 @@ def _hann_window(n_fft: int) -> np.ndarray:
 @partial(jax.jit, static_argnames=('n_mels', 'n_fft', 'hop_length'))
 def _log_mel_impl(audio: jnp.ndarray, filters: jnp.ndarray, window: jnp.ndarray,
                   n_mels: int, n_fft: int, hop_length: int) -> jnp.ndarray:
+    if audio.dtype == jnp.int16:
+        # int16 PCM uploaded raw (half the host->device bytes of float32);
+        # the on-device scale is bit-identical to the host's /32768 in
+        # audio/utils.py:44 because every int16 is exact in float32.
+        audio = audio.astype(jnp.float32) / 32768.0
     pad = n_fft // 2
     padded = jnp.pad(audio, ((0, 0), (pad, pad)), mode='reflect')
     n_frames = 1 + (padded.shape[-1] - n_fft) // hop_length
@@ -107,10 +112,15 @@ def _log_mel_impl(audio: jnp.ndarray, filters: jnp.ndarray, window: jnp.ndarray,
 def log_mel_spectrogram(audio, n_mels: int = 80, padding: int = 0) -> jnp.ndarray:
     """Compute the Whisper log-mel spectrogram.
 
-    Accepts a 1-D or (batch, samples) waveform (NumPy or JAX array).
-    Returns (n_mels, frames) or (batch, n_mels, frames) float32.
+    Accepts a 1-D or (batch, samples) waveform (NumPy or JAX array);
+    int16 PCM is uploaded as-is and scaled on device (bit-exact with the
+    float32 path). Returns (n_mels, frames) or (batch, n_mels, frames)
+    float32.
     """
-    audio = jnp.asarray(audio, dtype=jnp.float32)
+    if getattr(audio, 'dtype', None) == np.int16:
+        audio = jnp.asarray(audio)
+    else:
+        audio = jnp.asarray(audio, dtype=jnp.float32)
     squeeze = audio.ndim == 1
     if squeeze:
         audio = audio[None]
