@@ -200,6 +200,18 @@ def main_e2e():
     split = ', '.join(f'{k}={v:.2f}s' for k, v in sorted(phases.items()))
     print(f'[bench] phases (last iter): {split}, '
           f'other(host)={times[-1] - accounted:.2f}s', file=sys.stderr)
+    # Degraded-tunnel signature (BASELINE.md 2026-08-18): the window upload
+    # blocks for multiples of the device decode time. When the mel/upload
+    # boundary dwarfs decode_wait the number reflects the transport, not
+    # the kernels — flag it so a low reading is not misread as a
+    # regression. tools/probe_tunnel.py measures the link directly.
+    mel_s = phases.get('log_mel_spectrogram', 0.0)
+    if mel_s > 5.0 and mel_s > 2.0 * phases.get('decode_wait', 0.0):
+        print('[bench] WARNING: host->device transfer dominates '
+              f'(upload-bound {mel_s:.1f}s vs decode '
+              f'{phases.get("decode_wait", 0.0):.1f}s) — degraded-tunnel '
+              'artifact, see BASELINE.md; value understates the kernels',
+              file=sys.stderr)
     print(json.dumps({
         'metric': f'xRT_e2e_{MODEL}_b{BATCH}' + (f'_beam{beam}' if beam else ''),
         'value': round(xrt, 2),
