@@ -105,14 +105,69 @@ def build_model():
                           MODEL, dims.n_text_layer, dims.n_text_head))
 
 
-def _emit(name: str, audio_seconds: float, best: float):
-    xrt = audio_seconds / best
-    print(json.dumps({
+_TUNNEL = None
+
+
+def _probe_tunnel():
+    """Inline link probe (same method as tools/probe_tunnel.py): upload
+    16 MB of incompressible data, force completion via a pre-compiled
+    reduction materialized to host, subtract the warm scalar roundtrip.
+    The result qualifies every number this process prints — a degraded
+    tunnel can then never masquerade as a kernel regression."""
+    global _TUNNEL
+    if _TUNNEL is not None:
+        return _TUNNEL
+    import jax
+    import numpy as np
+    x = (np.random.default_rng(0)
+         .integers(-2**31, 2**31, size=(2048, 2048), dtype=np.int64)
+         .astype(np.float32))
+    dev = jax.devices()[0]
+    f = jax.jit(lambda a: (a * 2).sum())
+    resident = jax.device_put(x, dev)
+    float(f(resident))
+    t0 = time.perf_counter()
+    float(f(resident))
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(f(jax.device_put(x, dev)))
+    up = max(time.perf_counter() - t0 - warm, 1e-6)
+    _TUNNEL = {'tunnel_MBps': round(16.0 / up, 1),
+               'tunnel_roundtrip_s': round(warm, 4)}
+    healthy = _TUNNEL['tunnel_MBps'] > 100 and warm < 0.5
+    state = ('healthy' if healthy
+             else 'DEGRADED — transfer-heavy phases inflate; see BASELINE.md')
+    print(f'[bench] tunnel: {_TUNNEL["tunnel_MBps"]} MB/s up, '
+          f'{warm * 1e3:.1f} ms warm roundtrip ({state})', file=sys.stderr)
+    return _TUNNEL
+
+
+def _stats(times):
+    import statistics
+    return {'iters': len(times),
+            'wall_s_median': round(statistics.median(times), 3),
+            'wall_s_min': round(min(times), 3),
+            'wall_s_max': round(max(times), 3)}
+
+
+def _emit(name: str, audio_seconds: float, times, extra: dict = None):
+    """One JSON line: median xRT + min/max spread + tunnel health, so every
+    BENCH_r*.json is self-qualifying (VERDICT r3 #6)."""
+    import statistics
+    med = statistics.median(times)
+    payload = {
         'metric': name,
-        'value': round(xrt, 2),
+        'value': round(audio_seconds / med, 2),
         'unit': 'audio_sec/sec/chip',
-        'vs_baseline': round(xrt / BASELINE_XRT, 3),
-    }))
+        'vs_baseline': round(audio_seconds / med / BASELINE_XRT, 3),
+        'value_min': round(audio_seconds / max(times), 2),
+        'value_max': round(audio_seconds / min(times), 2),
+        **_stats(times),
+        **(_TUNNEL or {}),
+    }
+    if extra:
+        payload.update(extra)
+    print(json.dumps(payload))
 
 
 def main_e2e():
@@ -159,6 +214,20 @@ def main_e2e():
     instrument_model('decode_collect', 'decode_wait')
     instrument_model('decode', 'decode_fallback')
 
+    # (rows, steps) per decode call, for the HBM-utilization estimate:
+    # steps = the while_loop's trip count = the longest row's tokens + 1
+    decode_calls = []
+    for name in ('decode_collect', 'decode'):
+        orig = getattr(model, name)
+
+        def counting(*a, _orig=orig, **kw):
+            out = _orig(*a, **kw)
+            if out:
+                decode_calls.append(
+                    (len(out), max(len(r.tokens) for r in out) + 1))
+            return out
+        setattr(model, name, counting)
+
     # Random weights produce gibberish that fails the compression-ratio
     # test on EVERY window, so the default fallback ladder would re-decode
     # all audio ~6x — real speech falls back on a few percent of windows.
@@ -177,6 +246,7 @@ def main_e2e():
         srt = result.to_srt_vtt(word_level=True)
         return result, srt
 
+    _probe_tunnel()
     # warmup: one full run so every program — including the full-length mel
     # jit — compiles before the timed iterations
     t0 = time.perf_counter()
@@ -185,39 +255,76 @@ def main_e2e():
           file=sys.stderr)
 
     times = []
-    for _ in range(max(1, ITERS - 1)):
+    for _ in range(max(2, ITERS)):
+        decode_calls.clear()
         t0 = time.perf_counter()
         result, srt = run()
         times.append(time.perf_counter() - t0)
 
-    best = min(times)
-    xrt = audio_seconds / best
+    import statistics
+    med = statistics.median(times)
+    xrt = audio_seconds / med
     n_words = sum(len(s.words or ()) for s in result.segments)
-    print(f'[bench] e2e {audio_seconds:.0f}s audio -> {best:.2f}s wall, '
+    print(f'[bench] e2e {audio_seconds:.0f}s audio -> median {med:.2f}s wall '
+          f'(min {min(times):.2f} / max {max(times):.2f}, n={len(times)}), '
           f'{len(result.segments)} segments, {n_words} words, '
           f'srt {len(srt)} bytes', file=sys.stderr)
     accounted = sum(phases.values())
     split = ', '.join(f'{k}={v:.2f}s' for k, v in sorted(phases.items()))
     print(f'[bench] phases (last iter): {split}, '
           f'other(host)={times[-1] - accounted:.2f}s', file=sys.stderr)
+
+    # HBM-utilization estimate for the decode phase (last iteration): an
+    # analytic bytes/step model (decoder weights + cross-KV + self-KV
+    # streams — the same accounting as BASELINE.md's roofline table)
+    # divided by the measured decode wall. Approximate but regression-
+    # sensitive: a drop against the ~820 GB/s roofline fraction flags a
+    # kernel regression without a manual tools/probe_* session.
+    hbm_util = None
+    decode_wall = (phases.get('decode_wait', 0.0)
+                   + phases.get('decode_fallback', 0.0))
+    if decode_calls and decode_wall > 0:
+        import jax
+        w_bytes = sum(
+            x.nbytes for x in jax.tree.leaves(model.params['decoder']))
+        dims = model.dims
+        d = dims.n_text_state
+        cache_len = min(dims.n_text_ctx,
+                        ((4 + dims.n_text_ctx // 2 + 128) // 128) * 128)
+        kv_item = 1 if dims.n_audio_state >= 1024 else 2  # kv_quant auto
+        self_item = 1  # int8 self cache (auto-on with the fused kernel)
+        total_bytes = 0
+        for rows, steps in decode_calls:
+            cross = dims.n_text_layer * rows * 1500 * d * kv_item * 2
+            self_kv = dims.n_text_layer * rows * cache_len * (
+                d * self_item + 4) * 2
+            total_bytes += steps * (w_bytes + cross + self_kv)
+        hbm_util = total_bytes / decode_wall / 820e9
+        print(f'[bench] decode HBM utilization ~{hbm_util * 100:.0f}% of '
+              f'820 GB/s ({total_bytes / 1e9:.0f} GB over {decode_wall:.2f}s '
+              f'across {len(decode_calls)} decode calls)', file=sys.stderr)
+
     # Degraded-tunnel signature (BASELINE.md 2026-08-18): the window upload
     # blocks for multiples of the device decode time. When the mel/upload
     # boundary dwarfs decode_wait the number reflects the transport, not
-    # the kernels — flag it so a low reading is not misread as a
-    # regression. tools/probe_tunnel.py measures the link directly.
+    # the kernels — flag it (stderr AND machine-readably in the JSON) so a
+    # low reading is never misread as a regression.
     mel_s = phases.get('log_mel_spectrogram', 0.0)
-    if mel_s > 5.0 and mel_s > 2.0 * phases.get('decode_wait', 0.0):
+    upload_bound = mel_s > 5.0 and mel_s > 2.0 * phases.get('decode_wait', 0.0)
+    if upload_bound:
         print('[bench] WARNING: host->device transfer dominates '
               f'(upload-bound {mel_s:.1f}s vs decode '
               f'{phases.get("decode_wait", 0.0):.1f}s) — degraded-tunnel '
               'artifact, see BASELINE.md; value understates the kernels',
               file=sys.stderr)
-    print(json.dumps({
-        'metric': f'xRT_e2e_{MODEL}_b{BATCH}' + (f'_beam{beam}' if beam else ''),
-        'value': round(xrt, 2),
-        'unit': 'audio_sec/sec/chip',
-        'vs_baseline': round(xrt / BASELINE_XRT, 3),
-    }))
+    extra = {'mel_s': round(mel_s, 2),
+             'decode_wait_s': round(phases.get('decode_wait', 0.0), 2)}
+    if upload_bound:
+        extra['upload_bound'] = True
+    if hbm_util is not None:
+        extra['decode_hbm_util'] = round(hbm_util, 3)
+    _emit(f'xRT_e2e_{MODEL}_b{BATCH}' + (f'_beam{beam}' if beam else ''),
+          audio_seconds, times, extra)
 
 
 def main_kernel():
@@ -322,38 +429,33 @@ def main_kernel():
         float(s); float(t)
         np.asarray(jumps)
 
+    _probe_tunnel()
     full_step()  # warmup/compile
 
     times = []
-    for _ in range(ITERS):
+    for _ in range(max(2, ITERS)):
         t0 = time.perf_counter()
         full_step()
         times.append(time.perf_counter() - t0)
 
-    best = min(times)
-    audio_seconds = BATCH * 30.0
-    xrt = audio_seconds / best
-    print(json.dumps({
-        'metric': f'xRT_{MODEL}_b{BATCH}',
-        'value': round(xrt, 2),
-        'unit': 'audio_sec/sec/chip',
-        'vs_baseline': round(xrt / BASELINE_XRT, 3),
-    }))
+    _emit(f'xRT_{MODEL}_b{BATCH}', BATCH * 30.0, times)
 
 
 def _bench_loop(run, audio_seconds: float, name: str):
+    _probe_tunnel()
     t0 = time.perf_counter()
     run()
     print(f'[bench] warmup+compile {time.perf_counter() - t0:.1f}s',
           file=sys.stderr)
     times = []
-    for _ in range(max(1, ITERS - 1)):
+    for _ in range(max(2, ITERS)):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
-    print(f'[bench] {name}: {audio_seconds:.0f}s audio -> '
-          f'{min(times):.2f}s wall', file=sys.stderr)
-    _emit(name, audio_seconds, min(times))
+    print(f'[bench] {name}: {audio_seconds:.0f}s audio -> median '
+          f'{sorted(times)[len(times) // 2]:.2f}s wall '
+          f'(min {min(times):.2f} / max {max(times):.2f})', file=sys.stderr)
+    _emit(name, audio_seconds, times)
 
 
 def main_align():

@@ -317,8 +317,10 @@ def transcribe_batched(
     # exactly at the upload boundary (every sample is k/32768, exact in
     # float32), halving the host->device bytes of the dominant per-group
     # window transfer with BIT-IDENTICAL results to the float32 path.
+    # ndim must be 1: a stereo int16 array is downmixed by channel mean,
+    # whose half-integer samples would be truncated by the int16 re-cast.
     pcm_exact = (isinstance(audio, np.ndarray)
-                 and audio.dtype == np.int16
+                 and audio.dtype == np.int16 and audio.ndim == 1
                  and denoiser is None and not only_voice_freq)
     loader = audio if isinstance(audio, AudioLoader) else AudioLoader(
         audio,

@@ -24,6 +24,35 @@ from ..result import WhisperResult
 AUDIO_TYPES = ('str', 'byte', 'numpy', 'torch', None)
 
 
+def _repair_none_ts(result, total_dur: Optional[float]) -> None:
+    """Repair None start/end timestamps in a backend's raw output, in
+    place, before WhisperResult ingestion (which would otherwise crash
+    ``force_order``/sorting). Same interpolation rules as the reference's
+    HF backend (hf_whisper.py:160-227 ``replace_none_ts``) — see
+    result/repair.py. Accepts every input form WhisperResult does."""
+    from ..result.repair import replace_none_ts, repair_result_timestamps
+    if isinstance(result, dict):
+        segments = result.get('segments')
+    elif isinstance(result, list) and result and isinstance(result[0], list):
+        # list of word-dict lists: repair the flat word stream (segment
+        # spans derive from the words during construction)
+        words = [w for seg_words in result for w in seg_words]
+        if any(w.get('start') is None or w.get('end') is None
+               for w in words):
+            replace_none_ts(words, total_dur)
+        return
+    elif isinstance(result, list):
+        segments = result
+    else:
+        return
+    if segments and any(
+            seg.get('start') is None or seg.get('end') is None
+            or any(w.get('start') is None or w.get('end') is None
+                   for w in seg.get('words') or ())
+            for seg in segments):
+        repair_result_timestamps(segments, total_dur)
+
+
 def _encode_wav_bytes(audio: np.ndarray, sr: int) -> bytes:
     import wave
     buf = io.BytesIO()
@@ -153,6 +182,8 @@ def transcribe_any(
     try:
         result = inference_func(**inference_kwargs)
         if not isinstance(result, WhisperResult):
+            _repair_none_ts(result, round(work.shape[-1] / work_sr, 3)
+                            if work_sr else None)
             result = WhisperResult(result, force_order=force_order,
                                    check_sorted=check_sorted)
         if suppress_silence:

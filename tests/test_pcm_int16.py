@@ -58,8 +58,25 @@ def test_transcribe_batched_int16_with_denoiser_not_fast_pathed(model,
                                                                 pcm_audio):
     """A denoiser changes samples — the exact-PCM shortcut must not engage
     (it would quantize non-PCM floats). The built-in spectral-gating
-    denoiser runs without optional deps."""
-    r = model.transcribe_batched(pcm_audio[:SAMPLE_RATE * 5],
-                                 language='en', verbose=None, batch_size=1,
-                                 denoiser='noisereduce')
-    assert r is not None
+    denoiser runs without optional deps. Guarded by equality with the
+    pre-converted float32 path: if the shortcut wrongly engaged it would
+    re-quantize the denoised floats and the results would diverge."""
+    kw = dict(language='en', verbose=None, batch_size=1,
+              denoiser='noisereduce')
+    r16 = model.transcribe_batched(pcm_audio[:SAMPLE_RATE * 5], **kw)
+    r32 = model.transcribe_batched(
+        pcm_audio[:SAMPLE_RATE * 5].astype(np.float32) / 32768.0, **kw)
+    assert r16.to_dict() == r32.to_dict()
+
+
+def test_stereo_int16_not_fast_pathed(model, pcm_audio):
+    """2-D (stereo) int16 is downmixed by channel mean — half-integer
+    samples the int16 re-cast would truncate. The shortcut must not engage
+    (ADVICE r3): the result must equal transcribing the float downmix."""
+    stereo = np.stack([pcm_audio[:SAMPLE_RATE * 5],
+                       pcm_audio[1:SAMPLE_RATE * 5 + 1]])
+    kw = dict(language='en', verbose=None, batch_size=1)
+    r16 = model.transcribe_batched(stereo, **kw)
+    downmix = (stereo.astype(np.float32) / 32768.0).mean(axis=0)
+    r32 = model.transcribe_batched(downmix, **kw)
+    assert r16.to_dict() == r32.to_dict()
