@@ -12,7 +12,8 @@ from typing import Callable, List, Optional, Tuple, Union
 import numpy as np
 
 from .constants import (CHUNK_LENGTH, FRAMES_PER_SECOND, HOP_LENGTH, N_FFT,
-                        N_FRAMES, N_SAMPLES, SAMPLE_RATE)
+                        N_FRAMES, N_SAMPLES, N_SAMPLES_PER_TOKEN, SAMPLE_RATE,
+                        TOKENS_PER_SECOND)
 from .non_whisper.alignment import Aligner, WordToken
 from .non_whisper.refinement import Refiner
 from .options import AllOptions
@@ -86,6 +87,93 @@ def _resolve_tokenizer(model, text, language: Optional[str]):
     return model.get_tokenizer(language=language, task='transcribe')
 
 
+def _legacy_known_heads(model, options: AllOptions) -> bool:
+    """True when the default timing mode applies: legacy aligner with the
+    model's canonical alignment heads and no dynamic selection — the mode
+    whose capture can be narrowed to ~10 head rows on device."""
+    aligner = options.align.aligner
+    return (aligner == 'legacy' and not isinstance(aligner, dict)
+            and model.alignment_heads is not None
+            and not options.align.dynamic_heads)
+
+
+def _fused_single_window_func(model, tokenizer) -> Callable:
+    """(audio_segment, word_tokens) -> word dicts via ONE device dispatch.
+
+    The whole timing pass (mel, encoder, teacher-forced capture, head
+    weights, DTW, traceback) runs as a single compiled program
+    (timing._fused_align_window); only a packed (T' + T_pad - 1) f32
+    vector crosses the host link. Token rows bucket to 32 so the compile
+    set stays small across varying text lengths."""
+    import jax.numpy as jnp
+    from .models.whisper.timing import (_fused_align_window, WordTimingRaw,
+                                        build_head_capture_table,
+                                        merge_punctuations)
+
+    capture_index, capture_slots = build_head_capture_table(
+        model.alignment_heads, model.dims.n_text_layer)
+    layers = jnp.asarray([l for l, _ in capture_slots], jnp.int32)
+    cols = jnp.asarray([s for _, s in capture_slots], jnp.int32)
+    sot_seq = list(tokenizer.sot_sequence)
+    sot_len = len(sot_seq)
+
+    def compute_timestamps(audio_segment: np.ndarray,
+                           word_tokens: List[WordToken]) -> List[dict]:
+        word_tokens_l = [wt.tokens for wt in word_tokens]
+        text_tokens = [t for toks in word_tokens_l for t in toks]
+        segment_samples = int(np.asarray(audio_segment).shape[-1])
+        audio = np.zeros((1, N_SAMPLES), np.float32)
+        n_real = min(segment_samples, N_SAMPLES)
+        audio[0, :n_real] = audio_segment[..., :n_real]
+        row = sot_seq + [tokenizer.no_timestamps] + text_tokens \
+            + [tokenizer.eot]
+        t_pad = max(32, -(-len(row) // 32) * 32)
+        tokens = np.full((1, t_pad), tokenizer.eot, np.int32)
+        tokens[0, :len(row)] = row
+        n_text = len(text_tokens)
+        qk_len = round(min(segment_samples, N_SAMPLES) / N_SAMPLES_PER_TOKEN)
+        packed = np.asarray(_fused_align_window(
+            model.params, capture_index, layers, cols,
+            jnp.asarray(audio), jnp.asarray(tokens),
+            jnp.int32(max(qk_len, 1)), jnp.int32(n_text + 1),
+            n_mels=model.dims.n_mels, n_audio_head=model.dims.n_audio_head,
+            n_text_head=model.dims.n_text_head, sot_len=sot_len,
+            eot=tokenizer.eot))
+        t_rows = t_pad - sot_len - 1
+        jump_times = packed[:t_rows] / TOKENS_PER_SECOND
+        probs = packed[t_rows:]
+        text_token_probs = probs[sot_len:sot_len + n_text]
+
+        return _assemble_word_dicts(word_tokens, word_tokens_l, jump_times,
+                                    text_token_probs, tokenizer)
+
+    return compute_timestamps
+
+
+def _assemble_word_dicts(word_tokens, word_tokens_l, jump_times,
+                         text_token_probs, tokenizer) -> List[dict]:
+    """Host word assembly shared by the fused single-window and batched
+    align paths — the exact structure add_word_timestamps produces with
+    this path's arguments (no gap padding entries exist, and the empty
+    punctuation sets make merge_punctuations a no-op)."""
+    from .models.whisper.timing import WordTimingRaw, merge_punctuations
+    words = [wt.word for wt in word_tokens] \
+        + [tokenizer.decode([tokenizer.eot])]
+    wts = list(word_tokens_l) + [[tokenizer.eot]]
+    bounds = np.pad(np.cumsum([len(t) for t in wts[:-1]]), (1, 0))
+    starts, ends = jump_times[bounds[:-1]], jump_times[bounds[1:]]
+    word_probs = [float(np.mean(text_token_probs[a:b]))
+                  for a, b in zip(bounds[:-1], bounds[1:])]
+    alignment = [WordTimingRaw(w, tk, float(s), float(e), p)
+                 for w, tk, s, e, p in zip(words, wts, starts, ends,
+                                           word_probs)]
+    merge_punctuations(alignment, '', '')
+    return [dict(word=t.word, start=round(t.start, 3),
+                 end=round(t.end, 3), probability=t.probability,
+                 tokens=t.tokens)
+            for t in alignment[:len(word_tokens)] if len(t.tokens)]
+
+
 def _whisper_alignment_func(model, tokenizer, options: AllOptions) -> Callable:
     """(audio_segment, word_tokens) -> word timing dicts, via the JAX model
     (or the backend's own word-timing API for adapter models)."""
@@ -93,6 +181,8 @@ def _whisper_alignment_func(model, tokenizer, options: AllOptions) -> Callable:
                                           is_faster_whisper_model)
     if is_faster_whisper_model(model):
         return fw_alignment_func(model, tokenizer)
+    if _legacy_known_heads(model, options):
+        return _fused_single_window_func(model, tokenizer)
     from .models.whisper.timing import add_word_timestamps
 
     def compute_timestamps(audio_segment: np.ndarray,
@@ -157,56 +247,91 @@ def _whisper_alignment_batch_func(model, tokenizer, options: AllOptions) -> Call
             model.alignment_heads, model.dims.n_text_layer)
 
     def batch_func(requests):
-        mels, rows, metas = [], [], []
+        audios, rows, metas = [], [], []
         for audio_segment, word_tokens in requests:
             text_tokens = [t for wt in word_tokens for t in wt.tokens]
-            segment_samples = int(np.asarray(audio_segment).shape[-1])
-            mel = np.asarray(log_mel_spectrogram(
-                np.asarray(audio_segment), model.dims.n_mels,
-                padding=max(N_SAMPLES - segment_samples, 0)))
-            mels.append(_pad_mel(mel[None] if mel.ndim == 2 else mel))
+            a = np.asarray(audio_segment, np.float32)
+            audios.append(a)
             rows.append(sot_seq + [tokenizer.no_timestamps]
                         + list(text_tokens) + [tokenizer.eot])
-            metas.append((word_tokens, text_tokens, segment_samples))
-        mel_batch = np.concatenate(mels, axis=0)
-        pad_rows = 1 << max(2, int(np.ceil(np.log2(mel_batch.shape[0]))))
-        if pad_rows > mel_batch.shape[0]:
-            mel_batch = np.pad(
-                mel_batch, ((0, pad_rows - mel_batch.shape[0]), (0, 0), (0, 0)))
+            metas.append((word_tokens, text_tokens, int(a.shape[-1])))
+        # segment audio uploads at its real (bucketed) length and the mel
+        # computes batched ON DEVICE — the previous per-segment
+        # log_mel + download + re-upload paid a host sync per segment
+        # (~30 ms of tunnel latency each) and moved 30 s of mostly-zero
+        # frames per row; log_mel_windowed reconstructs the zero-pad tail
+        # bit-identically from the row max
+        t_max = max(a.shape[-1] for a in audios) + N_FFT
+        t_bucket = max(SAMPLE_RATE,
+                       -(-t_max // SAMPLE_RATE) * SAMPLE_RATE)
+        pad_rows = 1 << max(2, int(np.ceil(np.log2(len(audios)))))
+        audio_batch = np.zeros((pad_rows, t_bucket), np.float32)
+        for i, a in enumerate(audios):
+            audio_batch[i, :a.shape[-1]] = a[:t_bucket]
         max_len = max(32, int(np.ceil(max(len(r) for r in rows) / 32) * 32))
         tok_batch = np.full((pad_rows, max_len), tokenizer.eot, np.int32)
         for i, row in enumerate(rows):
             tok_batch[i, :len(row)] = row
 
-        xa = encoder_apply(model.params['encoder'], jnp.asarray(mel_batch),
+        from .ops.mel import log_mel_windowed
+        # dp-sharded on a mesh (segments are embarrassingly parallel —
+        # SURVEY §5.7); identity off-mesh. shard_batch may pad rows past
+        # pad_rows; every consumer below indexes < len(metas).
+        audio_in, _ = model.shard_batch(audio_batch)
+        tokens_in, _ = model.shard_batch(tok_batch)
+        mel_batch = log_mel_windowed(audio_in, model.dims.n_mels, N_FRAMES)
+        xa = encoder_apply(model.params['encoder'], mel_batch,
                            model.dims.n_audio_head)
-        tokens_in = jnp.asarray(tok_batch)
         logits, qks = decoder_apply(model.params['decoder'],
                                     tokens_in, xa,
                                     model.dims.n_text_head, capture_qk=True,
                                     capture_index=capture_index)
         # realized-next-token probs gathered ON DEVICE — the full-vocab
         # softmax download was ~160 MB per batch at large-v3
-        tok_probs = np.asarray(
-            _next_token_probs(logits, tokens_in, tokenizer.eot))
+        tok_probs_dev = _next_token_probs(logits, tokens_in, tokenizer.eot)
         if capture_slots is not None:
-            # stays a DEVICE array: per-segment slices flow into the
-            # timing pipeline, which crops to each segment's real audio
-            # frames on device before anything crosses the ~30 MB/s link
+            # Default mode: the WHOLE post-pass (head weights, DTW DP,
+            # traceback) runs as ONE batched dispatch over every segment —
+            # the previous per-segment loop dispatched ~4 small programs
+            # and a download per segment (~30 ms of tunnel latency each),
+            # which made align_words 2.4x slower than transcribe.
             layers = np.array([l for l, _ in capture_slots])
             cols = np.array([s for _, s in capture_slots])
-            qks_dev = qks[layers, :, cols]              # (n_sel, B, T, 1500)
-        else:
-            qks_np = np.asarray(qks)        # dynamic/'new': needs all heads
+            sel = qks[layers, :, cols]                  # (n_sel, B, T, 1500)
+            pad_b = sel.shape[1]
+            qk_lens = [round(min(samples, N_SAMPLES) / N_SAMPLES_PER_TOKEN)
+                       or 1 for _, _, samples in metas]
+            row_counts = [len(text_tokens) + 1
+                          for _, text_tokens, _ in metas]
+            qk_lens_in = jnp.asarray(
+                qk_lens + [1] * (pad_b - len(metas)), jnp.int32)
+            rows_in = jnp.asarray(
+                row_counts + [1] * (pad_b - len(metas)), jnp.int32)
+            from .batched import _dtw_cost_batched
+            from .models.whisper.timing import legacy_weights_batched
+            from .ops.dtw import dtw_jumps_device
+            mats = legacy_weights_batched(sel, qk_lens_in, rows_in, sot_len,
+                                          1.0, 7)
+            cost = _dtw_cost_batched(-mats)
+            jumps = np.asarray(dtw_jumps_device(cost, rows_in, qk_lens_in))
+            tok_probs = np.asarray(tok_probs_dev)
+            outputs = []
+            for i, (word_tokens, text_tokens, _) in enumerate(metas):
+                n_text = len(text_tokens)
+                jump_times = jumps[i, :row_counts[i]] / TOKENS_PER_SECOND
+                probs = tok_probs[i, sot_len:sot_len + n_text]
+                outputs.append(_assemble_word_dicts(
+                    word_tokens, [wt.tokens for wt in word_tokens],
+                    jump_times, probs, tokenizer))
+            return outputs
 
+        qks_np = np.asarray(qks)            # dynamic/'new': needs all heads
+        tok_probs = np.asarray(tok_probs_dev)
         outputs = []
         for i, (word_tokens, text_tokens, segment_samples) in enumerate(metas):
             n_text = len(text_tokens)
             t_keep = sot_len + 1 + n_text + 1
-            if capture_slots is not None:
-                qks_i = qks_dev[:, i, :t_keep]          # pre-selected heads
-            else:
-                qks_i = qks_np[:, i, :, :t_keep]
+            qks_i = qks_np[:, i, :, :t_keep]
             text_token_probs = tok_probs[i, sot_len:sot_len + n_text].tolist()
             curr_words = [wt.word for wt in word_tokens]
             curr_word_tokens = [wt.tokens for wt in word_tokens]
@@ -469,11 +594,13 @@ def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
                 tok_batch[r] = padded
                 r += 1
 
-        mel_batch = _refine_mel_batch(jnp.asarray(audio_batch),
-                                      jnp.asarray(frames), model.dims.n_mels)
+        # dp-sharded on a mesh (spans are independent); identity off-mesh
+        audio_in, _ = model.shard_batch(audio_batch)
+        frames_in, _ = model.shard_batch(frames)
+        tokens_in, _ = model.shard_batch(tok_batch)
+        mel_batch = _refine_mel_batch(audio_in, frames_in, model.dims.n_mels)
         xa = encoder_apply(model.params['encoder'], mel_batch,
                            model.dims.n_audio_head)
-        tokens_in = jnp.asarray(tok_batch)
         logits, _ = decoder_apply(model.params['decoder'], tokens_in, xa,
                                   model.dims.n_text_head)
         per_token, ranks = _next_token_probs_and_ranks(logits, tokens_in,
@@ -651,21 +778,27 @@ def locate(
     else:
         loc_capture_index = loc_capture_slots = None
 
-    def attention_end_estimate(mel_segment: np.ndarray) -> float:
-        """Seconds (within chunk) where the last text token attends most."""
-        tokens = jnp.asarray([initial_tokens + text_tokens], jnp.int32)
-        xa = encoder_apply(model.params['encoder'], jnp.asarray(mel_segment)[None],
-                           model.dims.n_audio_head)
-        _, qks = decoder_apply(model.params['decoder'], tokens, xa,
-                               model.dims.n_text_head, capture_qk=True,
-                               capture_index=loc_capture_index)
-        if loc_capture_slots is not None:
-            from .models.whisper.timing import gather_captured_heads
-            weights = gather_captured_heads(qks[:, 0], loc_capture_slots)
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=('n_mels', 'n_audio_head',
+                                        'n_text_head'))
+    def _estimate_program(params, capture_index, layers, cols, audio,
+                          tokens, *, n_mels, n_audio_head, n_text_head):
+        """ONE dispatch per search chunk: mel -> encoder -> teacher-forced
+        capture -> normalized attention matrix -> argmax of the last text
+        token's row. Only a scalar frame index crosses the host link (the
+        unfused path downloaded the (T, 1500) matrix and paid ~4 dispatch
+        round-trips per chunk — what kept locate ~8x slower than
+        transcribe). The mel stays resident for the confirmation decode."""
+        mel = log_mel_spectrogram(audio, n_mels)[..., :N_FRAMES]
+        xa = encoder_apply(params['encoder'], mel, n_audio_head)
+        _, qks = decoder_apply(params['decoder'], tokens, xa, n_text_head,
+                               capture_qk=True, capture_index=capture_index)
+        if layers is not None:
+            weights = qks[layers, 0, cols]           # (n_sel, T, 1500)
         else:
-            qks = qks[:, 0]  # (L, H, T, 1500)
-            L, H, T, F = qks.shape
-            weights = qks.reshape(L * H, T, F)
+            L, B, H, T, F = qks.shape
+            weights = qks[:, 0].reshape(L * H, T, F)
         # capture is bf16 in HBM — upcast before softmax/normalization
         # (repo rule; bf16 softmax quantizes the attention peaks the argmax
         # below rides on), and guard zero std (single-token T)
@@ -674,8 +807,24 @@ def locate(
         mean = jnp.mean(weights, axis=-2, keepdims=True)
         weights = median_filter((weights - mean)
                                 / jnp.where(std == 0, 1.0, std), 7)
-        matrix = np.asarray(weights.mean(axis=0))
-        return round(float(matrix[-1].argmax() / sec_per_emb), 3), xa
+        matrix = weights.mean(axis=0)
+        return jnp.argmax(matrix[-1]).astype(jnp.int32), mel
+
+    est_layers = est_cols = None
+    if loc_capture_slots is not None:
+        est_layers = jnp.asarray([l for l, _ in loc_capture_slots], jnp.int32)
+        est_cols = jnp.asarray([s for _, s in loc_capture_slots], jnp.int32)
+
+    def attention_end_estimate(audio_padded: np.ndarray):
+        """Seconds (within chunk) where the last text token attends most;
+        also returns the chunk's mel as a RESIDENT device array."""
+        tokens = jnp.asarray([initial_tokens + text_tokens], jnp.int32)
+        frame, mel_dev = _estimate_program(
+            model.params, loc_capture_index, est_layers, est_cols,
+            jnp.asarray(audio_padded)[None], tokens,
+            n_mels=model.dims.n_mels, n_audio_head=model.dims.n_audio_head,
+            n_text_head=model.dims.n_text_head)
+        return round(float(frame) / sec_per_emb, 3), mel_dev[0]
 
     from .models.whisper.decoding import _use_cross_kernel
     from .models.whisper.model import fuse_self_qkv, precompute_cross_kv_t
@@ -842,16 +991,25 @@ def locate(
                 infer_tokens.append(best_token)
         return found_target, predictions
 
+    @jax.jit
+    def _mel_section_dev(mel, start, end):
+        """Device twin of ``_pad_mel(mel[..., start:end])`` — the confirm
+        window's mel slice without downloading + re-uploading the chunk's
+        (n_mels, 3000) mel through the host link."""
+        n_frames = mel.shape[-1]
+        idx = jnp.arange(n_frames)
+        src = jnp.clip(start + idx, 0, n_frames - 1)
+        width = jnp.minimum(end, n_frames) - start
+        return jnp.where(idx < width, mel[:, src], 0.0)
+
     def _locate():
         nonlocal seek_sample, found, prev_target_end
         seek = round(seek_sample / SAMPLE_RATE, 3)
         audio_segment = audio[seek_sample:seek_sample + chunk_samples]
-        sample_padding = max(N_SAMPLES - audio_segment.shape[-1], 0)
-        mel_segment = np.asarray(log_mel_spectrogram(
-            audio_segment, model.dims.n_mels, padding=sample_padding))
-        mel_segment = _pad_mel(mel_segment)
+        audio_padded = np.zeros(N_SAMPLES, np.float32)
+        audio_padded[:audio_segment.shape[-1]] = audio_segment[:N_SAMPLES]
 
-        target_end, _ = attention_end_estimate(mel_segment)
+        target_end, mel_segment = attention_end_estimate(audio_padded)
         found_msg = (f'"{text_str}" ending at ~{format_timestamp(target_end + seek)}'
                      if verbose else '')
 

@@ -232,6 +232,53 @@ def legacy_head_weights(qks_sel, max_qk_len: int, sot_len: int,
         np.asarray(qks_sel), max_qk_len, sot_len, qk_scale, medfilt_width)
 
 
+@partial(jax.jit, static_argnames=('n_mels', 'n_audio_head', 'n_text_head',
+                                   'sot_len', 'eot', 'medfilt_width'))
+def _fused_align_window(params, capture_index, layers, cols, audio, tokens,
+                        qk_len, row_count, *, n_mels: int, n_audio_head: int,
+                        n_text_head: int, sot_len: int, eot: int,
+                        medfilt_width: int = 7):
+    """ONE dispatch for a whole single-window timing pass (align fast path).
+
+    mel -> encoder -> teacher-forced decoder with selective QK capture ->
+    masked legacy head weights -> DTW cost DP -> device traceback, all in a
+    single compiled program; the return value is one packed f32 vector
+    [jump_frames (T'), next-token probs (T_pad - 1)], so the host pays ONE
+    dispatch + ONE small download per pass. On the tunneled chip each
+    separate dispatch/download costs ~30 ms of latency — the unfused
+    sequence (6 programs, 2 downloads) made ``align()`` SLOWER than
+    transcribing, inverting the reference's promised ordering
+    (/root/reference/stable_whisper/alignment.py:48-49).
+
+    audio: (1, N_SAMPLES) f32, zero-padded to the full window.
+    tokens: (1, T_pad) int32 = sot_seq + no_timestamps + text + eot,
+        right-padded with eot to a 32-bucket (exact under the causal mask).
+    qk_len / row_count: scalar int32 — real audio frames, n_text + 1.
+    layers / cols: (n_sel,) int32 — the capture table's (layer, slot) rows.
+    """
+    from ...constants import N_FRAMES
+    from ...ops.mel import log_mel_spectrogram
+
+    mel = log_mel_spectrogram(audio, n_mels)[..., :N_FRAMES]
+    xa = encoder_apply(params['encoder'], mel, n_audio_head)
+    logits, qks = decoder_apply(params['decoder'], tokens, xa, n_text_head,
+                                capture_qk=True, capture_index=capture_index)
+    # per-position probability of the realized next token over the TEXT
+    # vocabulary (same normalization as compute_qks_and_probs)
+    lg = logits[0, :-1, :eot].astype(jnp.float32)
+    idx = jnp.clip(tokens[0, 1:, None], 0, eot - 1)
+    probs = jnp.take_along_axis(jax.nn.softmax(lg, axis=-1), idx,
+                                axis=-1)[..., 0]                 # (T_pad - 1,)
+    sel = qks[layers, :, cols]                       # (n_sel, 1, T_pad, 1500)
+    mats = legacy_weights_batched(sel, qk_len[None], row_count[None],
+                                  sot_len, 1.0, medfilt_width)  # (1, T', F)
+    from ...ops.dtw import _use_pallas, dtw_cost_pallas, dtw_jumps_device
+    cost = (dtw_cost_pallas(-mats) if _use_pallas()
+            else dtw_cost_jax(-mats[0])[None])
+    jumps = dtw_jumps_device(cost, row_count[None], qk_len[None])  # (1, T')
+    return jnp.concatenate([jumps[0].astype(jnp.float32), probs])
+
+
 def parse_dynamic_heads(dynamic_heads) -> Tuple[Optional[int], int]:
     """Normalize the ``dynamic_heads`` spec to ``(count, iterations)``.
 

@@ -109,6 +109,41 @@ def _log_mel_impl(audio: jnp.ndarray, filters: jnp.ndarray, window: jnp.ndarray,
     return (log_spec + 4.0) / 4.0
 
 
+def log_mel_windowed(audio, n_mels: int = 80,
+                     n_frames: int = 3000) -> jnp.ndarray:
+    """Batched window mels from SHORT zero-padded rows, equal to padding
+    each row to the full window first (real frames to 1-ulp — the mel
+    matmul's reduction blocking differs with the frame count; the
+    reconstructed tail exactly).
+
+    audio: (B, t_bucket) float32, each row = real samples followed by
+    zeros, with t_bucket >= longest row + N_FFT. Returns
+    (B, n_mels, n_frames) matching
+    ``log_mel_spectrogram(row, padding=n_frames*HOP - len(row))[..., :n_frames]``
+    for every row — without uploading or transforming the full 30 s of
+    mostly-zero samples per row:
+
+    - frames whose STFT window touches real samples are computed normally
+      (the zero tail >= N_FFT reproduces the full-pad boundary exactly);
+    - frames past the bucket are pure-zero windows, whose value after the
+      log/clamp/compress chain depends only on the row max ``m`` (already
+      known): ``max(m - 2, -1.5)`` — all-floor rows clamp at the log floor
+      ((-10 + 4) / 4), others at the dynamic-range bound (m - 8 pre-scale).
+    """
+    audio = jnp.asarray(audio, jnp.float32)
+    filters = jnp.asarray(mel_filterbank(n_mels))
+    window = jnp.asarray(_hann_window(N_FFT))
+    mel = _log_mel_impl(audio, filters, window, n_mels, N_FFT, HOP_LENGTH)
+    f_b = mel.shape[-1]
+    if f_b >= n_frames:
+        return mel[..., :n_frames]
+    rowmax = jnp.max(mel, axis=(-2, -1), keepdims=True)
+    tail_val = jnp.maximum(rowmax - 2.0, -1.5)
+    tail = jnp.broadcast_to(tail_val,
+                            mel.shape[:-1] + (n_frames - f_b,))
+    return jnp.concatenate([mel, tail], axis=-1)
+
+
 def log_mel_spectrogram(audio, n_mels: int = 80, padding: int = 0) -> jnp.ndarray:
     """Compute the Whisper log-mel spectrogram.
 

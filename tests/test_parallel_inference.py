@@ -91,3 +91,55 @@ class TestShardedInference:
         r_plain = plain.transcribe_batched(short, verbose=None)
         r_shard = sharded.transcribe_batched(short, verbose=None)
         assert r_plain.text == r_shard.text
+
+    def test_sharded_align_words_matches_unsharded(self, audio):
+        """The align family shards through the dp axis too (segments are
+        embarrassingly parallel): batched align_words on the mesh must
+        equal the unsharded run."""
+        from stable_ts_tpu.result import WhisperResult
+        heads = [(0, 1), (1, 0), (1, 1)]
+        short = audio[:16000 * 24]
+        segs = [dict(start=4.0 * i, end=4.0 * (i + 1),
+                     text=f' word{i} and more{i}') for i in range(6)]
+        plain = load_test_model(alignment_heads=heads)
+        r_plain = plain.align_words(short, [dict(s) for s in segs],
+                                    language='en', verbose=None,
+                                    parallel=True)
+        sharded = load_test_model(alignment_heads=heads).shard()
+        r_shard = sharded.align_words(short, [dict(s) for s in segs],
+                                      language='en', verbose=None,
+                                      parallel=True)
+        assert r_plain.text == r_shard.text
+        starts_p = [w.start for s in r_plain.segments for w in s.words]
+        starts_s = [w.start for s in r_shard.segments for w in s.words]
+        assert starts_p == pytest.approx(starts_s, abs=0.021)
+
+    def test_sharded_align_matches_unsharded(self, audio):
+        heads = [(0, 1), (1, 0), (1, 1)]
+        short = audio[:16000 * 12]
+        text = ' hello world this is a mesh test'
+        plain = load_test_model(alignment_heads=heads)
+        r_plain = plain.align(short, text, language='en', verbose=None)
+        sharded = load_test_model(alignment_heads=heads).shard()
+        r_shard = sharded.align(short, text, language='en', verbose=None)
+        assert r_plain is not None and r_shard is not None
+        assert r_plain.text == r_shard.text
+        starts_p = [w.start for s in r_plain.segments for w in s.words]
+        starts_s = [w.start for s in r_shard.segments for w in s.words]
+        assert starts_p == pytest.approx(starts_s, abs=0.021)
+
+    def test_sharded_refine_matches_unsharded(self, audio):
+        heads = [(0, 1), (1, 0), (1, 1)]
+        short = audio[:16000 * 12]
+        text = ' hello world refine me'
+        plain = load_test_model(alignment_heads=heads)
+        base_p = plain.align(short, text, language='en', verbose=None)
+        r_plain = plain.refine(short, base_p, inplace=False, parallel=True,
+                               verbose=None)
+        sharded = load_test_model(alignment_heads=heads).shard()
+        base_s = sharded.align(short, text, language='en', verbose=None)
+        r_shard = sharded.refine(short, base_s, inplace=False, parallel=True,
+                                 verbose=None)
+        starts_p = [w.start for s in r_plain.segments for w in s.words]
+        starts_s = [w.start for s in r_shard.segments for w in s.words]
+        assert starts_p == pytest.approx(starts_s, abs=0.021)

@@ -80,3 +80,30 @@ def test_stereo_int16_not_fast_pathed(model, pcm_audio):
     downmix = (stereo.astype(np.float32) / 32768.0).mean(axis=0)
     r32 = model.transcribe_batched(downmix, **kw)
     assert r16.to_dict() == r32.to_dict()
+
+
+def test_log_mel_windowed_matches_full_pad(pcm_audio):
+    """log_mel_windowed on short bucketed rows must equal the full
+    zero-padded-window mel: real frames to 1-ulp (the mel-projection
+    matmul's reduction blocking differs with the frame count), the
+    reconstructed zero tail and the all-zero-row floor EXACTLY."""
+    from stable_ts_tpu.constants import N_FFT
+    from stable_ts_tpu.ops.mel import log_mel_windowed
+    f32 = pcm_audio.astype(np.float32) / 32768.0
+    lens = [SAMPLE_RATE * 2, SAMPLE_RATE * 5 + 123, 1]
+    bucket = max(lens) + N_FFT
+    rows = np.zeros((len(lens) + 1, bucket), np.float32)  # +1 all-zero row
+    for i, n in enumerate(lens):
+        rows[i, :n] = f32[:n]
+    got = np.asarray(log_mel_windowed(rows, 80, 3000))
+    f_b = bucket // 160
+    for i, n in enumerate(lens):
+        want = np.asarray(log_mel_spectrogram(
+            f32[:n], 80, padding=3000 * 160 - n))[..., :3000]
+        np.testing.assert_allclose(got[i], want, rtol=0, atol=3e-7,
+                                   err_msg=f'row {i}')
+        np.testing.assert_array_equal(got[i, :, f_b:], want[:, f_b:],
+                                      err_msg=f'row {i} tail')
+    want_zero = np.asarray(log_mel_spectrogram(
+        np.zeros(3000 * 160, np.float32), 80))[..., :3000]
+    np.testing.assert_array_equal(got[-1], want_zero, err_msg='zero row')
