@@ -66,6 +66,29 @@ def _use_int8_self_cache() -> bool:
 _NEG = jnp.float32(-1e9)
 
 
+def _ctx_buckets(sample_begin: int, sample_len: int, cache_ctx: int):
+    """Cache-length buckets for the sampling loops.
+
+    The per-step self-attention streams the whole fixed-size KV cache from
+    HBM; most steps only need a prefix of it (pos grows by 1 per step).
+    Splitting the sampling while_loop into consecutive loops — one per
+    128-slot bucket, each compiled with a static ``ctx_live`` — lets the
+    fused kernel's BlockSpec cover only the live prefix: a 256-slot cache
+    reads 128 slots for the first ~128 positions (~half the self-KV
+    stream, and wider row blocks per grid step). Returns
+    [(ctx_live, i_bound), ...] where i_bound is the EXCLUSIVE step-index
+    bound for that bucket (pos = sample_begin + i stays < ctx_live).
+    """
+    max_pos = sample_begin + sample_len  # one past the last written pos
+    buckets = []
+    c = (sample_begin + 128) // 128 * 128  # smallest multiple of 128 > begin
+    while c < min(cache_ctx, max_pos):
+        buckets.append((c, c - sample_begin))
+        c += 128
+    buckets.append((cache_ctx, sample_len))
+    return buckets
+
+
 @dataclass
 class DecodingOptions:
     task: str = 'transcribe'
@@ -221,40 +244,46 @@ def _sample_loop(params, cross_kv, kv_cache, init_logits, tokens_init, rng,
         logits = jnp.where(force_ts[:, None] & is_text[None, :], _NEG, logits)
         return logits
 
-    def cond(state):
-        i, _, _, _, _, finished, _, _, _, _ = state
-        return (i < sample_len) & ~jnp.all(finished)
+    def make_cond(i_bound: int):
+        def cond(state):
+            i, _, _, _, _, finished, _, _, _, _ = state
+            return (i < i_bound) & ~jnp.all(finished)
+        return cond
 
-    def body(state):
-        (i, tokens, logits, kv, sum_logprobs, finished, last_tok, penult_tok,
-         max_ts, key) = state
-        filtered = apply_filters(logits, i, last_tok, penult_tok, max_ts)
-        logprobs = jax.nn.log_softmax(filtered, axis=-1)
-        if greedy:
-            next_tok = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
-        else:
-            # traced temperature: every rung of the fallback ladder shares
-            # ONE compiled sampler instead of compiling per temperature
-            key, sub = jax.random.split(key)
-            next_tok = jax.random.categorical(
-                sub, filtered / temperature, axis=-1).astype(jnp.int32)
-        tok_logprob = jnp.take_along_axis(
-            logprobs, next_tok[:, None], axis=-1)[:, 0]
-        sum_logprobs = sum_logprobs + jnp.where(finished, 0.0, tok_logprob)
-        next_tok = jnp.where(finished, eot, next_tok)
-        pos = sample_begin + i
-        tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None],
-                                              (0, pos))
-        new_finished = finished | (next_tok == eot)
-        new_max_ts = jnp.where(
-            ~finished & (next_tok >= ts_begin),
-            jnp.maximum(max_ts, next_tok - ts_begin), max_ts)
-        new_logits, kv = decoder_step(params, next_tok[:, None], pos, cross_kv,
-                                      kv, n_head, q_per_kv=q_per_kv)
-        return (i + 1, tokens, new_logits, kv, sum_logprobs, new_finished,
-                next_tok, last_tok, new_max_ts, key)
+    def make_body(ctx_live: int):
+        def body(state):
+            (i, tokens, logits, kv, sum_logprobs, finished, last_tok,
+             penult_tok, max_ts, key) = state
+            filtered = apply_filters(logits, i, last_tok, penult_tok, max_ts)
+            logprobs = jax.nn.log_softmax(filtered, axis=-1)
+            if greedy:
+                next_tok = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
+            else:
+                # traced temperature: every rung of the fallback ladder shares
+                # ONE compiled sampler instead of compiling per temperature
+                key, sub = jax.random.split(key)
+                next_tok = jax.random.categorical(
+                    sub, filtered / temperature, axis=-1).astype(jnp.int32)
+            tok_logprob = jnp.take_along_axis(
+                logprobs, next_tok[:, None], axis=-1)[:, 0]
+            sum_logprobs = sum_logprobs + jnp.where(finished, 0.0, tok_logprob)
+            next_tok = jnp.where(finished, eot, next_tok)
+            pos = sample_begin + i
+            tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None],
+                                                  (0, pos))
+            new_finished = finished | (next_tok == eot)
+            new_max_ts = jnp.where(
+                ~finished & (next_tok >= ts_begin),
+                jnp.maximum(max_ts, next_tok - ts_begin), max_ts)
+            new_logits, kv = decoder_step(params, next_tok[:, None], pos,
+                                          cross_kv, kv, n_head,
+                                          q_per_kv=q_per_kv,
+                                          ctx_live=ctx_live)
+            return (i + 1, tokens, new_logits, kv, sum_logprobs, new_finished,
+                    next_tok, last_tok, new_max_ts, key)
+        return body
 
-    init_state = (
+    state = (
         jnp.int32(0), tokens_init, init_logits, kv_cache,
         jnp.zeros((batch,), jnp.float32),
         jnp.zeros((batch,), bool),
@@ -263,8 +292,14 @@ def _sample_loop(params, cross_kv, kv_cache, init_logits, tokens_init, rng,
         jnp.full((batch,), -1, jnp.int32),
         rng,
     )
-    (n_sampled, tokens, _, _, sum_logprobs, *_rest) = jax.lax.while_loop(
-        cond, body, init_state)
+    # Consecutive while_loops, one per 128-slot cache bucket: each is
+    # compiled with a static ``ctx_live`` so the fused self-attention only
+    # streams the live cache prefix (see _ctx_buckets). Early-exit carries
+    # through — once every row is finished, later buckets' conds are false.
+    cache_ctx = kv_cache['k'].shape[2]
+    for ctx, i_bound in _ctx_buckets(sample_begin, sample_len, cache_ctx):
+        state = jax.lax.while_loop(make_cond(i_bound), make_body(ctx), state)
+    (n_sampled, tokens, _, _, sum_logprobs, *_rest) = state
     return tokens, sum_logprobs, n_sampled
 
 
@@ -334,15 +369,18 @@ def _beam_loop(params, cross_kv, kv_cache, init_logits, tokens_init,
                            _NEG, logits)
         return logits
 
-    def cond(state):
-        i = state[0]
-        fin_scores = state[11]
-        pool_full = jnp.all(fin_scores > NEG / 2, axis=1)  # (groups, cand)
-        return (i < sample_len) & ~jnp.all(pool_full)
+    def make_cond(i_bound: int):
+        def cond(state):
+            i = state[0]
+            fin_scores = state[11]
+            pool_full = jnp.all(fin_scores > NEG / 2, axis=1)  # (groups, cand)
+            return (i < i_bound) & ~jnp.all(pool_full)
+        return cond
 
     local_idx = (jnp.arange(rows, dtype=jnp.int32) % beam_size)
 
-    def body(state):
+    def make_body(ctx_live: int):
+      def body(state):
         (i, tokens, logits, kv, anc, cum_lp, last_tok, penult_tok, max_ts,
          group_done, fin_tokens, fin_scores) = state
         filtered = apply_filters(logits, i, last_tok, penult_tok, max_ts)
@@ -403,17 +441,19 @@ def _beam_loop(params, cross_kv, kv_cache, init_logits, tokens_init,
             max_ts[flat_src])
 
         new_logits, kv = decoder_step(params, new_last[:, None], pos, cross_kv,
-                                      kv, n_head, q_per_kv=beam_size, anc=anc)
+                                      kv, n_head, q_per_kv=beam_size, anc=anc,
+                                      ctx_live=ctx_live)
         return (i + 1, tokens, new_logits, kv, anc, new_cum.reshape(-1),
                 new_last, new_penult, new_max_ts, new_group_done, fin_tokens,
                 fin_scores)
+      return body
 
     # Only beam 0 of each group starts live so step 0 diversifies the beams.
     init_cum = jnp.where(jnp.arange(rows) % beam_size == 0, 0.0, NEG)
     # Prefill wrote every row's own prefix in place -> ancestor = self.
     cache_ctx = kv_cache['k'].shape[2]
     init_anc = jnp.broadcast_to(local_idx[:, None], (rows, cache_ctx))
-    init_state = (
+    state = (
         jnp.int32(0), tokens_init, init_logits, kv_cache, init_anc, init_cum,
         jnp.full((rows,), -1, jnp.int32),
         jnp.full((rows,), -1, jnp.int32),
@@ -422,8 +462,11 @@ def _beam_loop(params, cross_kv, kv_cache, init_logits, tokens_init,
         jnp.zeros((n_groups, max_candidates, n_text_ctx), jnp.int32),
         jnp.full((n_groups, max_candidates), NEG),
     )
-    final = jax.lax.while_loop(cond, body, init_state)
-    (_, tokens, _, _, _, cum_lp, *_rest, fin_tokens, fin_scores) = final
+    # Bucketed cache stream, same chaining as _sample_loop: each bucket's
+    # while_loop attends only the live cache prefix.
+    for ctx, i_bound in _ctx_buckets(sample_begin, sample_len, cache_ctx):
+        state = jax.lax.while_loop(make_cond(i_bound), make_body(ctx), state)
+    (_, tokens, _, _, _, cum_lp, *_rest, fin_tokens, fin_scores) = state
     return tokens, cum_lp, fin_tokens, fin_scores
 
 

@@ -584,10 +584,11 @@ def _shared_kv_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.transpose(0, 2, 1, 3).reshape(rows, 1, d)
 
 
-@partial(jax.jit, static_argnames=('n_head', 'q_per_kv'))
+@partial(jax.jit, static_argnames=('n_head', 'q_per_kv', 'ctx_live'))
 def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
                  cross_kv: Params, kv_cache: Params, n_head: int,
-                 q_per_kv: int = 1, anc: jnp.ndarray = None):
+                 q_per_kv: int = 1, anc: jnp.ndarray = None,
+                 ctx_live: int = None):
     """One incremental decode step with a fixed-size KV cache.
 
     tokens: (batch, 1) int32 — tokens at position ``pos``.
@@ -603,6 +604,9 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
         table on reshuffle instead of re-gathering the cache itself
         (decoding.py:_beam_loop); ``anc[:, pos]`` must be each row's own
         local index (the current token's K/V is written in place here).
+    ctx_live: static bound on pos + 1 — only the first ctx_live cache
+        positions are read by self-attention (the sampling loops bucket
+        the cache stream by realized length). None -> n_ctx.
     Returns (logits (batch, n_vocab), updated kv_cache).
     """
     x = params['token_emb'][tokens] + jax.lax.dynamic_slice_in_dim(
@@ -610,8 +614,11 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     x = x.astype(params['token_emb'].dtype)
     quant_self = 'ks' in kv_cache  # int8 row cache + per-position scales
     n_layers, batch, n_ctx, d = kv_cache['k'].shape
+    if ctx_live is None:
+        ctx_live = n_ctx
+    ctx_live = min(n_ctx, max(128, int(ctx_live)))
     # Mask future positions: position j is valid iff j <= pos.
-    valid = (jnp.arange(n_ctx)[None, :] <= pos)
+    valid = (jnp.arange(ctx_live)[None, :] <= pos)
     self_mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)[None, :]
 
     # The KV cache rides the scan CARRY (not xs/ys): each layer writes only
@@ -628,7 +635,7 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
         # launch at runtime — fall back to the XLA ancestry-gather path
         # (bf16 self-KV at beam>=5, or long-prompt 448-slot caches)
         itemsize = jnp.dtype(kv_cache['k'].dtype).itemsize
-        blk = q_per_kv * n_ctx * d * itemsize * 2 * 2
+        blk = q_per_kv * ctx_live * d * itemsize * 2 * 2
         if blk > 12 * 2 ** 20:
             self_fa = 'off'
 
@@ -678,7 +685,7 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
                  * ((d // n_head) ** -0.5))
             ctx = self_attn_decode(q, kc, vc, layer_idx, pos, n_head,
                                    ks=ksc, vs=vsc, anc=anc,
-                                   q_per_kv=q_per_kv,
+                                   q_per_kv=q_per_kv, ctx_live=ctx_live,
                                    interpret=self_fa == 'interpret')
             attn_out = linear(ctx[:, None, :].astype(h.dtype),
                               layer_params['attn']['out']['w'],
@@ -686,11 +693,11 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
         else:
             def layer_slab(cache, scales):
                 slab = jax.lax.dynamic_slice(
-                    cache, (layer_idx, 0, 0, 0), (1, batch, n_ctx, d))[0]
+                    cache, (layer_idx, 0, 0, 0), (1, batch, ctx_live, d))[0]
                 if scales is None:
                     return slab
                 sc = jax.lax.dynamic_slice(
-                    scales, (layer_idx, 0, 0, 0), (1, batch, 1, n_ctx))[0]
+                    scales, (layer_idx, 0, 0, 0), (1, batch, 1, ctx_live))[0]
                 return slab.astype(jnp.float32) * sc.transpose(0, 2, 1)
 
             k_cache = layer_slab(kc, ksc)
@@ -701,11 +708,11 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
                 # ancestor (materializes one layer's slab — test path).
                 def by_ancestor(slab):
                     grp = slab.reshape(batch // q_per_kv, q_per_kv,
-                                       n_ctx, -1)
-                    idx = anc.reshape(batch // q_per_kv, q_per_kv,
-                                      n_ctx)[..., None]
+                                       ctx_live, -1)
+                    idx = anc[:, :ctx_live].reshape(
+                        batch // q_per_kv, q_per_kv, ctx_live)[..., None]
                     return jnp.take_along_axis(grp, idx, axis=1).reshape(
-                        batch, n_ctx, -1)
+                        batch, ctx_live, -1)
 
                 k_cache = by_ancestor(k_cache)
                 v_cache = by_ancestor(v_cache)

@@ -185,23 +185,28 @@ def _beam_groups_per_step(n_groups: int, g: int, n_ctx: int, d: int,
             val = 0
         if val >= 1 and n_groups % val == 0:
             return val
-    for cand in (4, 2):
+    for cand in (8, 4, 2):
         if (n_groups % cand == 0
                 and cand * g * n_ctx * d * itemsize * 4 <= 12 * 2 ** 20):
             return cand
     return 1
 
 
-@partial(jax.jit, static_argnames=('n_head', 'g', 'gps', 'interpret'))
+@partial(jax.jit, static_argnames=('n_head', 'g', 'gps', 'ctx_blk',
+                                   'interpret'))
 def _call_beam(scalars, q, anc, kc, ks, vc, vs, n_head: int, g: int,
-               gps: int, interpret: bool):
+               gps: int, ctx_blk: int, interpret: bool):
     n_layers, b, n_ctx, d = kc.shape
     n_groups = b // g
     g_pad = (g + 7) // 8 * 8
     kernel = partial(_kernel_beam, n_head=n_head, g=g, g_pad=g_pad, gps=gps)
-    slab = pl.BlockSpec((1, gps * g, n_ctx, d), lambda i, s: (s[0], i, 0, 0),
+    # ctx_blk < n_ctx buckets the cache stream by realized length: the
+    # BlockSpec covers only the first ctx_blk positions of each slab, so
+    # the dead tail of the fixed-size cache never leaves HBM (the sampler
+    # re-traces with a bigger bucket when pos outgrows it).
+    slab = pl.BlockSpec((1, gps * g, ctx_blk, d), lambda i, s: (s[0], i, 0, 0),
                         memory_space=pltpu.VMEM)
-    vec = pl.BlockSpec((1, gps * g, 1, n_ctx), lambda i, s: (s[0], i, 0, 0),
+    vec = pl.BlockSpec((1, gps * g, 1, ctx_blk), lambda i, s: (s[0], i, 0, 0),
                        memory_space=pltpu.VMEM)
     anc4 = anc.reshape(n_groups // gps, gps * g, 1, n_ctx)
     # beam layout: sublane-aligned (gps*g_pad, d) query/output blocks per
@@ -214,7 +219,7 @@ def _call_beam(scalars, q, anc, kc, ks, vc, vs, n_head: int, g: int,
         in_specs=[
             pl.BlockSpec((1, gps * g_pad, d), lambda i, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gps * g, 1, n_ctx), lambda i, s: (i, 0, 0, 0),
+            pl.BlockSpec((1, gps * g, 1, ctx_blk), lambda i, s: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             slab, vec, slab, vec,
         ],
@@ -228,29 +233,32 @@ def _call_beam(scalars, q, anc, kc, ks, vc, vs, n_head: int, g: int,
         out_shape=jax.ShapeDtypeStruct((n_groups // gps, gps * g_pad, d),
                                        jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * g * d * n_ctx,
-            bytes_accessed=2 * b * d * n_ctx * kc.dtype.itemsize + b * d * 4,
-            transcendentals=b * n_head * n_ctx,
+            flops=4 * b * g * d * ctx_blk,
+            bytes_accessed=2 * b * d * ctx_blk * kc.dtype.itemsize + b * d * 4,
+            transcendentals=b * n_head * ctx_blk,
         ),
     )(scalars, qb, anc4, kc, ks, vc, vs)
     return out.reshape(n_groups, g_pad, d)[:, :g].reshape(b, d)
 
 
-@partial(jax.jit, static_argnames=('n_head', 'interpret'))
-def _call(scalars, q, kc, ks, vc, vs, n_head: int, interpret: bool):
+@partial(jax.jit, static_argnames=('n_head', 'ctx_blk', 'interpret'))
+def _call(scalars, q, kc, ks, vc, vs, n_head: int, ctx_blk: int,
+          interpret: bool):
     n_layers, b, n_ctx, d = kc.shape
     # widest row block whose double-buffered K+V tiles stay well inside
-    # VMEM: rows * n_ctx * d * itemsize * 2(kv) * 2(buffers) <= ~12 MB
+    # VMEM: rows * ctx_blk * d * itemsize * 2(kv) * 2(buffers) <= ~12 MB
+    # (ctx_blk < n_ctx buckets the cache stream by realized length AND
+    # lets more rows share a grid step — fewer steps, less sequencing)
     rows = 1
-    for cand in (4, 2):
+    for cand in (16, 8, 4, 2):
         if (b % cand == 0
-                and cand * n_ctx * d * kc.dtype.itemsize * 4 <= 12 * 2 ** 20):
+                and cand * ctx_blk * d * kc.dtype.itemsize * 4 <= 12 * 2 ** 20):
             rows = cand
             break
     kernel = partial(_kernel, n_head=n_head, rows=rows)
-    slab = pl.BlockSpec((1, rows, n_ctx, d), lambda i, s: (s[0], i, 0, 0),
+    slab = pl.BlockSpec((1, rows, ctx_blk, d), lambda i, s: (s[0], i, 0, 0),
                         memory_space=pltpu.VMEM)
-    vec = pl.BlockSpec((1, rows, 1, n_ctx), lambda i, s: (s[0], i, 0, 0),
+    vec = pl.BlockSpec((1, rows, 1, ctx_blk), lambda i, s: (s[0], i, 0, 0),
                        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -269,9 +277,9 @@ def _call(scalars, q, kc, ks, vc, vs, n_head: int, interpret: bool):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * d * n_ctx,
-            bytes_accessed=2 * b * d * n_ctx * kc.dtype.itemsize + b * d * 4,
-            transcendentals=b * n_head * n_ctx,
+            flops=4 * b * d * ctx_blk,
+            bytes_accessed=2 * b * d * ctx_blk * kc.dtype.itemsize + b * d * 4,
+            transcendentals=b * n_head * ctx_blk,
         ),
     )(scalars, q, kc, ks, vc, vs)
 
@@ -280,6 +288,7 @@ def self_attn_decode(q: jnp.ndarray, kc: jnp.ndarray, vc: jnp.ndarray,
                      layer_idx, pos, n_head: int,
                      ks: jnp.ndarray = None, vs: jnp.ndarray = None,
                      anc: jnp.ndarray = None, q_per_kv: int = 1,
+                     ctx_live: int = None,
                      interpret: bool = False) -> jnp.ndarray:
     """One decode step of self-attention against the full layered KV cache.
 
@@ -295,9 +304,16 @@ def self_attn_decode(q: jnp.ndarray, kc: jnp.ndarray, vc: jnp.ndarray,
         every row attends its own cache rows (the non-beam layout).
     layer_idx / pos: int32 scalars — which layer's slab to attend in, and
         the highest valid cache position (keys at j <= pos participate).
+    ctx_live: static bound on pos + 1 (a multiple of 128, or n_ctx). Only
+        the first ctx_live cache positions stream from HBM — the sampling
+        loops re-enter with a bigger bucket as pos grows, so a 256-slot
+        cache reads 128 slots for the first ~128 steps. None -> n_ctx.
     Returns (batch, d) float32 attention output (pre out-projection).
     """
     n_layers, b, n_ctx, _ = kc.shape
+    if ctx_live is None:
+        ctx_live = n_ctx
+    ctx_blk = min(n_ctx, max(128, int(ctx_live)))
     if ks is None:
         ks = jnp.ones((n_layers, b, 1, n_ctx), jnp.float32)
     if vs is None:
@@ -305,8 +321,8 @@ def self_attn_decode(q: jnp.ndarray, kc: jnp.ndarray, vc: jnp.ndarray,
     scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
                          jnp.asarray(pos, jnp.int32)])
     if anc is not None and q_per_kv > 1:
-        gps = _beam_groups_per_step(b // q_per_kv, q_per_kv, n_ctx,
+        gps = _beam_groups_per_step(b // q_per_kv, q_per_kv, ctx_blk,
                                     kc.shape[-1], jnp.dtype(kc.dtype).itemsize)
         return _call_beam(scalars, q, anc, kc, ks, vc, vs, n_head,
-                          q_per_kv, gps, interpret)
-    return _call(scalars, q, kc, ks, vc, vs, n_head, interpret)
+                          q_per_kv, gps, ctx_blk, interpret)
+    return _call(scalars, q, kc, ks, vc, vs, n_head, ctx_blk, interpret)
