@@ -385,14 +385,22 @@ def _beam_loop(params, cross_kv, kv_cache, init_logits, tokens_init,
          group_done, fin_tokens, fin_scores) = state
         filtered = apply_filters(logits, i, last_tok, penult_tok, max_ts)
         logprobs = jax.nn.log_softmax(filtered, axis=-1)  # (rows, V)
-        cand = (cum_lp[:, None] + logprobs).reshape(n_groups,
-                                                    beam_size * n_vocab)
-        # Rows of finished groups contribute nothing new.
-        cand = jnp.where(group_done[:, None], NEG, cand)
         k = 2 * beam_size
-        top_scores, top_idx = jax.lax.top_k(cand, k)  # (groups, 2*beam)
-        src_beam = top_idx // n_vocab                 # within-group beam id
-        tok = (top_idx % n_vocab).astype(jnp.int32)
+        # Two-stage top-k: per-row over the vocab, then a merge over the
+        # group's beam_size*k survivors. The single-stage top-k over the
+        # flattened (groups, beam*V) matrix sorted 260k columns per group
+        # per step; the group merge can keep at most k entries from any
+        # one row, so stage 1's k per row loses nothing. cum_lp is
+        # constant per row — adding it after stage 1 preserves order.
+        row_scores, row_tok = jax.lax.top_k(logprobs, k)  # (rows, k)
+        grp_scores = (cum_lp[:, None] + row_scores).reshape(n_groups,
+                                                            beam_size * k)
+        grp_tok = row_tok.reshape(n_groups, beam_size * k)
+        # Rows of finished groups contribute nothing new.
+        grp_scores = jnp.where(group_done[:, None], NEG, grp_scores)
+        top_scores, sel = jax.lax.top_k(grp_scores, k)  # (groups, k)
+        src_beam = sel // k                             # within-group beam id
+        tok = jnp.take_along_axis(grp_tok, sel, axis=1).astype(jnp.int32)
         is_eot = tok == eot
 
         # Push EOT candidates into the finished pool (keep best max_candidates).
