@@ -223,3 +223,38 @@ class TestBatchedTranscribe:
         result.save_as_json(path)
         restored = WhisperResult(path)
         assert restored.text == result.text
+
+
+class TestBeamTopK:
+    """The two-stage beam top-k must match the flattened single-stage one."""
+
+    def test_two_stage_topk_equivalence(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        rng = np.random.RandomState(7)
+        n_groups, beam, V = 3, 5, 2048
+        k = 2 * beam
+        for trial in range(5):
+            logprobs = jnp.asarray(
+                rng.randn(n_groups * beam, V).astype(np.float32))
+            cum = jnp.asarray(rng.randn(n_groups * beam).astype(np.float32))
+            # single-stage reference: top_k over the flattened (beam*V) row
+            cand = (cum[:, None] + logprobs).reshape(n_groups, beam * V)
+            ref_scores, ref_idx = jax.lax.top_k(cand, k)
+            ref_beam = ref_idx // V
+            ref_tok = ref_idx % V
+            # two-stage (the product path in _beam_loop)
+            row_scores, row_tok = jax.lax.top_k(logprobs, k)
+            grp_scores = (cum[:, None] + row_scores).reshape(n_groups,
+                                                             beam * k)
+            grp_tok = row_tok.reshape(n_groups, beam * k)
+            top_scores, sel = jax.lax.top_k(grp_scores, k)
+            src_beam = sel // k
+            tok = jnp.take_along_axis(grp_tok, sel, axis=1)
+            np.testing.assert_allclose(np.asarray(top_scores),
+                                       np.asarray(ref_scores), rtol=1e-6)
+            np.testing.assert_array_equal(np.asarray(src_beam),
+                                          np.asarray(ref_beam))
+            np.testing.assert_array_equal(np.asarray(tok),
+                                          np.asarray(ref_tok))
