@@ -66,38 +66,67 @@ __all__ = ['self_attn_decode']
 
 
 def _kernel(scalars_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, out_ref, *,
-            n_head: int, rows: int):
+            n_head: int, rows: int, g: int):
+    """``g`` batch rows share one block-diagonal MXU dot.
+
+    A one-row-per-dot variant issued 2 tiny (n_head, d) x (d, n_ctx)
+    matmuls per row — 1024 serialized MXU ops per token step at large-v3
+    b16, measured ~1.2 us each (instruction latency, not bandwidth:
+    probe_phase.py put the kernel ~6x over its cache-stream floor). Here
+    the g rows' query head-blocks stack into one (g*n_head, d) matrix and
+    their K/V slabs flatten along the key axis, so QK^T and the weighted
+    sum are ONE dot each; a block-diagonal bias (query row attends only
+    its own slab's columns) keeps the math exactly the per-row softmax.
+    The g-fold extra FLOPs are free next to the instruction-issue save.
+    """
     d = q_ref.shape[-1]
     n_ctx = kc_ref.shape[2]
     d_head = d // n_head
     i = pl.program_id(0)
     pos = scalars_ref[1]
+    gh = g * n_head
+    gc = g * n_ctx
 
-    col_head = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 1) // d_head
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (n_head, d), 0)
-    hmask = (col_head == row_id).astype(jnp.float32)
-    key_pos = jax.lax.broadcasted_iota(jnp.int32, (n_head, n_ctx), 1)
-    bias = jnp.where(key_pos <= pos, 0.0, -jnp.inf).astype(jnp.float32)
+    # row r*H+h of the stacked query block selects head h's d_head columns
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (gh, d), 1) // d_head
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (gh, d), 0) % n_head
+    hmask = (col_head == row_head).astype(jnp.float32)          # (g*H, d)
+    # scatter the g query rows onto their n_head-row blocks
+    row_q = jax.lax.broadcasted_iota(jnp.int32, (gh, g), 0) // n_head
+    col_q = jax.lax.broadcasted_iota(jnp.int32, (gh, g), 1)
+    expand = (row_q == col_q).astype(jnp.float32)               # (g*H, g)
+    # causal + block-diagonal bias over the flattened key axis
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, (gh, gc), 1) % n_ctx
+    key_row = jax.lax.broadcasted_iota(jnp.int32, (gh, gc), 1) // n_ctx
+    q_row = jax.lax.broadcasted_iota(jnp.int32, (gh, gc), 0) // n_head
+    bias = jnp.where((key_pos <= pos) & (key_row == q_row),
+                     0.0, -jnp.inf).astype(jnp.float32)
 
     cache_dtype = kc_ref.dtype
     op_dtype = jnp.bfloat16 if cache_dtype == jnp.int8 else cache_dtype
-    for r in range(rows):
-        qrow = q_ref[pl.ds(i * rows + r, 1), :].astype(jnp.float32)  # (1, d)
-        qblk = (hmask * qrow).astype(op_dtype)                       # (H, d)
-        k = kc_ref[0, r]                                             # (n_ctx, d)
+    for base in range(0, rows, g):
+        qrows = q_ref[pl.ds(i * rows + base, g), :].astype(jnp.float32)
+        qblk = (hmask * jax.lax.dot_general(
+            expand, qrows, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)).astype(op_dtype)  # (g*H, d)
+        k = kc_ref[0, pl.ds(base, g)].reshape(gc, d)
         lg = jax.lax.dot_general(qblk, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        lg = lg * ks_ref[0, r] + bias                                # (H, n_ctx)
+        lg = lg * ks_ref[0, pl.ds(base, g)].reshape(1, gc) + bias  # (g*H, gc)
         m = jnp.max(lg, axis=1, keepdims=True)
         w = jnp.exp(lg - m)
         l = jnp.sum(w, axis=1, keepdims=True)
-        o2 = jax.lax.dot_general((w * vs_ref[0, r]).astype(op_dtype),
-                                 vc_ref[0, r],
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # (H, d)
-        o = jnp.sum(o2 * hmask, axis=0, keepdims=True)
-        l_d = jnp.sum(hmask * l, axis=0, keepdims=True)
-        out_ref[pl.ds(i * rows + r, 1), :] = o / l_d
+        v = vc_ref[0, pl.ds(base, g)].reshape(gc, d)
+        o2 = jax.lax.dot_general(
+            (w * vs_ref[0, pl.ds(base, g)].reshape(1, gc)).astype(op_dtype),
+            v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                    # (g*H, d)
+        # fold each row's n_head head-rows back onto its d columns
+        o = jax.lax.dot_general(expand, o2 * hmask, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        l_d = jax.lax.dot_general(expand, hmask * l, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        out_ref[pl.ds(i * rows + base, g), :] = o / l_d
 
 
 def _kernel_beam(scalars_ref, q_ref, anc_ref, kc_ref, ks_ref, vc_ref, vs_ref,
@@ -111,7 +140,10 @@ def _kernel_beam(scalars_ref, q_ref, anc_ref, kc_ref, ks_ref, vc_ref, vs_ref,
     the VPU). All g beams of a group batch into ONE (g*n_head, d) query
     block per sibling dot — g MXU matmuls per contraction instead of the
     earlier g*g per-beam dots of sublane-starved M = n_head (same FLOPs,
-    5x fewer instructions at beam 5, full-M tiles).
+    5x fewer instructions at beam 5, full-M tiles). A flattened-key
+    single-dot variant (one (g*H, g*n_ctx) dot + additive ancestor mask)
+    measured ~9% SLOWER end-to-end on the v5e — the per-sibling
+    accumulation pipeline wins; keep this form.
     """
     d = q_ref.shape[-1]
     n_ctx = kc_ref.shape[2]
@@ -255,7 +287,12 @@ def _call(scalars, q, kc, ks, vc, vs, n_head: int, ctx_blk: int,
                 and cand * ctx_blk * d * kc.dtype.itemsize * 4 <= 12 * 2 ** 20):
             rows = cand
             break
-    kernel = partial(_kernel, n_head=n_head, rows=rows)
+    # block-diagonal group: g*n_head query rows per MXU dot (full-M tiles)
+    # at g^2 * n_ctx * n_head flops. Mosaic needs the dynamic (g, d) query
+    # row loads sublane-aligned, so g must be a multiple of 8 (g=1 loads a
+    # single row, which lowers specially) — g in {8, 1} only.
+    g = 8 if rows % 8 == 0 else 1
+    kernel = partial(_kernel, n_head=n_head, rows=rows, g=g)
     slab = pl.BlockSpec((1, rows, ctx_blk, d), lambda i, s: (s[0], i, 0, 0),
                         memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, rows, 1, ctx_blk), lambda i, s: (s[0], i, 0, 0),
@@ -277,9 +314,9 @@ def _call(scalars, q, kc, ks, vc, vs, n_head: int, ctx_blk: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * d * ctx_blk,
+            flops=4 * b * n_head * d * ctx_blk * g,
             bytes_accessed=2 * b * d * ctx_blk * kc.dtype.itemsize + b * d * 4,
-            transcendentals=b * n_head * ctx_blk,
+            transcendentals=b * n_head * ctx_blk * g,
         ),
     )(scalars, q, kc, ks, vc, vs)
 
