@@ -815,16 +815,30 @@ def locate(
         est_layers = jnp.asarray([l for l, _ in loc_capture_slots], jnp.int32)
         est_cols = jnp.asarray([s for _, s in loc_capture_slots], jnp.int32)
 
-    def attention_end_estimate(audio_padded: np.ndarray):
-        """Seconds (within chunk) where the last text token attends most;
-        also returns the chunk's mel as a RESIDENT device array."""
+    def launch_estimate(seek_s: int):
+        """Dispatch the end-estimate for the chunk at ``seek_s`` WITHOUT
+        blocking — returns device arrays (frame index scalar + resident
+        mel). JAX dispatch is asynchronous, so the caller can queue the
+        next chunk's estimate behind the current chunk's confirmation
+        work and hide the whole encoder+capture pass."""
+        segment = audio[seek_s:seek_s + chunk_samples]
+        padded = np.zeros(N_SAMPLES, np.float32)
+        padded[:segment.shape[-1]] = segment[:N_SAMPLES]
         tokens = jnp.asarray([initial_tokens + text_tokens], jnp.int32)
         frame, mel_dev = _estimate_program(
             model.params, loc_capture_index, est_layers, est_cols,
-            jnp.asarray(audio_padded)[None], tokens,
+            jnp.asarray(padded)[None], tokens,
             n_mels=model.dims.n_mels, n_audio_head=model.dims.n_audio_head,
             n_text_head=model.dims.n_text_head)
-        return round(float(frame) / sec_per_emb, 3), mel_dev[0]
+        return frame, mel_dev
+
+    # speculative estimate prefetch: chunk k+1's seek position is known
+    # whenever chunk k does NOT match (fixed stride advance), which is the
+    # common case of a scan — so its estimate is dispatched before chunk
+    # k's host-side confirmation runs, and by the time the scan moves on
+    # the frame index is already materialized. A match advances the seek
+    # differently and simply misses the cache (entry dropped).
+    _spec_est = {}
 
     from .models.whisper.decoding import _use_cross_kernel
     from .models.whisper.model import fuse_self_qkv, precompute_cross_kv_t
@@ -1006,10 +1020,21 @@ def locate(
         nonlocal seek_sample, found, prev_target_end
         seek = round(seek_sample / SAMPLE_RATE, 3)
         audio_segment = audio[seek_sample:seek_sample + chunk_samples]
-        audio_padded = np.zeros(N_SAMPLES, np.float32)
-        audio_padded[:audio_segment.shape[-1]] = audio_segment[:N_SAMPLES]
 
-        target_end, mel_segment = attention_end_estimate(audio_padded)
+        if seek_sample in _spec_est:
+            frame, mel_dev = _spec_est.pop(seek_sample)
+        else:
+            frame, mel_dev = launch_estimate(seek_sample)
+        _spec_est.clear()
+        if mode != 2:
+            # dispatch the next no-match chunk's estimate behind this one
+            nxt = seek_sample + (adjusted_chunk_size
+                                 if audio_segment.shape[-1] == chunk_samples
+                                 else audio_segment.shape[-1])
+            if nxt < total_samples:
+                _spec_est[nxt] = launch_estimate(nxt)
+        target_end = round(float(frame) / sec_per_emb, 3)
+        mel_segment = mel_dev[0]
         found_msg = (f'"{text_str}" ending at ~{format_timestamp(target_end + seek)}'
                      if verbose else '')
 

@@ -125,6 +125,18 @@ def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+def _vocab_logits(x: jnp.ndarray, token_emb: jnp.ndarray) -> jnp.ndarray:
+    """Tied-embedding vocab projection: x @ token_emb.T without the
+    transpose. Spelled as a dot_general contracting the shared d axis so
+    no (d, n_vocab) transposed copy of the 100+ MB embedding can ever
+    materialize regardless of XLA's transpose-folding decisions (measured
+    equal to the jnp.dot(x, emb.T) spelling on the v5e — the fold did
+    happen — but this form can't regress)."""
+    return jax.lax.dot_general(
+        x, token_emb, (((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
 
@@ -552,8 +564,7 @@ def decoder_apply(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
     xs = (params['blocks'], capture_index)
     x, cross_qks = jax.lax.scan(block, x, xs)
     x = layer_norm(x, params['ln']['g'], params['ln']['b'])
-    logits = jnp.dot(x, params['token_emb'].T,
-                     preferred_element_type=jnp.float32)
+    logits = _vocab_logits(x, params['token_emb'])
     return logits, cross_qks
 
 
@@ -767,8 +778,7 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     (x, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
         block, carry0, (params['blocks'], cross_xs, jnp.arange(n_layers)))
     x = layer_norm(x, params['ln']['g'], params['ln']['b'])
-    logits = jnp.dot(x[:, 0], params['token_emb'].T,
-                     preferred_element_type=jnp.float32)
+    logits = _vocab_logits(x[:, 0], params['token_emb'])
     if quant_self:
         return logits, {'k': new_k, 'ks': new_ks, 'v': new_v, 'vs': new_vs}
     return logits, {'k': new_k, 'v': new_v}
@@ -835,7 +845,7 @@ def decoder_prefill(params: Params, tokens: jnp.ndarray, xa: jnp.ndarray,
 
     x, cache_ys = jax.lax.scan(block, x, params['blocks'])
     x = layer_norm(x, params['ln']['g'], params['ln']['b'])
-    logits = jnp.dot(x, params['token_emb'].T, preferred_element_type=jnp.float32)
+    logits = _vocab_logits(x, params['token_emb'])
     if int8_cache:
         kq, ksc, vq, vsc = cache_ys
         return logits, {'k': kq, 'ks': ksc, 'v': vq, 'vs': vsc}

@@ -49,18 +49,8 @@ elif phase == 'self':
         anc=None, q_per_kv=1, ctx_live=None, interpret=False:
         jnp.zeros(q.shape, jnp.float32))
 elif phase == 'logits':
-    _real_jnp = M.jnp
-    def _dot(a, b, **kw):
-        if getattr(b, 'ndim', 0) == 2 and b.shape[-1] > 50000:  # vocab proj
-            return _real_jnp.zeros(a.shape[:-1] + (b.shape[-1],),
-                                   _real_jnp.float32)
-        return _real_jnp.dot(a, b, **kw)
-    class _JnpProxy:
-        def __getattr__(self, k):
-            if k == 'dot':
-                return _dot
-            return getattr(_real_jnp, k)
-    M.jnp = _JnpProxy()
+    M._vocab_logits = (lambda x, emb:
+                       jnp.zeros(x.shape[:-1] + (emb.shape[0],), jnp.float32))
 
 from stable_ts_tpu.models.whisper.decoding import (
     _sample_loop, _use_cross_kernel, _use_int8_self_cache)
