@@ -125,13 +125,32 @@ def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+def _vocab_proj_mode() -> str:
+    """Streaming vocab-projection kernel (ops/vocab_proj.py): 'on' | 'off'
+    | 'interpret'. Default OFF — measured (tools/probe_vocab.py, v5e
+    large-v3 b16): isolated it beats the XLA matmul ~9x, but inside the
+    sampling while_loop the full step got SLOWER at every tiling (7.72-7.87
+    vs 7.20 ms/step) — XLA overlaps/fuses the in-loop matmul with the
+    filter chain, and the pallas_call boundary serializes it. Kept for
+    experiments and for the standalone detect-language path."""
+    import os
+    pref = os.environ.get('STABLE_TS_TPU_VOCAB', 'off')
+    if pref in ('0', 'off', 'false', 'auto'):
+        return 'off'
+    return 'interpret' if pref == 'interpret' else 'on'
+
+
 def _vocab_logits(x: jnp.ndarray, token_emb: jnp.ndarray) -> jnp.ndarray:
     """Tied-embedding vocab projection: x @ token_emb.T without the
-    transpose. Spelled as a dot_general contracting the shared d axis so
-    no (d, n_vocab) transposed copy of the 100+ MB embedding can ever
-    materialize regardless of XLA's transpose-folding decisions (measured
-    equal to the jnp.dot(x, emb.T) spelling on the v5e — the fold did
-    happen — but this form can't regress)."""
+    transpose — a dot_general contracting the shared d axis so no
+    (d, n_vocab) transposed copy of the 100+ MB embedding can ever
+    materialize. Decode-step shapes (2-D x with few rows) route to the
+    streaming Pallas kernel when enabled; teacher-forced / prefill shapes
+    (large M, MXU-bound) stay on XLA, which schedules them well."""
+    if (x.ndim == 2 and x.shape[0] <= 256 and token_emb.shape[0] >= 2048
+            and _vocab_proj_mode() != 'off'):
+        from ...ops.vocab_proj import vocab_logits_kernel
+        return vocab_logits_kernel(x.astype(token_emb.dtype), token_emb)
     return jax.lax.dot_general(
         x, token_emb, (((x.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
