@@ -240,12 +240,17 @@ def main_e2e():
              if os.environ.get('BENCH_FALLBACK') else (0.0,))
 
     beam = int(os.environ.get('BENCH_BEAM', '0'))  # 0 = greedy
+    extra_kw = {'beam_size': beam} if beam else {}
+    _kvq_env = os.environ.get('BENCH_KVQ')
+    if _kvq_env is not None:  # unset = model auto (int8 for medium+)
+        extra_kw['kv_quant'] = (4 if _kvq_env == '4'
+                                else _kvq_env not in ('0', ''))
 
     def run():
         phases.clear()
         result = model.transcribe_batched(
             audio, batch_size=BATCH, language='en', verbose=None,
-            temperature=temps, **({'beam_size': beam} if beam else {}))
+            temperature=temps, **extra_kw)
         srt = result.to_srt_vtt(word_level=True)
         return result, srt
 
@@ -364,8 +369,10 @@ def main_kernel():
     # cross-KV; the timing phase holds the (L, B, H, T, 1500) QK capture.
     # Keeping them in one program makes both live at the peak and OOMs
     # large batches.
-    kvq = (True if os.environ.get('BENCH_KVQ') is None
-           else os.environ.get('BENCH_KVQ') not in ('0', ''))
+    _kvq_env = os.environ.get('BENCH_KVQ')
+    kvq = (True if _kvq_env is None
+           else 4 if _kvq_env == '4'
+           else _kvq_env not in ('0', ''))
     fused_cross = _use_cross_kernel()
     int8_self = _use_int8_self_cache()
     heads = get_alignment_heads(MODEL, dims.n_text_layer, dims.n_text_head)

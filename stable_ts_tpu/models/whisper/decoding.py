@@ -105,9 +105,14 @@ class DecodingOptions:
     suppress_blank: bool = True
     without_timestamps: bool = False
     max_initial_timestamp: Optional[float] = 1.0
-    kv_quant: Optional[bool] = None          # int8 cross-KV (halves the
-                                             # dominant per-step HBM stream);
-                                             # None = auto: on for medium+
+    kv_quant: Optional[Union[bool, int]] = None
+                                             # quantized cross-KV (the
+                                             # dominant per-step HBM stream):
+                                             # True/8 = int8 (halves it),
+                                             # 4 = packed int4 (quarters it;
+                                             # opt-in, coarser grid — never
+                                             # the auto default), False = off.
+                                             # None = auto: int8 for medium+
                                              # models (n_audio_state >= 1024)
                                              # where it is strictly faster,
                                              # off for small ones

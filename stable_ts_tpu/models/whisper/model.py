@@ -427,22 +427,29 @@ def encoder_apply(params: Params, mel: jnp.ndarray, n_head: int) -> jnp.ndarray:
 # -- decoder ---------------------------------------------------------------------------------
 
 def precompute_cross_kv(params: Params, xa: jnp.ndarray,
-                        quantize: bool = False) -> Params:
+                        quantize=False) -> Params:
     """Project encoder output into per-layer cross-attention K/V once.
 
-    ``quantize=True`` stores K/V as int8 with per-position scales
+    ``quantize=True``/``8`` stores K/V as int8 with per-position scales
     (quantization.py): the cross-KV stream is the single largest HBM read of
     every decode step ((L, B, 1500, d) per token), so int8 halves it vs bf16;
-    the dequant multiply fuses into the attention matmuls.
+    the dequant multiply fuses into the attention matmuls. ``4`` snaps to
+    the same int4 grid the fused kernel's packed tiles use, stored unpacked
+    (this unfused path trades no bandwidth — it exists for debugging and
+    grid-equivalence tests).
     """
+    bits = 0 if not quantize else (8 if quantize is True else int(quantize))
+
     def per_layer(layer_params, _):
         k = linear(xa, layer_params['cross_attn']['k']['w'])
         v = linear(xa, layer_params['cross_attn']['v']['w'],
                    layer_params['cross_attn']['v']['b'])
-        if quantize:
+        if bits:
             from .quantization import quantize_tensor
-            k = quantize_tensor(k, reduce_axis=-1, compute_dtype=xa.dtype)
-            v = quantize_tensor(v, reduce_axis=-1, compute_dtype=xa.dtype)
+            k = quantize_tensor(k, reduce_axis=-1, compute_dtype=xa.dtype,
+                                bits=bits)
+            v = quantize_tensor(v, reduce_axis=-1, compute_dtype=xa.dtype,
+                                bits=bits)
         return _, (k, v)
 
     _, (k, v) = jax.lax.scan(lambda c, p: per_layer(p, c), None, params['blocks'])
@@ -479,29 +486,44 @@ def fuse_self_qkv(blocks: Params) -> Params:
 
 @partial(jax.jit, static_argnames=('quantize',))
 def precompute_cross_kv_t(params: Params, xa: jnp.ndarray,
-                          quantize: bool = False) -> Params:
+                          quantize=False) -> Params:
     """Cross-attention K/V in the TRANSPOSED layout the fused decode kernel
     reads (ops/cross_attn.py): kvT (n_layers, batch, 2, d, S_pad) stacked
     K^T/V^T + per-position scales sc (n_layers, batch, 2, 1, S_pad) + the
     real key length s. S pads up to the kernel's 512-lane chunk; the
-    kernel masks positions >= s with an in-kernel -inf bias."""
+    kernel masks positions >= s with an in-kernel -inf bias.
+
+    ``quantize``: False/0 keeps float; True/8 stores int8 with per-position
+    scales (amax/127 over d); 4 stores int4 on the [-7, 7] grid, packed two
+    dims per int8 byte — dim r in the LOW nibble of packed row r, dim
+    r + d/2 in its HIGH nibble (split-half, so the kernel unpacks with one
+    concatenate instead of an interleave) — kvT (n_layers, batch, 2, d/2,
+    S_pad). int4 halves the dominant per-step HBM stream again vs int8 at a
+    coarser grid (15 levels per position); opt-in, never the auto default.
+    """
     from ...ops.cross_attn import _S_CHUNK
 
+    bits = 0 if not quantize else (8 if quantize is True else int(quantize))
     s = xa.shape[-2]
     s_pad = (s + _S_CHUNK - 1) // _S_CHUNK * _S_CHUNK
 
     def prep(t):
         # (batch, s, d) -> int8/float (batch, d, s_pad) + scales (batch, 1, s_pad)
-        if quantize:
+        if bits:
+            qmax = float(2 ** (bits - 1) - 1)
             amax = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1,
                            keepdims=True)
-            sc = jnp.where(amax > 0, amax / 127.0, 1.0)
-            t = jnp.clip(jnp.round(t.astype(jnp.float32) / sc), -127,
-                         127).astype(jnp.int8)
+            sc = jnp.where(amax > 0, amax / qmax, 1.0)
+            t = jnp.clip(jnp.round(t.astype(jnp.float32) / sc), -qmax,
+                         qmax).astype(jnp.int8)
             sc = sc[..., 0]
         else:
             sc = jnp.ones(t.shape[:-1], jnp.float32)
         tt = jnp.pad(t.transpose(0, 2, 1), ((0, 0), (0, 0), (0, s_pad - s)))
+        if bits == 4:
+            d = tt.shape[1]
+            lo, hi = tt[:, :d // 2], tt[:, d // 2:]
+            tt = jnp.left_shift(hi, 4) | (lo & jnp.int8(0xF))
         sc = jnp.pad(sc, ((0, 0), (0, s_pad - s)),
                      constant_values=1.0)[:, None, :]
         return tt, sc

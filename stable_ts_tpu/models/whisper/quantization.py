@@ -88,19 +88,25 @@ def quantize_weight(w: jnp.ndarray, compute_dtype=jnp.bfloat16) -> QuantizedArra
 
 
 def quantize_tensor(x: jnp.ndarray, reduce_axis: int = -1,
-                    compute_dtype=jnp.bfloat16) -> QuantizedArray:
-    """Symmetric int8 quantization of an activation tensor.
+                    compute_dtype=jnp.bfloat16, bits: int = 8) -> QuantizedArray:
+    """Symmetric intN quantization of an activation tensor.
 
     ``reduce_axis`` is the axis folded into each scale — e.g. for a cross-KV
     tensor (layers, batch, positions, d) use ``reduce_axis=-1`` so every
     position gets its own scale (the d-axis is what attention sums over, and
     per-position scales factor cleanly out of both the QK^T and the
     attn @ V matmuls).
+
+    ``bits=4`` snaps to the int4 grid ([-7, 7], amax/7 scales) but stores
+    UNPACKED int8 — numerically identical to the fused kernel's packed int4
+    tiles (model.py:precompute_cross_kv_t), so the unfused debug path and
+    equivalence tests see the same grid without nibble plumbing.
     """
+    qmax = float(2 ** (bits - 1) - 1)
     x32 = jnp.asarray(x, jnp.float32)
     amax = jnp.max(jnp.abs(x32), axis=reduce_axis, keepdims=True)
-    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    scale = jnp.where(amax > 0, amax / qmax, 1.0)
+    q = jnp.clip(jnp.round(x32 / scale), -qmax, qmax).astype(jnp.int8)
     return QuantizedArray(q, scale, compute_dtype=compute_dtype)
 
 

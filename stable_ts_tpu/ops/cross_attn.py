@@ -45,7 +45,7 @@ _S_CHUNK = 512
 
 
 def _kernel(scalars_ref, q_ref, kv_ref, sc_ref, out_ref, *,
-            n_head: int, q_per_kv: int, g_pad: int):
+            n_head: int, q_per_kv: int, g_pad: int, bits: int):
     d = q_ref.shape[-1]
     s_pad = kv_ref.shape[-1]
     d_head = d // n_head
@@ -57,6 +57,22 @@ def _kernel(scalars_ref, q_ref, kv_ref, sc_ref, out_ref, *,
     # prefetched real length instead of streaming an (1, S) row.
     kt = kv_ref[0, 0, 0]                                     # (d, S)
     vt = kv_ref[0, 0, 1]
+    if bits == 4:
+        # int4 tiles arrive HALF-HEIGHT (d/2, S): row r carries dim r in its
+        # low nibble and dim r + d/2 in its high nibble (split-half packing —
+        # an interleaved layout would need a sublane shuffle to undo; the
+        # split halves undo with one concatenate). Unpacking costs VPU
+        # shifts on a VMEM-resident tile; what it buys is HALVING the
+        # kernel's HBM stream, which is what the whole step is bound by.
+        def _unpack(p):
+            p32 = p.astype(jnp.int32)
+            lo = jax.lax.shift_right_arithmetic(
+                jax.lax.shift_left(p32, 28), 28)
+            hi = jax.lax.shift_right_arithmetic(p32, 4)
+            return jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)
+
+        kt = _unpack(kt)                                     # (d, S) bf16
+        vt = _unpack(vt)
     ks = sc_ref[0, 0, 0]                                     # (1, S)
     vs = sc_ref[0, 0, 1]
     s_real = scalars_ref[1]
@@ -130,21 +146,23 @@ def _pad_s(s: int) -> int:
     return (s + _S_CHUNK - 1) // _S_CHUNK * _S_CHUNK
 
 
-@partial(jax.jit, static_argnames=('n_head', 'q_per_kv'))
-def _call(scalars, q, kv, sc, n_head: int, q_per_kv: int):
+@partial(jax.jit, static_argnames=('n_head', 'q_per_kv', 'bits'))
+def _call(scalars, q, kv, sc, n_head: int, q_per_kv: int, bits: int):
     import os
-    n_layers, b, _, d, s_pad = kv.shape
+    n_layers, b, _, d_kv, s_pad = kv.shape
+    d = q.shape[-1]          # == d_kv except int4, where tiles are d/2 tall
     rows = q.shape[0] if q.ndim == 2 else b * q_per_kv
     g = q_per_kv
     g_pad = (g + 7) // 8 * 8 if g > 1 else 1
-    kernel = partial(_kernel, n_head=n_head, q_per_kv=g, g_pad=g_pad)
+    kernel = partial(_kernel, n_head=n_head, q_per_kv=g, g_pad=g_pad,
+                     bits=bits)
     # The layer index arrives via scalar prefetch and steers the leading
     # block axis, so the kernel DMAs the layer's tiles straight out of the
     # FULL (L, B, 2, d, S) stack — the per-layer scan-xs dynamic_slice copy
     # that used to precede every launch never exists.
     vec = pl.BlockSpec((1, 1, 2, 1, s_pad), lambda i, s: (s[0], i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
-    mat = pl.BlockSpec((1, 1, 2, d, s_pad), lambda i, s: (s[0], i, 0, 0, 0),
+    mat = pl.BlockSpec((1, 1, 2, d_kv, s_pad), lambda i, s: (s[0], i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     if g > 1:
         # beam layout: (b, g_pad, d) blocks, one sublane-aligned block per
@@ -174,7 +192,7 @@ def _call(scalars, q, kv, sc, n_head: int, q_per_kv: int):
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * rows * d * s_pad,
-            bytes_accessed=2 * b * d * s_pad * kv.dtype.itemsize + rows * d * 4,
+            bytes_accessed=2 * b * d_kv * s_pad * kv.dtype.itemsize + rows * d * 4,
             transcendentals=rows * n_head * s_pad,
         ),
     )(scalars, q, kv, sc)
@@ -192,7 +210,11 @@ def cross_attn_decode(q: jnp.ndarray, kv: jnp.ndarray, sc: jnp.ndarray,
         d_head**-0.5 (the kernel applies no further scaling);
         rows = batch * q_per_kv.
     kv: (batch, 2, d, S_pad) keys/values stacked ([:, 0] = K^T, [:, 1] =
-        V^T), int8 or float; S_pad must be a multiple of 512. With
+        V^T), int8 or float; S_pad must be a multiple of 512. int4 packing
+        (model.py:precompute_cross_kv_t quantize=4) arrives as int8 tiles of
+        HALF height (batch, 2, d/2, S_pad) — row r holds dim r in its low
+        nibble and dim r + d/2 in its high nibble; the kernel unpacks in
+        VMEM, so the HBM stream (what the step is bound by) halves. With
         ``layer_idx`` given, the FULL layer stack (n_layers, batch, 2, d,
         S_pad) instead — the prefetched scalar picks the layer's tiles
         inside the kernel, so no host/XLA slice copy of the layer ever
@@ -216,6 +238,11 @@ def cross_attn_decode(q: jnp.ndarray, kv: jnp.ndarray, sc: jnp.ndarray,
         layer_idx = 0
     if s is None:
         s = kv.shape[-1]
+    # Half-height int8 tiles can only be the int4 split-half packing (the
+    # full-height layouts always carry all d rows); shapes are static under
+    # trace, so this is a compile-time dispatch.
+    bits = 4 if (kv.dtype == jnp.int8
+                 and kv.shape[-2] * 2 == q.shape[-1]) else 8
     scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
                          jnp.asarray(s, jnp.int32)])
-    return _call(scalars, q, kv, sc, n_head, q_per_kv)
+    return _call(scalars, q, kv, sc, n_head, q_per_kv, bits)

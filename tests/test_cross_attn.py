@@ -24,18 +24,25 @@ def _naive(q, k, v, n_head):
     return np.einsum('bhs,bshd->bhd', w, vh).reshape(b, d)
 
 
-def _to_kernel_layout(x, s_pad, quantize=False):
+def _to_kernel_layout(x, s_pad, quantize=False, bits=8):
     b, s, d = x.shape
     if quantize:
+        qmax = float(2 ** (bits - 1) - 1)
         amax = np.abs(x).max(-1, keepdims=True)
-        sc = np.where(amax > 0, amax / 127.0, 1.0)
-        xq = np.clip(np.round(x / sc), -127, 127).astype(np.int8)
+        sc = np.where(amax > 0, amax / qmax, 1.0)
+        xq = np.clip(np.round(x / sc), -qmax, qmax).astype(np.int8)
         deq = xq * sc
     else:
         sc = np.ones((b, s, 1), np.float32)
         xq, deq = x, x
     xt = np.zeros((b, d, s_pad), xq.dtype)
     xt[:, :, :s] = xq.transpose(0, 2, 1)
+    if quantize and bits == 4:
+        # split-half nibble packing (model.py:precompute_cross_kv_t):
+        # packed row r = dim r in the low nibble, dim r + d/2 in the high
+        lo, hi = xt[:, :d // 2], xt[:, d // 2:]
+        xt = ((hi.astype(np.int8) << 4)
+              | (lo.astype(np.int8) & np.int8(0xF))).astype(np.int8)
     st = np.ones((b, 1, s_pad), np.float32)
     st[:, 0, :s] = sc[:, :, 0]
     return xt, st, deq
@@ -89,6 +96,83 @@ def test_decoder_step_fused_equals_legacy():
                                dims.n_text_head)
     np.testing.assert_allclose(np.asarray(lg_fused), np.asarray(lg_legacy),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize('s', [100, 700])
+def test_kernel_int4_matches_naive_on_its_grid(s):
+    """Packed int4 tiles through the kernel == naive f32 attention over the
+    DEQUANTIZED int4 values (grid equivalence at bf16 tolerance — isolates
+    the pack/unpack plumbing from the quantization error itself)."""
+    b, n_head, dh = 2, 4, 64
+    d = n_head * dh
+    s_pad = (s + _S_CHUNK - 1) // _S_CHUNK * _S_CHUNK
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal((b, d)).astype(np.float32) * 0.3
+    k = rng.standard_normal((b, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, d)).astype(np.float32)
+    kt, ks, kdq = _to_kernel_layout(k, s_pad, quantize=True, bits=4)
+    vt, vs, vdq = _to_kernel_layout(v, s_pad, quantize=True, bits=4)
+    assert kt.shape == (b, d // 2, s_pad)  # half-height packed tiles
+    got = np.asarray(cross_attn_decode(
+        jnp.asarray(q * dh ** -0.5), jnp.asarray(np.stack([kt, vt], 1)),
+        jnp.asarray(np.stack([ks, vs], 1)), n_head=n_head, s=s))
+    ref = _naive(q, kdq.astype(np.float32), vdq.astype(np.float32), n_head)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-3)
+
+
+def test_int4_pack_matches_unfused_grid():
+    """precompute_cross_kv_t(quantize=4)'s packed nibbles decode to exactly
+    the unpacked int4 grid precompute_cross_kv(quantize=4) stores — the two
+    paths share one quantization, differing only in layout."""
+    from stable_ts_tpu.models.whisper import init_params, tiny_test_dims
+    from stable_ts_tpu.models.whisper.model import (precompute_cross_kv,
+                                                    precompute_cross_kv_t)
+    dims = tiny_test_dims()
+    params = init_params(dims, seed=0)
+    rng = np.random.default_rng(8)
+    xa = jnp.asarray(rng.standard_normal(
+        (2, dims.n_audio_ctx, dims.n_audio_state)).astype(np.float32))
+    legacy = precompute_cross_kv(params['decoder'], xa, quantize=4)
+    fused = precompute_cross_kv_t(params['decoder'], xa, quantize=4)
+    p = np.asarray(fused['kvT']).astype(np.int32)       # (L, B, 2, d/2, S)
+    lo = (p << 28) >> 28
+    hi = p >> 4
+    unpacked = np.concatenate([lo, hi], axis=3)         # (L, B, 2, d, S)
+    s = dims.n_audio_ctx
+    for idx, key in ((0, 'k'), (1, 'v')):
+        want = np.asarray(legacy[key].q).transpose(0, 1, 3, 2)  # (L,B,d,s)
+        np.testing.assert_array_equal(unpacked[:, :, idx, :, :s], want)
+        want_sc = np.asarray(legacy[key].scale)[..., 0]          # (L,B,s)
+        np.testing.assert_allclose(
+            np.asarray(fused['sc'])[:, :, idx, 0, :s], want_sc, rtol=1e-6)
+
+
+def test_decoder_step_int4_quantized_close():
+    """kv_quant=4 end through decoder_step: logits stay within int4-scale
+    error of the float path (looser than int8's bound — 15 levels/position)."""
+    from stable_ts_tpu.models.whisper import (
+        init_kv_cache, init_params, tiny_test_dims)
+    from stable_ts_tpu.models.whisper.model import (decoder_step,
+                                                    precompute_cross_kv,
+                                                    precompute_cross_kv_t)
+    dims = tiny_test_dims()
+    params = init_params(dims, seed=0)
+    b = 2
+    rng = np.random.default_rng(9)
+    xa = jnp.asarray(rng.standard_normal(
+        (b, dims.n_audio_ctx, dims.n_audio_state)).astype(np.float32))
+    ref = precompute_cross_kv(params['decoder'], xa)          # float legacy
+    fused = precompute_cross_kv_t(params['decoder'], xa, quantize=4)
+    assert fused['kvT'].shape[-2] == dims.n_audio_state // 2
+    cache = init_kv_cache(dims, b)
+    toks = jnp.asarray(rng.integers(0, dims.n_vocab, (b, 1)), jnp.int32)
+    pos = jnp.int32(0)
+    lg_ref, _ = decoder_step(params['decoder'], toks, pos, ref, cache,
+                             dims.n_text_head)
+    lg_q, _ = decoder_step(params['decoder'], toks, pos, fused, cache,
+                           dims.n_text_head)
+    assert float(jnp.mean(jnp.abs(lg_q - lg_ref))) < 0.25 * float(
+        jnp.std(lg_ref))
 
 
 def test_decoder_step_fused_quantized_close():

@@ -144,6 +144,22 @@ class TestKVQuantAccuracy:
         ts_quant = [(w.start, w.end) for s in quant.segments for w in s.words]
         assert ts_quant == ts_base
 
+    def test_int4_cross_kv_decodes_end_to_end(self):
+        """kv_quant=4 (opt-in packed int4 cross-KV) through the full batched
+        pipeline. int4's 15-level grid is NOT expected to reproduce the
+        float decode token-for-token on a random-weight model — the pin
+        here is that the option runs end to end and stays on the rails
+        (ordered, rendered, same windowing)."""
+        from stable_ts_tpu.loaders import load_test_model
+        audio = (np.random.default_rng(3).standard_normal(16000 * 65)
+                 * 0.1).astype(np.float32)
+        quant = load_test_model().transcribe_batched(
+            audio, verbose=None, kv_quant=4)
+        assert quant.segments  # decoded something
+        assert quant.to_srt_vtt(word_level=True)
+        starts = [w.start for s in quant.segments for w in s.words]
+        assert starts == sorted(starts)
+
 
 class TestSelfKVQuantAccuracy:
     """The row-major int8 self-KV cache is auto-ON with the fused self

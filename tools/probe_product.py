@@ -33,7 +33,8 @@ from stable_ts_tpu.models.whisper.decoding import (
     _sample_loop, _use_cross_kernel, _use_int8_self_cache)
 
 model_name, batch, steps = %(model)r, %(batch)d, %(steps)d
-kvq = os.environ.get('PROBE_KVQ', '1') != '0'
+_kvq = os.environ.get('PROBE_KVQ', '1')
+kvq = 4 if _kvq == '4' else _kvq != '0'
 dims = ModelDimensions(**OPENAI_MODEL_DIMS[model_name])
 params = init_params(dims, seed=0, dtype=jnp.bfloat16)
 dec = dict(params['decoder'])
@@ -82,7 +83,12 @@ def main(model='large-v3', batch=16, steps=64):
         ('selfkv=0', {'STABLE_TS_TPU_SELFKV': '0'}),
         ('cross=0', {'STABLE_TS_TPU_CROSS': '0'}),
         ('kvq=0', {'PROBE_KVQ': '0'}),
+        ('kvq=4', {'PROBE_KVQ': '4'}),
     ]
+    only = os.environ.get('PROBE_ONLY')  # comma-separated label filter
+    if only:
+        wanted = set(only.split(','))
+        configs = [c for c in configs if c[0] in wanted]
     code = _INNER % dict(repo=repo, model=model, batch=int(batch),
                          steps=int(steps))
     for label, env_over in configs:
