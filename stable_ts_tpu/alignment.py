@@ -519,6 +519,59 @@ def _refine_mel_batch(audio, frames, n_mels):
 _REFINE_MEL_FN = None
 
 
+def _refine_masked_mel(clean, t_real, lo, hi, n_mels):
+    """Device-side reconstruction of the refiner's muted rows + their mels.
+
+    clean (S, T_bucket) cached span audio, t_real (S,) real sample counts,
+    lo/hi (2S, W) per-row disjoint zero intervals (lo == hi = empty slot).
+    Rebuilds each span's two muted rows exactly as the host path would have
+    assembled them — zeros on the intervals, the STFT's 200-sample reflect
+    continuation of the MUTED row written into the pad — and returns
+    (2S, n_mels, 3000) mels. The interval scatter is O(T) via a +1/-1
+    boundary cumsum, so each bisection round uploads a few int32s instead
+    of every muted row's samples."""
+    global _REFINE_MASK_MEL_FN
+    if _REFINE_MASK_MEL_FN is None:
+        import jax
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=('n_mels',))
+        def fn(clean, t_real, lo, hi, n_mels):
+            import jax.numpy as jnp
+            s, t_pad = clean.shape
+            r = 2 * s
+            rows = jnp.repeat(clean, 2, axis=0)            # (R, T)
+            t_r = jnp.repeat(t_real, 2)                    # (R,)
+            ridx = jnp.arange(r)[:, None]
+            diff = jnp.zeros((r, t_pad + 1), jnp.int32)
+            diff = diff.at[ridx, jnp.clip(lo, 0, t_pad)].add(1)
+            diff = diff.at[ridx, jnp.clip(hi, 0, t_pad)].add(-1)
+            muted = jnp.cumsum(diff[:, :t_pad], axis=1) > 0
+            rows = jnp.where(muted, 0.0, rows)
+            # reflect continuation of the MUTED row into the pad
+            # (np.pad 'reflect': padded[t + i] = row[t - 2 - i])
+            pos = jnp.arange(t_pad)[None, :]
+            t_col = t_r[:, None]
+            refl = jnp.minimum(N_FFT // 2, t_col - 1)
+            idx = jnp.where(pos < t_col, pos, 2 * t_col - 2 - pos)
+            vals = jnp.take_along_axis(rows, jnp.clip(idx, 0, t_pad - 1),
+                                       axis=1)
+            rows = jnp.where(pos < t_col + refl, vals, 0.0)
+            mel = log_mel_spectrogram(rows, n_mels)
+            frames = jnp.minimum(t_r // HOP_LENGTH, 3000)
+            mask = (jnp.arange(mel.shape[-1])[None, None, :]
+                    < frames[:, None, None])
+            mel = jnp.where(mask, mel, 0.0)
+            if mel.shape[-1] >= 3000:
+                return mel[..., :3000]
+            return jnp.pad(mel, ((0, 0), (0, 0), (0, 3000 - mel.shape[-1])))
+        _REFINE_MASK_MEL_FN = fn
+    return _REFINE_MASK_MEL_FN(clean, t_real, lo, hi, n_mels=n_mels)
+
+
+_REFINE_MASK_MEL_FN = None
+
+
 def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
     """list[(audio(2, T_i), tokens_i)] -> list[(probs (2, n_i),
     ranks (2, n_i))] — realized-token probabilities and vocab ranks.
@@ -547,7 +600,88 @@ def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
     def _bucket(n: int, step: int) -> int:
         return max(step, int(np.ceil(n / step) * step))
 
+    # interval-mode step cache: every span's clean audio uploads ONCE per
+    # refine step; each bisection round then ships only the mute intervals
+    # (a few int32s) and the muted rows rebuild on device
+    # (_refine_masked_mel). 'keep' pins the host arrays so ids stay unique.
+    state = {}
+
+    def _interval_rounds(requests):
+        probes = [p for p, _ in requests]
+        toks = [sot_seq + [tokenizer.no_timestamps] + list(t)
+                + [tokenizer.eot] for _, t in requests]
+        lengths = [len(t) for _, t in requests]
+        if any(id(p.clean) not in state.get('map', {}) for p in probes):
+            # new step (fresh spans): rebuild the device-side clean cache.
+            # The first round of a step always carries EVERY span, so the
+            # cache covers all later (shrinking) rounds.
+            t_max = max(p.clean.shape[-1] for p in probes)
+            t_bucket = _bucket(t_max + N_FFT // 2, SAMPLE_RATE)
+            s_b = 1 << max(2, int(np.ceil(np.log2(len(probes)))))
+            clean_host = np.zeros((s_b, t_bucket), np.float32)
+            t_real = np.zeros((s_b,), np.int32)
+            for i, p in enumerate(probes):
+                t = p.clean.shape[-1]
+                clean_host[i, :t] = p.clean
+                t_real[i] = t
+            clean_in, _ = model.shard_batch(clean_host)
+            treal_in, _ = model.shard_batch(t_real)
+            state.clear()
+            state.update(
+                map={id(p.clean): i for i, p in enumerate(probes)},
+                keep=[p.clean for p in probes], clean=clean_in,
+                t_real=treal_in, s_b=s_b, w_b=8,
+                max_len=_bucket(max(len(r) for r in toks), 32))
+        s_b = state['s_b']
+        n_rows = 2 * s_b
+        max_len = max(state['max_len'],
+                      _bucket(max(len(r) for r in toks), 32))
+        state['max_len'] = max_len
+        w_need = max((int(np.sum(p.rows == r)) for p in probes
+                      for r in (0, 1)), default=1)
+        while state['w_b'] < w_need:
+            state['w_b'] *= 2
+        w_b = state['w_b']
+        lo = np.zeros((n_rows, w_b), np.int32)
+        hi = np.zeros((n_rows, w_b), np.int32)
+        tok_batch = np.full((n_rows, max_len), tokenizer.eot, np.int32)
+        slots = []
+        for p, row_tok in zip(probes, toks):
+            slot = state['map'][id(p.clean)]
+            slots.append(slot)
+            padded = np.pad(row_tok, (0, max_len - len(row_tok)),
+                            constant_values=tokenizer.eot)
+            tok_batch[2 * slot] = padded
+            tok_batch[2 * slot + 1] = padded
+            for r in (0, 1):
+                sel = p.rows == r
+                cnt = int(sel.sum())
+                lo[2 * slot + r, :cnt] = p.zero_lo[sel]
+                hi[2 * slot + r, :cnt] = p.zero_hi[sel]
+        lo_in, _ = model.shard_batch(lo)
+        hi_in, _ = model.shard_batch(hi)
+        tokens_in, _ = model.shard_batch(tok_batch)
+        mel_batch = _refine_masked_mel(state['clean'], state['t_real'],
+                                       lo_in, hi_in, model.dims.n_mels)
+        xa = encoder_apply(model.params['encoder'], mel_batch,
+                           model.dims.n_audio_head)
+        logits, _ = decoder_apply(model.params['decoder'], tokens_in, xa,
+                                  model.dims.n_text_head)
+        per_token, ranks = _next_token_probs_and_ranks(logits, tokens_in,
+                                                       tokenizer.eot)
+        per_token = np.asarray(per_token)
+        ranks = np.asarray(ranks)
+        out = []
+        for slot, n in zip(slots, lengths):
+            sl = (slice(2 * slot, 2 * slot + 2),
+                  slice(sot_len, sot_len + n))
+            out.append((per_token[sl], ranks[sl]))
+        return out
+
     def batch_func(requests):
+        from .non_whisper.refinement import MutedSpanProbe
+        if requests and isinstance(requests[0][0], MutedSpanProbe):
+            return _interval_rounds(requests)
         audios = []
         rows = []
         lengths = []
@@ -614,6 +748,9 @@ def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
             out.append((per_token[sl], ranks[sl]))
         return out
 
+    import os
+    batch_func.accepts_intervals = (
+        os.environ.get('STABLE_TS_TPU_REFINE_INTERVALS', '1') != '0')
     return batch_func
 
 

@@ -33,6 +33,73 @@ from ..options import AllOptions
 from ..result import WhisperResult, WordTiming
 
 
+class MutedSpanProbe:
+    """A probe request in INTERVAL form: the span's clean audio plus a list
+    of zeroed intervals ``[zero_lo_i, zero_hi_i)`` on row ``rows_i``.
+
+    A backend that advertises ``accepts_intervals = True`` on its
+    ``batch_inference_func`` receives this instead of materialized (2, T)
+    rows and can rebuild the muted audio ON DEVICE: the clean span uploads
+    once per step and each bisection round ships only these few int32s —
+    instead of re-uploading every muted row every round (~30 MB/round at
+    16 rows of 30 s audio, the dominant refine cost on a thin host link).
+    The row state is always "clean audio except zeroed positions", and
+    every host write's effect on the zero set is exactly a range union
+    (zero) or range difference (restore) — :class:`_IntervalSet` mirrors
+    those ops per row, so the emitted disjoint intervals reconstruct the
+    muted rows byte-for-byte under ANY write pattern (including the quirky
+    token-row mapping's cross-word writes).
+    """
+
+    __slots__ = ('clean', 'rows', 'zero_lo', 'zero_hi')
+
+    def __init__(self, clean: np.ndarray, rows: np.ndarray,
+                 zero_lo: np.ndarray, zero_hi: np.ndarray):
+        self.clean = clean        # (T,) float32, shared across a step
+        self.rows = rows          # (m,) int — target row of each interval
+        self.zero_lo = zero_lo    # (m,) int64 snapshot
+        self.zero_hi = zero_hi
+
+
+class _IntervalSet:
+    """Sorted disjoint [a, b) intervals with O(n)-per-op union/difference —
+    the zero-set of one audio row."""
+
+    __slots__ = ('iv',)
+
+    def __init__(self):
+        self.iv = []
+
+    def add(self, a: int, b: int):
+        if a >= b:
+            return
+        keep = []
+        for x, y in self.iv:
+            if y < a or b < x:          # strictly disjoint (touching merges)
+                keep.append((x, y))
+            else:
+                a = min(a, x)
+                b = max(b, y)
+        keep.append((a, b))
+        keep.sort()
+        self.iv = keep
+
+    def remove(self, a: int, b: int):
+        if a >= b:
+            return
+        keep = []
+        for x, y in self.iv:
+            if y <= a or x >= b:
+                keep.append((x, y))
+                continue
+            if x < a:
+                keep.append((x, a))
+            if y > b:
+                keep.append((b, y))
+        keep.sort()
+        self.iv = keep
+
+
 class _SpanBisect:
     """Vectorized mute-and-bisect state for ONE span of words.
 
@@ -59,7 +126,11 @@ class _SpanBisect:
         a = round(self.time_offset * r.sample_rate)
         b = round(float(upper[-1]) * r.sample_rate)
         self.clean = r._audio[a:b + 1]              # unmuted source (1-D)
-        self.audio = np.repeat(self.clean[None], 2, axis=0)
+        # interval mode (MutedSpanProbe): the backend rebuilds muted rows
+        # on device, so the (2, T) copies and per-round writes never happen
+        self.materialize = not r._emit_intervals
+        self.audio = (np.repeat(self.clean[None], 2, axis=0)
+                      if self.materialize else None)
 
         word_starts = r.second_to_sample([w.start for w in self.words],
                                          self.time_offset)
@@ -97,6 +168,13 @@ class _SpanBisect:
         self.last_good = np.full(n, -1, np.int64)
         self.base_probs = self.base_ranks = self.prev_probs = None
 
+        # Interval mode: the zero-set of each row, mirrored through exactly
+        # the same add (zero write) / remove (restore write) ranges the
+        # materialized path applies, so the probe's intervals reconstruct
+        # the muted rows byte-for-byte.
+        self.mutes = None if self.materialize else (_IntervalSet(),
+                                                    _IntervalSet())
+
         # initial mutes: silence everything OUTSIDE each live word's span
         # on its row (end step: from the word's end to the next word's
         # probe mid; start step: from the previous word's probe mid to the
@@ -104,16 +182,36 @@ class _SpanBisect:
         for idx in np.flatnonzero(~self.done):
             row = idx % 2
             if is_end:
-                stop = (self.audio.shape[-1] if idx == n - 1
+                stop = (self.clean.shape[-1] if idx == n - 1
                         else self.mid[idx + 1])
-                self.audio[row, self.anchor[idx]:stop] = 0
+                a, b = int(self.anchor[idx]), int(stop)
             else:
                 begin = 0 if idx == 0 else self.mid[idx - 1]
-                self.audio[row, begin:self.anchor[idx]] = 0
+                a, b = int(begin), int(self.anchor[idx])
+            if self.materialize:
+                self.audio[row, a:b] = 0
+            else:
+                self.mutes[row].add(a, b)
 
     def request(self):
-        """The probe: (audio(2, T), text_tokens, word_tokens, prob_indices)."""
-        return self.audio, self.text_tokens, self.word_tokens, self.prob_indices
+        """The probe: (audio(2, T), text_tokens, word_tokens, prob_indices).
+
+        In interval mode the first element is a :class:`MutedSpanProbe`
+        (clean audio + the rows' disjoint mute intervals) instead of
+        materialized rows."""
+        if self.materialize:
+            audio = self.audio
+        else:
+            rows, los, his = [], [], []
+            for row, ms in enumerate(self.mutes):
+                for a, b in ms.iv:
+                    rows.append(row)
+                    los.append(a)
+                    his.append(b)
+            audio = MutedSpanProbe(
+                self.clean, np.asarray(rows, np.int64),
+                np.asarray(los, np.int64), np.asarray(his, np.int64))
+        return audio, self.text_tokens, self.word_tokens, self.prob_indices
 
     def set_baseline(self, probs, ranks):
         """Record the unprobed response, then mute up to each word's first
@@ -124,9 +222,13 @@ class _SpanBisect:
         for idx in np.flatnonzero(~self.done):
             row = idx % 2
             if self.is_end:
-                self.audio[row, self.mid[idx]:self.anchor[idx]] = 0
+                a, b = int(self.mid[idx]), int(self.anchor[idx])
             else:
-                self.audio[row, self.anchor[idx]:self.mid[idx]] = 0
+                a, b = int(self.anchor[idx]), int(self.mid[idx])
+            if self.materialize:
+                self.audio[row, a:b] = 0
+            else:
+                self.mutes[row].add(a, b)
 
     @property
     def unfinished(self) -> bool:
@@ -171,19 +273,23 @@ class _SpanBisect:
 
         for idx in np.flatnonzero(live):
             row = self.rows[idx]
-            m = new_mid[idx]
+            m = int(new_mid[idx])
             if fail[idx]:
                 # went too far: restore the span between the kept bound
                 # and the new probe position
-                if self.is_end:
-                    self.audio[row, self.lo[idx]:m] = self.clean[self.lo[idx]:m]
+                a, b = ((int(self.lo[idx]), m) if self.is_end
+                        else (m, int(self.hi[idx])))
+                if self.materialize:
+                    self.audio[row, a:b] = self.clean[a:b]
                 else:
-                    self.audio[row, m:self.hi[idx]] = self.clean[m:self.hi[idx]]
+                    self.mutes[row].remove(a, b)
             else:
-                if self.is_end:
-                    self.audio[row, m:self.hi[idx]] = 0
+                a, b = ((m, int(self.hi[idx])) if self.is_end
+                        else (int(self.lo[idx]), m))
+                if self.materialize:
+                    self.audio[row, a:b] = 0
                 else:
-                    self.audio[row, self.lo[idx]:m] = 0
+                    self.mutes[row].add(a, b)
 
         self.mid = np.where(live, new_mid, self.mid)
         self.last_good = np.where(live & ~rank_worse, new_mid, self.last_good)
@@ -259,6 +365,12 @@ class Refiner:
         self.sample_precision = max(round(self.precision * self.sample_rate), 2)
         self.inference_func = inference_func
         self.batch_inference_func = batch_inference_func
+        # backends advertising accepts_intervals receive MutedSpanProbe
+        # requests (mute intervals instead of materialized audio rows) —
+        # the muted rows are then rebuilt on device and each bisection
+        # round ships a few int32s instead of every row's samples
+        self._emit_intervals = bool(getattr(batch_inference_func,
+                                            'accepts_intervals', False))
         self.rel_prob_decrease = rel_prob_decrease
         self.abs_prob_decrease = abs_prob_decrease
         self.rel_rel_prob_decrease = rel_rel_prob_decrease
