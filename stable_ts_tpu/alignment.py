@@ -600,24 +600,26 @@ def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
     def _bucket(n: int, step: int) -> int:
         return max(step, int(np.ceil(n / step) * step))
 
-    # interval-mode step cache: every span's clean audio uploads ONCE per
-    # refine step; each bisection round then ships only the mute intervals
-    # (a few int32s) and the muted rows rebuild on device
-    # (_refine_masked_mel). 'keep' pins the host arrays so ids stay unique.
-    state = {}
+    # interval-mode step caches, one per pipeline group (``key``): every
+    # span's clean audio uploads ONCE per refine step; each bisection round
+    # then ships only the mute intervals (a few int32s) and the muted rows
+    # rebuild on device (_refine_masked_mel). 'keep' pins the host arrays
+    # so ids stay unique.
+    states = {}
 
-    def _interval_rounds(requests):
+    def _launch_intervals(requests, key):
         probes = [p for p, _ in requests]
         toks = [sot_seq + [tokenizer.no_timestamps] + list(t)
                 + [tokenizer.eot] for _, t in requests]
         lengths = [len(t) for _, t in requests]
+        state = states.setdefault(key, {})
         if any(id(p.clean) not in state.get('map', {}) for p in probes):
             # new step (fresh spans): rebuild the device-side clean cache.
-            # The first round of a step always carries EVERY span, so the
-            # cache covers all later (shrinking) rounds.
+            # The first round of a step always carries EVERY span of this
+            # group, so the cache covers all later (shrinking) rounds.
             t_max = max(p.clean.shape[-1] for p in probes)
             t_bucket = _bucket(t_max + N_FFT // 2, SAMPLE_RATE)
-            s_b = 1 << max(2, int(np.ceil(np.log2(len(probes)))))
+            s_b = 1 << max(0, int(np.ceil(np.log2(len(probes)))))
             clean_host = np.zeros((s_b, t_bucket), np.float32)
             t_real = np.zeros((s_b,), np.int32)
             for i, p in enumerate(probes):
@@ -669,19 +671,30 @@ def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
                                   model.dims.n_text_head)
         per_token, ranks = _next_token_probs_and_ranks(logits, tokens_in,
                                                        tokenizer.eot)
+        return per_token, ranks, [2 * s for s in slots], lengths
+
+    def collect(handle):
+        """Materialize a launched round's device arrays -> reply list."""
+        per_token, ranks, row0s, lengths = handle
         per_token = np.asarray(per_token)
         ranks = np.asarray(ranks)
         out = []
-        for slot, n in zip(slots, lengths):
-            sl = (slice(2 * slot, 2 * slot + 2),
-                  slice(sot_len, sot_len + n))
+        for r0, n in zip(row0s, lengths):
+            sl = (slice(r0, r0 + 2), slice(sot_len, sot_len + n))
             out.append((per_token[sl], ranks[sl]))
         return out
 
-    def batch_func(requests):
+    def launch(requests, key=0):
+        """Dispatch one bisection round WITHOUT materializing its results:
+        returns a handle for :func:`collect`. The lockstep driver overlaps
+        two span groups through this split — group A's round computes on
+        device while group B's host update runs."""
         from .non_whisper.refinement import MutedSpanProbe
         if requests and isinstance(requests[0][0], MutedSpanProbe):
-            return _interval_rounds(requests)
+            return _launch_intervals(requests, key)
+        return _launch_audio(requests)
+
+    def _launch_audio(requests):
         audios = []
         rows = []
         lengths = []
@@ -697,7 +710,7 @@ def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
         t_max = max(a.shape[-1] for a in audios)
         t_bucket = _bucket(t_max + N_FFT // 2, SAMPLE_RATE)
         n_rows = sum(a.shape[0] for a in audios)
-        pad_rows = 1 << max(3, int(np.ceil(np.log2(n_rows))))
+        pad_rows = 1 << max(1, int(np.ceil(np.log2(n_rows))))
         audio_batch = np.zeros((pad_rows, t_bucket), np.float32)
         frames = np.zeros((pad_rows,), np.int32)
         r = 0
@@ -739,18 +752,16 @@ def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
                                   model.dims.n_text_head)
         per_token, ranks = _next_token_probs_and_ranks(logits, tokens_in,
                                                        tokenizer.eot)
-        per_token = np.asarray(per_token)
-        ranks = np.asarray(ranks)
-        out = []
-        for i, n in enumerate(lengths):
-            r0 = row_starts[i]
-            sl = (slice(r0, r0 + 2), slice(sot_len, sot_len + n))
-            out.append((per_token[sl], ranks[sl]))
-        return out
+        return per_token, ranks, [int(r) for r in row_starts], lengths
+
+    def batch_func(requests):
+        return collect(launch(requests))
 
     import os
     batch_func.accepts_intervals = (
         os.environ.get('STABLE_TS_TPU_REFINE_INTERVALS', '1') != '0')
+    batch_func.launch = launch
+    batch_func.collect = collect
     return batch_func
 
 

@@ -561,7 +561,80 @@ class Refiner:
             pass
 
     def _drive_lockstep(self, machines, step: str):
-        """Advance every span one bisection round per batched forward."""
+        """Advance every span one bisection round per batched forward.
+
+        When the backend exposes ``launch``/``collect`` (an async split of
+        its batch call: launch dispatches the forward and returns a handle,
+        collect materializes its results), spans are partitioned into two
+        independent groups whose rounds INTERLEAVE — while group A's round
+        computes on device, the host downloads group B's previous results,
+        applies its bisection updates, and dispatches its next round. Span
+        bisections are independent, so each span sees exactly the probe
+        sequence of the unpipelined path (pinned by
+        tests/test_refine_pipeline.py); only host/transfer latency leaves
+        the critical path.
+        """
+        launch = getattr(self.batch_inference_func, 'launch', None)
+        collect = getattr(self.batch_inference_func, 'collect', None)
+        groups = ([machines] if launch is None or collect is None
+                  or len(machines) < 2 else self._split_pipeline(machines))
+        if len(groups) == 1:
+            self._drive_group(groups[0], step)
+            return
+
+        is_end_ts = step == 'e'
+        live = []   # [group id, active list, pending handle] per group
+        for gi, ms in enumerate(groups):
+            active = []
+            for machine in ms:
+                try:
+                    active.append((machine, next(machine)))
+                except StopIteration:
+                    pass
+            if active:
+                live.append([gi, active, launch(
+                    [(req[0], req[1]) for _, req in active], key=gi)])
+        while live:
+            nxt_live = []
+            for entry in live:
+                gi, active, handle = entry
+                raw_list = collect(handle)
+                nxt = []
+                for (machine, req), raw in zip(active, raw_list):
+                    reply = self._reduce_reply(raw, req, is_end_ts)
+                    try:
+                        nxt.append((machine, machine.send(reply)))
+                    except StopIteration:
+                        pass
+                if nxt:
+                    entry[1] = nxt
+                    entry[2] = launch([(req[0], req[1]) for _, req in nxt],
+                                      key=gi)
+                    nxt_live.append(entry)
+            live = nxt_live
+
+    @staticmethod
+    def _split_pipeline(machines):
+        """Two groups sized to pack the backend's power-of-2 row buckets
+        tightly: the second group is the largest power of 2 below n, the
+        first is the remainder (e.g. 6 -> 2+4, 8 -> 4+4, 5 -> 1+4)."""
+        n = len(machines)
+        g2 = 1 << ((n - 1).bit_length() - 1)
+        return [machines[:n - g2], machines[n - g2:]]
+
+    def _reduce_reply(self, raw, req, is_end_ts: bool):
+        _, text_tokens, word_tokens, prob_indices = req
+        if isinstance(raw, tuple):
+            # device-side contract: (probs (2, n), ranks (2, n)) of
+            # the REALIZED tokens, already reduced over the vocab on
+            # device (the whisper glue's batch_func) — only the
+            # per-word picking remains for the host
+            return self._pick_reduced(raw, text_tokens, word_tokens,
+                                      prob_indices, is_end_ts)
+        return self._probs_and_ranks(np.asarray(raw), text_tokens,
+                                     word_tokens, prob_indices, is_end_ts)
+
+    def _drive_group(self, machines, step: str):
         is_end_ts = step == 'e'
         active = []
         for machine in machines:
@@ -574,19 +647,7 @@ class Refiner:
                 [(req[0], req[1]) for _, req in active])
             nxt = []
             for (machine, req), raw in zip(active, raw_list):
-                _, text_tokens, word_tokens, prob_indices = req
-                if isinstance(raw, tuple):
-                    # device-side contract: (probs (2, n), ranks (2, n)) of
-                    # the REALIZED tokens, already reduced over the vocab on
-                    # device (the whisper glue's batch_func) — only the
-                    # per-word picking remains for the host
-                    reply = self._pick_reduced(
-                        raw, text_tokens, word_tokens, prob_indices,
-                        is_end_ts)
-                else:
-                    reply = self._probs_and_ranks(
-                        np.asarray(raw), text_tokens, word_tokens,
-                        prob_indices, is_end_ts)
+                reply = self._reduce_reply(raw, req, is_end_ts)
                 try:
                     nxt.append((machine, machine.send(reply)))
                 except StopIteration:
