@@ -111,14 +111,20 @@ def build_model():
 _TUNNEL = None
 
 
-def _probe_tunnel():
+def _probe_tunnel(refresh: bool = False):
     """Inline link probe (same method as tools/probe_tunnel.py): upload
     16 MB of incompressible data, force completion via a pre-compiled
     reduction materialized to host, subtract the warm scalar roundtrip.
     The result qualifies every number this process prints — a degraded
-    tunnel can then never masquerade as a kernel regression."""
+    tunnel can then never masquerade as a kernel regression.
+
+    When the probe is DEGRADED, polls (bounded by BENCH_WAIT_MINUTES,
+    default 12) for a healthy window before letting the timed iterations
+    run, and stamps ``tunnel_healthy`` into the JSON either way — a flat
+    round number can never again be ambiguous between kernels and
+    transport (VERDICT r4 weak #1)."""
     global _TUNNEL
-    if _TUNNEL is not None:
+    if _TUNNEL is not None and not refresh:
         return _TUNNEL
     import jax
     import numpy as np
@@ -129,20 +135,37 @@ def _probe_tunnel():
     f = jax.jit(lambda a: (a * 2).sum())
     resident = jax.device_put(x, dev)
     float(f(resident))
-    t0 = time.perf_counter()
-    float(f(resident))
-    warm = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(f(jax.device_put(x, dev)))
-    up = max(time.perf_counter() - t0 - warm, 1e-6)
-    _TUNNEL = {'tunnel_MBps': round(16.0 / up, 1),
-               'tunnel_roundtrip_s': round(warm, 4)}
-    healthy = _TUNNEL['tunnel_MBps'] > 100 and warm < 0.5
-    state = ('healthy' if healthy
-             else 'DEGRADED — transfer-heavy phases inflate; see BASELINE.md')
-    print(f'[bench] tunnel: {_TUNNEL["tunnel_MBps"]} MB/s up, '
-          f'{warm * 1e3:.1f} ms warm roundtrip ({state})', file=sys.stderr)
-    return _TUNNEL
+
+    wait_budget = float(os.environ.get('BENCH_WAIT_MINUTES', '12')) * 60.0
+    deadline = time.monotonic() + wait_budget
+    while True:
+        t0 = time.perf_counter()
+        float(f(resident))
+        warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(f(jax.device_put(x, dev)))
+        up = max(time.perf_counter() - t0 - warm, 1e-6)
+        mbps = round(16.0 / up, 1)
+        healthy = mbps > 100 and warm < 0.5
+        _TUNNEL = {'tunnel_MBps': mbps,
+                   'tunnel_roundtrip_s': round(warm, 4),
+                   'tunnel_healthy': healthy}
+        state = ('healthy' if healthy else
+                 'DEGRADED — transfer-heavy phases inflate; see BASELINE.md')
+        print(f'[bench] tunnel: {mbps} MB/s up, {warm * 1e3:.1f} ms warm '
+              f'roundtrip ({state})', file=sys.stderr)
+        remaining = deadline - time.monotonic()
+        if healthy or remaining <= 0:
+            if not healthy:
+                print('[bench] WARNING: proceeding on a degraded tunnel '
+                      f'(waited {wait_budget / 60:.0f} min); the JSON is '
+                      'stamped tunnel_healthy: false', file=sys.stderr)
+            return _TUNNEL
+        nap = min(60.0, remaining)
+        print(f'[bench] degraded tunnel — waiting {nap:.0f}s for a healthy '
+              f'window ({remaining / 60:.1f} min left in budget)',
+              file=sys.stderr)
+        time.sleep(nap)
 
 
 def _stats(times):
@@ -261,6 +284,9 @@ def main_e2e():
     run()
     print(f'[bench] warmup+compile {time.perf_counter() - t0:.1f}s',
           file=sys.stderr)
+    # re-probe after the (possibly minutes-long) compile so the stamped
+    # health reflects the timed window, not the pre-warmup state
+    _probe_tunnel(refresh=True)
 
     times = []
     for _ in range(max(2, ITERS)):
@@ -441,6 +467,7 @@ def main_kernel():
 
     _probe_tunnel()
     full_step()  # warmup/compile
+    _probe_tunnel(refresh=True)
 
     times = []
     for _ in range(max(2, ITERS)):
@@ -457,6 +484,7 @@ def _bench_loop(run, audio_seconds: float, name: str):
     run()
     print(f'[bench] warmup+compile {time.perf_counter() - t0:.1f}s',
           file=sys.stderr)
+    _probe_tunnel(refresh=True)
     times = []
     for _ in range(max(2, ITERS)):
         t0 = time.perf_counter()
