@@ -52,6 +52,17 @@ def _bucket(n: int, step: int = 64) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
+# Host-phase accounting (seconds, cumulative since last clear). bench.py
+# clears this per iteration and prints the split — the device phases have
+# had a wall split since round 2, the host never did (VERDICT r4 weak #4).
+HOST_PHASES = {}
+
+
+def _hp(name: str, t0: float):
+    import time
+    HOST_PHASES[name] = HOST_PHASES.get(name, 0.0) + time.perf_counter() - t0
+
+
 _NEXT_TOKEN_PROBS_FN = None
 _DTW_BATCH_FN = None
 
@@ -392,15 +403,20 @@ def transcribe_batched(
 
     def read_group() -> Optional[_Group]:
         """Host: next ``batch_size`` non-silent windows from the loader."""
+        import time as _t
         nonlocal seek_sample
         metas, wins = [], []
         while len(wins) < batch_size:
+            _t0 = _t.perf_counter()
             chunk, new_seek = loader.next_valid_chunk(seek_sample, N_SAMPLES)
+            _hp('host_load', _t0)
             if chunk is None:
                 break
             seek_sample = new_seek
             offset = seek_sample / SAMPLE_RATE
+            _t0 = _t.perf_counter()
             preds = predictor.predict(chunk, offset=offset)
+            _hp('host_silence_predict', _t0)
             samples = int(chunk.shape[-1])
             if preds['is_silent']:
                 seek_sample += samples
@@ -444,7 +460,9 @@ def transcribe_batched(
 
     def launch_decode(grp: _Group):
         """Encode the group ONCE and dispatch its t=0 decode (async)."""
+        import time as _t
         nonlocal tokenizer, language, initial_prompt_tokens, first_group
+        _t0 = _t.perf_counter()
         wins = grp.windows
         grp.windows = None
         if wins.shape[0] < batch_size:
@@ -458,6 +476,7 @@ def transcribe_batched(
             # reverse the loader's /32768 (exact — see pcm_exact above) so
             # the upload moves int16, not float32
             wins = (wins * 32768.0).astype(np.int16)
+        _hp('host_window_prep', _t0)
         mels = log_mel_spectrogram(wins, model.dims.n_mels)[..., :N_FRAMES]
         mels_in, _ = model.shard_batch(mels)
         grp.features = model.embed_audio(mels_in)
@@ -560,8 +579,11 @@ def transcribe_batched(
             for i, r in zip(pending_idx, retry):
                 results[i] = r
         grp.results = results
+        import time as _t
+        _t0 = _t.perf_counter()
         grp.segments = [_segmentize(res, meta)
                         for res, meta in zip(results, grp.metas)]
+        _hp('host_segmentize', _t0)
         if condition_on_previous_text:
             all_tokens.extend(t for segs in grp.segments for s in segs
                               for t in s['tokens'])
@@ -634,11 +656,15 @@ def transcribe_batched(
 
     def finish_group(grp: _Group):
         """Host: materialize timing, assemble words, suppress, emit."""
+        import time as _t
         if grp.timing is not None:
+            _t0 = _t.perf_counter()
             _finish_word_timing(model, tokenizer, grp.timing, grp.metas,
                                 grp.segments, prepend_punctuations,
                                 append_punctuations, min_word_dur)
+            _hp('host_timing_finish', _t0)
             grp.timing = None
+        _t0 = _t.perf_counter()
         for meta, segs in zip(grp.metas, grp.segments):
             if word_timestamps:
                 from .utils import keep_segment_instant_rule
@@ -667,6 +693,7 @@ def transcribe_batched(
                     safe_print(seg_obj.to_display_str())
             all_segments.extend({'id': len(all_segments) + i, **s}
                                 for i, s in enumerate(segs))
+        _hp('host_assemble_suppress', _t0)
         if progress_callback is not None:
             done = grp.end_sample / SAMPLE_RATE
             total = total_duration or done
@@ -717,10 +744,13 @@ def transcribe_batched(
         warnings.warn(f'Failed to {task} audio. Result contains no text.')
         return result
 
+    import time as _t
+    _t0 = _t.perf_counter()
     text = ''.join(s['text'] for s in all_segments)
     final_result = WhisperResult(
         dict(text=text, segments=all_segments, language=language),
         force_order=not word_timestamps)
+    _hp('host_result_build', _t0)
 
     final_nonspeech_timings = (predictor.nonspeech_timings
                                if suppress_silence else None)
@@ -751,7 +781,9 @@ def transcribe_batched(
     elif final_nonspeech_timings is not None:
         final_result.update_nonspeech_sections(*final_nonspeech_timings)
     if word_timestamps and regroup:
+        _t0 = _t.perf_counter()
         final_result.regroup(regroup)
+        _hp('host_regroup', _t0)
     if progress_callback is not None and total_duration:
         progress_callback(total_duration, total_duration)
     if len(final_result.text) == 0:
