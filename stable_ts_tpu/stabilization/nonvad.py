@@ -18,23 +18,40 @@ NONVAD_SAMPLE_RATES = (16000,)
 
 
 def _linear_resample(x: np.ndarray, out_size: int) -> np.ndarray:
-    """1-D linear interpolation matching torch's align_corners=False semantics."""
+    """1-D linear interpolation BIT-EQUAL to torch's CPU
+    ``F.interpolate(mode='linear', align_corners=False)``.
+
+    Exactness matters: the quantization step downstream (``round(x * 20)``)
+    turns a 1-ulp difference at a 0.025 boundary into a flipped silence
+    unit, which the transcribe parity suite then sees as a 0.02-s
+    nonspeech-section shift. Torch computes source coordinates in float32
+    (lower-clamped only) and the lerp as ``fma(l0, x_lo, l1 * x_hi)``;
+    the fma's single rounding is reproduced via a float64 intermediate
+    (exact for float32 products)."""
     in_size = x.shape[-1]
-    scale = in_size / out_size
-    coords = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
-    coords = np.clip(coords, 0, in_size - 1)
-    lo = np.floor(coords).astype(np.int64)
+    scale = np.float32(in_size) / np.float32(out_size)
+    i = np.arange(out_size, dtype=np.float32)
+    src = np.maximum(np.float32(0),
+                     scale * (i + np.float32(0.5)) - np.float32(0.5))
+    lo = src.astype(np.int64)
     hi = np.minimum(lo + 1, in_size - 1)
-    frac = (coords - lo).astype(x.dtype)
-    return x[lo] * (1 - frac) + x[hi] * frac
+    frac = (src - lo.astype(np.float32)).astype(np.float32)
+    l0 = np.float32(1) - frac
+    return (l0.astype(np.float64) * x[lo].astype(np.float64)
+            + (frac * x[hi]).astype(np.float64)).astype(np.float32)
 
 
 def _moving_average_reflect(x: np.ndarray, k_size: int) -> np.ndarray:
-    """Stride-1 average pool with reflect padding (k_size odd)."""
+    """Stride-1 average pool with reflect padding, BIT-EQUAL to torch's
+    ``avg_pool1d``: sequential float32 window sum, then a float32 divide
+    (float64 accumulation rounds differently ~1e-3 of the time)."""
     p = k_size // 2
     padded = np.pad(x, p, mode='reflect')
-    kernel = np.full(k_size, 1.0 / k_size, dtype=np.float64)
-    return np.convolve(padded.astype(np.float64), kernel, mode='valid').astype(x.dtype)
+    win = np.lib.stride_tricks.sliding_window_view(padded, k_size)
+    acc = win[:, 0].astype(np.float32)
+    for j in range(1, k_size):
+        acc = acc + win[:, j]
+    return acc / np.float32(k_size)
 
 
 def audio2loudness(
