@@ -613,13 +613,25 @@ def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
                 + [tokenizer.eot] for _, t in requests]
         lengths = [len(t) for _, t in requests]
         state = states.setdefault(key, {})
-        if any(id(p.clean) not in state.get('map', {}) for p in probes):
-            # new step (fresh spans): rebuild the device-side clean cache.
-            # The first round of a step always carries EVERY span of this
-            # group, so the cache covers all later (shrinking) rounds.
+        epoch = getattr(probes[0], 'epoch', None)
+        if state.get('epoch') != epoch:
+            # new step epoch (fresh span set): rebuild the device-side clean
+            # cache. A new epoch's FIRST round carries every span of this
+            # group (the Refiner stamps the epoch per span-set build), so
+            # the cache covers all later (shrinking) rounds; an unknown span
+            # arriving mid-epoch is a protocol violation and raises below
+            # (state['map'] KeyError) instead of silently re-uploading
+            # every round.
             t_max = max(p.clean.shape[-1] for p in probes)
             t_bucket = _bucket(t_max + N_FFT // 2, SAMPLE_RATE)
             s_b = 1 << max(0, int(np.ceil(np.log2(len(probes)))))
+            # on a mesh, shard_batch pads rows to a dp multiple; the masked
+            # mel kernel needs lo/hi rows == 2 x clean rows, so the span
+            # bucket itself must already be a dp multiple
+            if model.mesh is not None:
+                dp = model.mesh.shape['dp']
+                s_b = max(s_b, dp if dp & (dp - 1) == 0
+                          else int(np.lcm(s_b, dp)))
             clean_host = np.zeros((s_b, t_bucket), np.float32)
             t_real = np.zeros((s_b,), np.int32)
             for i, p in enumerate(probes):
@@ -630,6 +642,7 @@ def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
             treal_in, _ = model.shard_batch(t_real)
             state.clear()
             state.update(
+                epoch=epoch,
                 map={id(p.clean): i for i, p in enumerate(probes)},
                 keep=[p.clean for p in probes], clean=clean_in,
                 t_real=treal_in, s_b=s_b, w_b=8,
@@ -1174,8 +1187,11 @@ def locate(
         else:
             frame, mel_dev = launch_estimate(seek_sample)
         _spec_est.clear()
-        if mode != 2:
-            # dispatch the next no-match chunk's estimate behind this one
+        if mode != 2 and not (count and found + 1 >= count):
+            # dispatch the next no-match chunk's estimate behind this one —
+            # unless a confirm here would already reach ``count`` and end
+            # the search, where the speculation is a wasted full device
+            # pass per confirmed match (ADVICE r4)
             nxt = seek_sample + (adjusted_chunk_size
                                  if audio_segment.shape[-1] == chunk_samples
                                  else audio_segment.shape[-1])

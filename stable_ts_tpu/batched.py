@@ -428,6 +428,8 @@ def _transcribe_batched_impl(
         predictor.get_on_prep_callback(loader.stream))
 
     total_duration = loader.get_duration(2)
+    from .utils import make_progress_bar, progress_update
+    pbar = make_progress_bar(total_duration, task.title(), verbose)
     seek_sample = 0
 
     # -- resume (same semantics as the sequential driver / reference
@@ -754,8 +756,9 @@ def _transcribe_batched_impl(
             all_segments.extend({'id': len(all_segments) + i, **s}
                                 for i, s in enumerate(segs))
         _hp('host_assemble_suppress', _t0)
+        done = grp.end_sample / SAMPLE_RATE
+        progress_update(pbar, done)
         if progress_callback is not None:
-            done = grp.end_sample / SAMPLE_RATE
             total = total_duration or done
             progress_callback(min(done, total), total)
 
@@ -792,7 +795,9 @@ def _transcribe_batched_impl(
                 p_timing, p_decode = p_decode, grp
             if eof and p_decode is None and p_timing is None:
                 break
+        progress_update(pbar, total_duration or 0.0)
     finally:
+        pbar.close()
         loader.terminate()
 
     predictor.finalize_timings()

@@ -86,6 +86,14 @@ def _ctx_buckets(sample_begin: int, sample_len: int, cache_ctx: int):
         buckets.append((c, c - sample_begin))
         c += 128
     buckets.append((cache_ctx, sample_len))
+    # decoder_step's contract: ctx_live >= pos + 1 for every step it runs,
+    # else self-attention silently slices out live cache positions
+    # (including the just-written token). Trace-time check: the bucket's
+    # last step has pos = sample_begin + i_bound - 1.
+    assert all(ctx >= min(sample_begin + bound, cache_ctx)
+               for ctx, bound in buckets), \
+        f'ctx bucket violates ctx_live >= pos + 1: {buckets} ' \
+        f'(sample_begin={sample_begin}, cache_ctx={cache_ctx})'
     return buckets
 
 

@@ -537,7 +537,12 @@ def precompute_cross_kv_t(params: Params, xa: jnp.ndarray,
         return _, (kt, ks, vt, vs)
 
     _, (kt, ks, vt, vs) = jax.lax.scan(per_layer, None, params['blocks'])
-    return {'kvT': jnp.stack([kt, vt], axis=2),
+    # Packed int4 tiles ride a DISTINCT key so the packing is part of the
+    # pytree structure (trace-time static) — consumers dispatch on the key
+    # instead of inferring nibble-packing from tile shapes, which would
+    # silently misdecode any future layout whose K/V head dim legitimately
+    # differs from the query dim.
+    return {'kvT4' if bits == 4 else 'kvT': jnp.stack([kt, vt], axis=2),
             'sc': jnp.stack([ks, vs], axis=2),
             's': jnp.int32(s)}
 
@@ -679,7 +684,7 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     # outputs instead would rewrite (and double-buffer) the entire
     # (n_layers, batch, n_ctx, d) stack every token step — that copy traffic
     # dominated the step cost and OOM'd large batches.
-    fused_cross = 'kvT' in cross_kv
+    fused_cross = 'kvT' in cross_kv or 'kvT4' in cross_kv
     self_fa = _self_fa_mode()
     if self_fa != 'off' and anc is not None and q_per_kv > 1:
         # the beam kernel's grid step holds the WHOLE group's K+V slabs
@@ -786,9 +791,11 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
             ca = layer_params['cross_attn']
             q = linear(ca_in, ca['q']['w'], ca['q']['b'])[:, 0, :]
             q = q.astype(jnp.float32) * ((d // n_head) ** -0.5)
+            packed4 = 'kvT4' in cross_kv
             ctx = cross_attn_decode(
-                q, cross_kv['kvT'], cross_kv['sc'], n_head,
-                s=cross_kv['s'], q_per_kv=q_per_kv, layer_idx=layer_idx)
+                q, cross_kv['kvT4'] if packed4 else cross_kv['kvT'],
+                cross_kv['sc'], n_head, s=cross_kv['s'], q_per_kv=q_per_kv,
+                layer_idx=layer_idx, bits=4 if packed4 else 8)
             cross_out = linear(ctx[:, None, :].astype(h.dtype),
                                ca['out']['w'], ca['out']['b'])
         elif q_per_kv > 1:

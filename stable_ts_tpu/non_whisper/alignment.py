@@ -252,6 +252,9 @@ class Aligner:
                 setattr(self, k, options.pop(k))
         self.options.update(options)
 
+        from ..utils import make_progress_bar
+        self._pbar = make_progress_bar(self.audio_loader.get_duration(2),
+                                       'Align', self.options.progress.verbose)
         result: List[BasicWordTiming] = []
         last_ts = 0.0
         while self._all_word_tokens:
@@ -311,6 +314,8 @@ class Aligner:
                 tokens=w.tokens, probability=0.0)
                 for w in self._all_word_tokens)
 
+        self._pbar.close()
+        self._pbar = None
         self.audio_loader.terminate()
         self.nonspeech_predictor.finalize_timings()
 
@@ -381,6 +386,9 @@ class Aligner:
             raw_outputs = self.batch_inference_func(
                 [(aud, wt) for _, aud, wt in pending])
 
+        from ..utils import make_progress_bar
+        self._pbar = make_progress_bar(self.audio_loader.get_duration(2),
+                                       'Align', self.options.progress.verbose)
         for (segment, audio_segment, curr_word_tokens), raw in zip(
                 pending, raw_outputs):
             word_timings = self._compute_timestamps(
@@ -388,6 +396,8 @@ class Aligner:
                 time_offset=segment.start)
             segment.words = [WordTiming(**w.__dict__) for w in word_timings]
             self._report_progress(segment.end)
+        self._pbar.close()
+        self._pbar = None
 
         self.audio_loader.terminate()
         self.nonspeech_predictor.finalize_timings()
@@ -405,6 +415,7 @@ class Aligner:
         self._curr_words = []
         self._nonspeech_preds = {}
         self._seg_word_tokens = []
+        self._pbar = None
 
     @staticmethod
     def _standardize_text(text, original_split: bool = False):
@@ -882,6 +893,8 @@ class Aligner:
         result.set_current_as_orig()
 
     def _report_progress(self, last_ts: float):
+        from ..utils import progress_update
+        progress_update(getattr(self, '_pbar', None), last_ts)
         if self.options.progress.progress_callback is not None:
             total = self.audio_loader.get_duration(2)
             self.options.progress.progress_callback(

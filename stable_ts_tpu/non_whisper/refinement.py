@@ -51,14 +51,20 @@ class MutedSpanProbe:
     token-row mapping's cross-word writes).
     """
 
-    __slots__ = ('clean', 'rows', 'zero_lo', 'zero_hi')
+    __slots__ = ('clean', 'rows', 'zero_lo', 'zero_hi', 'epoch')
 
     def __init__(self, clean: np.ndarray, rows: np.ndarray,
-                 zero_lo: np.ndarray, zero_hi: np.ndarray):
+                 zero_lo: np.ndarray, zero_hi: np.ndarray, epoch: int = 0):
         self.clean = clean        # (T,) float32, shared across a step
         self.rows = rows          # (m,) int — target row of each interval
         self.zero_lo = zero_lo    # (m,) int64 snapshot
         self.zero_hi = zero_hi
+        # step epoch: bumped by the Refiner per span-set build; backends key
+        # their device-side clean-audio caches on THIS (a new epoch's first
+        # round carries every span of its group) rather than on object
+        # identity, so a protocol violation surfaces loudly instead of as a
+        # silent rebuild-every-round performance cliff (ADVICE r4)
+        self.epoch = epoch
 
 
 class _IntervalSet:
@@ -167,6 +173,7 @@ class _SpanBisect:
         self.ever_ok = np.zeros(n, bool)
         self.last_good = np.full(n, -1, np.int64)
         self.base_probs = self.base_ranks = self.prev_probs = None
+        self.epoch = getattr(r, '_probe_epoch', 0)
 
         # Interval mode: the zero-set of each row, mirrored through exactly
         # the same add (zero write) / remove (restore write) ranges the
@@ -210,7 +217,8 @@ class _SpanBisect:
                     his.append(b)
             audio = MutedSpanProbe(
                 self.clean, np.asarray(rows, np.int64),
-                np.asarray(los, np.int64), np.asarray(his, np.int64))
+                np.asarray(los, np.int64), np.asarray(his, np.int64),
+                epoch=self.epoch)
         return audio, self.text_tokens, self.word_tokens, self.prob_indices
 
     def set_baseline(self, probs, ranks):
@@ -408,8 +416,19 @@ class Refiner:
                 setattr(self, k, options.pop(k))
         self.options.update(options)
 
-        for step in self.steps:
-            self._refine(result, step)
+        from ..utils import make_progress_bar, progress_update
+        total = round(self._audio.shape[-1] / self.sample_rate, 2)
+        self._pbar = make_progress_bar(total, 'Refine',
+                                       self.options.progress.verbose)
+        self._pbar_base = 0.0
+        try:
+            for i, step in enumerate(self.steps):
+                self._pbar_base = total * i / len(self.steps)
+                self._refine(result, step)
+                progress_update(self._pbar, total * (i + 1) / len(self.steps))
+        finally:
+            self._pbar.close()
+            self._pbar = None
         result.reassign_ids()
         return result
 
@@ -538,6 +557,8 @@ class Refiner:
 
     def _refine(self, result: WhisperResult, step: str):
         total_duration = round(self._audio.shape[-1] / self.sample_rate, 3)
+        # new span set -> new probe epoch (see MutedSpanProbe.epoch)
+        self._probe_epoch = getattr(self, '_probe_epoch', 0) + 1
         machines = [
             self._span_machine(span, step, total_duration)
             for span in self.curr_segments(result, total_duration)
@@ -679,6 +700,14 @@ class Refiner:
         while state.unfinished:
             state.apply_round(*(yield state.request()))
 
+        from ..utils import progress_update
+        pbar = getattr(self, '_pbar', None)
+        if pbar is not None:
+            # each step owns an equal slice of the bar (reference
+            # refinement.py:181-193's _pbar_step rule)
+            progress_update(pbar, self._pbar_base
+                            + min(state.words[-1].end, total_duration)
+                            / len(self.steps))
         if self.options.progress.progress_callback is not None:
             self.options.progress.progress_callback(
                 min(state.words[-1].end, total_duration), total_duration)

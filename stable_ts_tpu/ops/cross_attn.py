@@ -203,7 +203,8 @@ def _call(scalars, q, kv, sc, n_head: int, q_per_kv: int, bits: int):
 
 def cross_attn_decode(q: jnp.ndarray, kv: jnp.ndarray, sc: jnp.ndarray,
                       n_head: int, s=None,
-                      q_per_kv: int = 1, layer_idx=None) -> jnp.ndarray:
+                      q_per_kv: int = 1, layer_idx=None,
+                      bits: int = 8) -> jnp.ndarray:
     """One decode step of cross-attention against transposed K/V.
 
     q:  (rows, d) queries at the current position, ALREADY scaled by
@@ -238,11 +239,20 @@ def cross_attn_decode(q: jnp.ndarray, kv: jnp.ndarray, sc: jnp.ndarray,
         layer_idx = 0
     if s is None:
         s = kv.shape[-1]
-    # Half-height int8 tiles can only be the int4 split-half packing (the
-    # full-height layouts always carry all d rows); shapes are static under
-    # trace, so this is a compile-time dispatch.
-    bits = 4 if (kv.dtype == jnp.int8
-                 and kv.shape[-2] * 2 == q.shape[-1]) else 8
+    # The caller states the packing explicitly (bits=4 <=> split-half nibble
+    # tiles, carried as the 'kvT4' pytree key upstream); validate it against
+    # the static tile shapes rather than inferring — a layout whose K/V head
+    # dim legitimately differs from the query dim must be rejected, never
+    # silently misdecoded as packed nibbles.
+    if bits == 4:
+        if kv.dtype != jnp.int8 or kv.shape[-2] * 2 != q.shape[-1]:
+            raise ValueError(
+                f'bits=4 expects half-height int8 tiles (d/2={q.shape[-1] // 2}'
+                f' rows), got {kv.dtype} tiles of {kv.shape[-2]} rows')
+    elif kv.shape[-2] != q.shape[-1]:
+        raise ValueError(
+            f'K/V tile height {kv.shape[-2]} != query dim {q.shape[-1]} '
+            f'(pass bits=4 for split-half packed int4 tiles)')
     scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
                          jnp.asarray(s, jnp.int32)])
     return _call(scalars, q, kv, sc, n_head, q_per_kv, bits)

@@ -262,8 +262,11 @@ def transcribe_stable(
 
     interrupted_time = -1.0
     total_duration = loader.get_duration(2)
+    from .utils import make_progress_bar, progress_update
+    pbar = make_progress_bar(total_duration, task.title(), verbose)
 
     def report_progress():
+        progress_update(pbar, seek_sample / SAMPLE_RATE)
         if progress_callback is not None:
             progress_callback(min(total_duration, seek_sample / SAMPLE_RATE),
                               total_duration)
@@ -444,18 +447,23 @@ def transcribe_stable(
             prompt_reset_since = len(all_tokens)
         report_progress()
 
-    while True:
-        try:
-            if inner_transcribe() is not None:
+    try:
+        while True:
+            try:
+                if inner_transcribe() is not None:
+                    break
+            except KeyboardInterrupt:
+                if all_segments:
+                    interrupted_time = all_segments[-1]['end']
+                curr_seek_time = seek_sample / SAMPLE_RATE
+                if curr_seek_time > interrupted_time:
+                    interrupted_time = curr_seek_time
+                pbar.write(f'Interrupted at {format_timestamp(curr_seek_time)}')
                 break
-        except KeyboardInterrupt:
-            if all_segments:
-                interrupted_time = all_segments[-1]['end']
-            curr_seek_time = seek_sample / SAMPLE_RATE
-            if curr_seek_time > interrupted_time:
-                interrupted_time = curr_seek_time
-            print(f'Interrupted at {format_timestamp(curr_seek_time)}')
-            break
+        if interrupted_time == -1.0:
+            progress_update(pbar, seek_sample / SAMPLE_RATE)
+    finally:
+        pbar.close()
 
     loader.terminate()
     nonspeech_predictor.finalize_timings()

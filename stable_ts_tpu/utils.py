@@ -201,3 +201,48 @@ def decode_acceptable(result, compression_ratio_threshold,
             and result.avg_logprob < logprob_threshold):
         return False
     return True
+
+
+class _NoProgressBar:
+    """Fallback when tqdm is unavailable: same surface, renders nothing."""
+    disable = True
+    n = 0.0
+
+    def update(self, n):
+        self.n += n
+
+    def write(self, msg):
+        print(msg)
+
+    def close(self):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def make_progress_bar(total, desc: str, verbose):
+    """A tqdm progress bar following the reference's display rule: shown
+    only when ``verbose`` is exactly False — True prints details instead,
+    None displays nothing (reference original_whisper.py:444,
+    non_whisper/alignment.py:286, refinement.py:181)."""
+    try:
+        from tqdm import tqdm
+    except ImportError:
+        return _NoProgressBar()
+    return tqdm(total=round(total, 2) if total else total, unit='sec',
+                disable=verbose is not False, desc=desc)
+
+
+def progress_update(pbar, seconds: float):
+    """Advance ``pbar`` to ``seconds`` (monotonic, clamped to its total)."""
+    if pbar is None or pbar.disable:
+        return
+    target = round(seconds, 2)
+    if pbar.total is not None:
+        target = min(target, pbar.total)
+    if target > pbar.n:
+        pbar.update(target - pbar.n)

@@ -115,9 +115,30 @@ def test_kernel_int4_matches_naive_on_its_grid(s):
     assert kt.shape == (b, d // 2, s_pad)  # half-height packed tiles
     got = np.asarray(cross_attn_decode(
         jnp.asarray(q * dh ** -0.5), jnp.asarray(np.stack([kt, vt], 1)),
-        jnp.asarray(np.stack([ks, vs], 1)), n_head=n_head, s=s))
+        jnp.asarray(np.stack([ks, vs], 1)), n_head=n_head, s=s, bits=4))
     ref = _naive(q, kdq.astype(np.float32), vdq.astype(np.float32), n_head)
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-3)
+
+
+def test_bits_shape_mismatch_rejected():
+    """An explicit bits flag that disagrees with the tile shapes must raise,
+    not silently misdecode (ADVICE r4: no shape-inferred nibble dispatch)."""
+    b, n_head, dh, s = 1, 4, 64, 100
+    d = n_head * dh
+    s_pad = (s + _S_CHUNK - 1) // _S_CHUNK * _S_CHUNK
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    k = rng.standard_normal((b, s, d)).astype(np.float32)
+    kt, ks, _ = _to_kernel_layout(k, s_pad, quantize=True, bits=4)
+    kv4 = jnp.asarray(np.stack([kt, kt], 1))     # half-height packed tiles
+    sc = jnp.asarray(np.stack([ks, ks], 1))
+    with pytest.raises(ValueError):              # packed tiles, bits=8
+        cross_attn_decode(q, kv4, sc, n_head=n_head, s=s)
+    kt8, ks8, _ = _to_kernel_layout(k, s_pad, quantize=True, bits=8)
+    kv8 = jnp.asarray(np.stack([kt8, kt8], 1))
+    sc8 = jnp.asarray(np.stack([ks8, ks8], 1))
+    with pytest.raises(ValueError):              # full tiles, bits=4
+        cross_attn_decode(q, kv8, sc8, n_head=n_head, s=s, bits=4)
 
 
 def test_int4_pack_matches_unfused_grid():
@@ -134,7 +155,7 @@ def test_int4_pack_matches_unfused_grid():
         (2, dims.n_audio_ctx, dims.n_audio_state)).astype(np.float32))
     legacy = precompute_cross_kv(params['decoder'], xa, quantize=4)
     fused = precompute_cross_kv_t(params['decoder'], xa, quantize=4)
-    p = np.asarray(fused['kvT']).astype(np.int32)       # (L, B, 2, d/2, S)
+    p = np.asarray(fused['kvT4']).astype(np.int32)      # (L, B, 2, d/2, S)
     lo = (p << 28) >> 28
     hi = p >> 4
     unpacked = np.concatenate([lo, hi], axis=3)         # (L, B, 2, d, S)
@@ -163,7 +184,7 @@ def test_decoder_step_int4_quantized_close():
         (b, dims.n_audio_ctx, dims.n_audio_state)).astype(np.float32))
     ref = precompute_cross_kv(params['decoder'], xa)          # float legacy
     fused = precompute_cross_kv_t(params['decoder'], xa, quantize=4)
-    assert fused['kvT'].shape[-2] == dims.n_audio_state // 2
+    assert fused['kvT4'].shape[-2] == dims.n_audio_state // 2
     cache = init_kv_cache(dims, b)
     toks = jnp.asarray(rng.integers(0, dims.n_vocab, (b, 1)), jnp.int32)
     pos = jnp.int32(0)
