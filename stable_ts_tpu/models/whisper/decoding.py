@@ -193,17 +193,104 @@ def build_initial_tokens(tokenizer: WhisperTokenizer, options: DecodingOptions,
 # -- the jitted sampling loop ----------------------------------------------------------
 
 
+def _fused_greedy_loop(params, cross_kv, kv_cache, init_logits, tokens_init,
+                       suppress_mask, ts_silence_mask, apply_filters, *,
+                       n_head: int, sample_begin: int, sample_len: int,
+                       eot: int, ts_begin: int, without_timestamps: bool,
+                       q_per_kv: int, interpret: bool):
+    """Greedy sampling with the fused vocab+filter epilogue: the while
+    state carries six per-row aggregates (max/argmax/sumexp over the text
+    and timestamp vocab halves) instead of full (B, V) logits. Traced
+    inside :func:`_sample_loop`'s jit (not jitted itself)."""
+    from ...ops.logit_epilogue import (fused_logit_aggregates,
+                                       logit_aggregates_xla,
+                                       prepare_epilogue_operands,
+                                       select_from_aggregates)
+    batch = init_logits.shape[0]
+    with_grammar = not without_timestamps
+    # loop-invariant operand prep (embedding pad etc.) stays OUTSIDE the
+    # while bodies
+    prepared = prepare_epilogue_operands(
+        params['token_emb'], suppress_mask, ts_silence_mask,
+        ts_begin=ts_begin)
+
+    # the i == 0 selection reuses the full unfused filter stack on the
+    # prefill logits (blank suppression, forced-first-timestamp,
+    # max_initial_timestamp) — once per window, outside the loop
+    neg1 = jnp.full((batch,), -1, jnp.int32)
+    agg0 = logit_aggregates_xla(
+        apply_filters(init_logits, jnp.int32(0), neg1, neg1, neg1), ts_begin)
+
+    def make_cond(i_bound: int):
+        def cond(state):
+            i, _, _, _, _, finished, _, _, _ = state
+            return (i < i_bound) & ~jnp.all(finished)
+        return cond
+
+    def make_body(ctx_live: int):
+        def body(state):
+            (i, tokens, agg, kv, sum_logprobs, finished, last_tok,
+             penult_tok, max_ts) = state
+            next_tok, tok_logprob = select_from_aggregates(
+                agg, with_grammar=with_grammar)
+            sum_logprobs = sum_logprobs + jnp.where(finished, 0.0,
+                                                    tok_logprob)
+            next_tok = jnp.where(finished, eot, next_tok)
+            pos = sample_begin + i
+            tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None],
+                                                  (0, pos))
+            new_finished = finished | (next_tok == eot)
+            new_max_ts = jnp.where(
+                ~finished & (next_tok >= ts_begin),
+                jnp.maximum(max_ts, next_tok - ts_begin), max_ts)
+            # grammar flags for the NEXT selection (step i + 1); mirrors
+            # apply_filters with (i+1, last=next_tok, penult=last_tok)
+            last_was_ts = next_tok >= ts_begin
+            penult_was_ts = ((i + 1) < 2) | (last_tok >= ts_begin)
+            text_ban = last_was_ts & ~penult_was_ts
+            ts_ban = last_was_ts & penult_was_ts
+            has_ts = new_max_ts >= 0
+            ts_floor = jnp.where(text_ban, new_max_ts, new_max_ts + 1)
+            flags = jnp.stack([
+                text_ban.astype(jnp.float32), ts_ban.astype(jnp.float32),
+                has_ts.astype(jnp.float32), ts_floor.astype(jnp.float32)])
+            x_h, kv = decoder_step(params, next_tok[:, None], pos,
+                                   cross_kv, kv, n_head, q_per_kv=q_per_kv,
+                                   ctx_live=ctx_live, return_hidden=True)
+            agg = fused_logit_aggregates(
+                x_h, prepared, flags, ts_begin=ts_begin, eot=eot,
+                with_grammar=with_grammar, interpret=interpret)
+            return (i + 1, tokens, agg, kv, sum_logprobs, new_finished,
+                    next_tok, last_tok, new_max_ts)
+        return body
+
+    state = (
+        jnp.int32(0), tokens_init, agg0, kv_cache,
+        jnp.zeros((batch,), jnp.float32),
+        jnp.zeros((batch,), bool),
+        jnp.full((batch,), -1, jnp.int32),
+        jnp.full((batch,), -1, jnp.int32),
+        jnp.full((batch,), -1, jnp.int32),
+    )
+    cache_ctx = kv_cache['k'].shape[2]
+    for ctx, i_bound in _ctx_buckets(sample_begin, sample_len, cache_ctx):
+        state = jax.lax.while_loop(make_cond(i_bound), make_body(ctx), state)
+    (n_sampled, tokens, _, _, sum_logprobs, *_rest) = state
+    return tokens, sum_logprobs, n_sampled
+
+
 @partial(jax.jit, static_argnames=(
     'n_head', 'sample_begin', 'sample_len', 'n_text_ctx', 'eot', 'ts_begin',
     'n_vocab', 'max_initial_ts_index', 'suppress_blank', 'without_timestamps',
-    'greedy', 'q_per_kv'))
+    'greedy', 'q_per_kv', 'fused_epilogue'))
 def _sample_loop(params, cross_kv, kv_cache, init_logits, tokens_init, rng,
                  suppress_mask, blank_mask, ts_silence_mask,
                  n_head: int, sample_begin: int, sample_len: int,
                  n_text_ctx: int, eot: int, ts_begin: int, n_vocab: int,
                  max_initial_ts_index: int, suppress_blank: bool,
                  without_timestamps: bool, greedy: bool,
-                 temperature=1.0, q_per_kv: int = 1):
+                 temperature=1.0, q_per_kv: int = 1,
+                 fused_epilogue: str = 'off'):
     """Run the sampling loop.
 
     init_logits: (B, V) logits at the last prefill position.
@@ -262,6 +349,21 @@ def _sample_loop(params, cross_kv, kv_cache, init_logits, tokens_init, rng,
             i, _, _, _, _, finished, _, _, _, _ = state
             return (i < i_bound) & ~jnp.all(finished)
         return cond
+
+    if greedy and fused_epilogue != 'off':
+        # Fused epilogue (ops/logit_epilogue.py): the loop state carries
+        # (B, 6) part-wise aggregates instead of (B, V) logits — the vocab
+        # projection, filter chain, log_softmax and argmax all collapse
+        # into the kernel's tile walk. Selection semantics (incl. the
+        # force-timestamp rule) are reproduced exactly from the
+        # aggregates; tests/test_logit_epilogue.py pins loop equivalence.
+        return _fused_greedy_loop(
+            params, cross_kv, kv_cache, init_logits, tokens_init,
+            suppress_mask, ts_silence_mask, apply_filters,
+            n_head=n_head, sample_begin=sample_begin,
+            sample_len=sample_len, eot=eot, ts_begin=ts_begin,
+            without_timestamps=without_timestamps, q_per_kv=q_per_kv,
+            interpret=fused_epilogue == 'interpret')
 
     def make_body(ctx_live: int):
         def body(state):
@@ -741,6 +843,7 @@ def decode_launch(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
             sample_len=int(sample_len), no_speech_probs=no_speech_probs,
             outputs=(tokens_act, cum_lp, fin_tokens, fin_scores))
 
+    from ...ops.logit_epilogue import _epilogue_mode
     tokens_out, sum_logprobs, _ = _sample_loop(
         dec_params, cross_kv, kv_cache, prefill_logits[:, -1],
         tokens_buf, rng,
@@ -754,7 +857,9 @@ def decode_launch(params, dims: ModelDimensions, tokenizer: WhisperTokenizer,
         without_timestamps=options.without_timestamps,
         greedy=options.temperature == 0,
         temperature=jnp.float32(options.temperature or 1.0),
-        q_per_kv=n_group)
+        q_per_kv=n_group,
+        fused_epilogue=(_epilogue_mode()
+                        if options.temperature == 0 else 'off'))
 
     return PendingDecode(
         kind='sample', xa=xa, batch=batch, n_group=n_group, options=options,

@@ -641,11 +641,12 @@ def _shared_kv_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.transpose(0, 2, 1, 3).reshape(rows, 1, d)
 
 
-@partial(jax.jit, static_argnames=('n_head', 'q_per_kv', 'ctx_live'))
+@partial(jax.jit, static_argnames=('n_head', 'q_per_kv', 'ctx_live',
+                                   'return_hidden'))
 def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
                  cross_kv: Params, kv_cache: Params, n_head: int,
                  q_per_kv: int = 1, anc: jnp.ndarray = None,
-                 ctx_live: int = None):
+                 ctx_live: int = None, return_hidden: bool = False):
     """One incremental decode step with a fixed-size KV cache.
 
     tokens: (batch, 1) int32 — tokens at position ``pos``.
@@ -826,10 +827,13 @@ def decoder_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     (x, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
         block, carry0, (params['blocks'], cross_xs, jnp.arange(n_layers)))
     x = layer_norm(x, params['ln']['g'], params['ln']['b'])
-    logits = _vocab_logits(x[:, 0], params['token_emb'])
-    if quant_self:
-        return logits, {'k': new_k, 'ks': new_ks, 'v': new_v, 'vs': new_vs}
-    return logits, {'k': new_k, 'v': new_v}
+    new_cache = ({'k': new_k, 'ks': new_ks, 'v': new_v, 'vs': new_vs}
+                 if quant_self else {'k': new_k, 'v': new_v})
+    if return_hidden:
+        # the fused logit epilogue (ops/logit_epilogue.py) consumes the
+        # post-LN hidden state directly — the (B, V) logits never exist
+        return x[:, 0], new_cache
+    return _vocab_logits(x[:, 0], params['token_emb']), new_cache
 
 
 def _quantize_cache_entry(t: jnp.ndarray, n_ctx: int):

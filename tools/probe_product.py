@@ -31,6 +31,7 @@ from stable_ts_tpu.models.whisper.model import (
     init_params, precompute_cross_kv, precompute_cross_kv_t)
 from stable_ts_tpu.models.whisper.decoding import (
     _sample_loop, _use_cross_kernel, _use_int8_self_cache)
+from stable_ts_tpu.ops.logit_epilogue import _epilogue_mode
 
 model_name, batch, steps = %(model)r, %(batch)d, %(steps)d
 _kvq = os.environ.get('PROBE_KVQ', '1')
@@ -63,7 +64,8 @@ run = lambda: _sample_loop(
     n_head=dims.n_text_head, sample_begin=4, sample_len=steps,
     n_text_ctx=dims.n_text_ctx, eot=eot, ts_begin=eot + 1 + 1501,
     n_vocab=dims.n_vocab, max_initial_ts_index=-1, suppress_blank=False,
-    without_timestamps=True, greedy=True, q_per_kv=1)
+    without_timestamps=True, greedy=True, q_per_kv=1,
+    fused_epilogue=_epilogue_mode())
 out = run(); float(jnp.asarray(out[0]).astype(jnp.float32).sum())
 best = 1e9
 for _ in range(3):
@@ -84,6 +86,7 @@ def main(model='large-v3', batch=16, steps=64):
         ('cross=0', {'STABLE_TS_TPU_CROSS': '0'}),
         ('kvq=0', {'PROBE_KVQ': '0'}),
         ('kvq=4', {'PROBE_KVQ': '4'}),
+        ('epi=0', {'STABLE_TS_TPU_EPI': '0'}),
     ]
     only = os.environ.get('PROBE_ONLY')  # comma-separated label filter
     if only:
