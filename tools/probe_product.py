@@ -46,7 +46,15 @@ if _use_cross_kernel():
     cross_kv = precompute_cross_kv_t(params['decoder'], xa, quantize=kvq)
 else:
     cross_kv = precompute_cross_kv(params['decoder'], xa, quantize=kvq)
-eot = dims.n_vocab - 1537
+with_ts = os.environ.get('PROBE_TS') == '1'
+if with_ts:
+    # real large-v3 token geometry so the timestamp grammar (the filter
+    # chain the fused epilogue removes) runs exactly as in the product
+    eot = dims.n_vocab - 1609
+    ts_begin = dims.n_vocab - 1501
+else:
+    eot = dims.n_vocab - 1537
+    ts_begin = eot + 1 + 1501
 suppress = np.zeros(dims.n_vocab, np.float32); suppress[eot] = -1e9
 blank = np.zeros(dims.n_vocab, np.float32)
 cache_len = 128
@@ -62,9 +70,10 @@ run = lambda: _sample_loop(
     dec, cross_kv, kv, logits[:, -1], buf, rng,
     jnp.asarray(suppress), jnp.asarray(blank), tsm,
     n_head=dims.n_text_head, sample_begin=4, sample_len=steps,
-    n_text_ctx=dims.n_text_ctx, eot=eot, ts_begin=eot + 1 + 1501,
-    n_vocab=dims.n_vocab, max_initial_ts_index=-1, suppress_blank=False,
-    without_timestamps=True, greedy=True, q_per_kv=1,
+    n_text_ctx=dims.n_text_ctx, eot=eot, ts_begin=ts_begin,
+    n_vocab=dims.n_vocab,
+    max_initial_ts_index=50 if with_ts else -1, suppress_blank=False,
+    without_timestamps=not with_ts, greedy=True, q_per_kv=1,
     fused_epilogue=_epilogue_mode())
 out = run(); float(jnp.asarray(out[0]).astype(jnp.float32).sum())
 best = 1e9

@@ -20,6 +20,7 @@ python tools/probe_tunnel.py >>"$OUT" 2>>"$LOG"
 run e2e_default        BENCH_MODE=e2e
 run e2e_dq             BENCH_MODE=e2e BENCH_DQ=1
 run e2e_beam5          BENCH_MODE=e2e BENCH_BEAM=5 BENCH_MINUTES=10
+run e2e_beam5_int4     BENCH_MODE=e2e BENCH_BEAM=5 BENCH_KVQ=4 BENCH_MINUTES=10
 run e2e_fallback       BENCH_MODE=e2e BENCH_FALLBACK=1 BENCH_MINUTES=10
 run kernel             BENCH_MODE=kernel
 run kernel_dq          BENCH_MODE=kernel BENCH_DQ=1
