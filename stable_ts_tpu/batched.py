@@ -520,6 +520,8 @@ def _transcribe_batched_impl(
             return None
         return _Group(metas, np.stack(wins))
 
+    pcm_bufs, pcm_flip = {}, [0]   # persistent int16 upload staging
+
     def launch_decode(grp: _Group):
         """Encode the group ONCE and dispatch its t=0 decode (async)."""
         import time as _t
@@ -530,18 +532,40 @@ def _transcribe_batched_impl(
         if wins.shape[0] < batch_size:
             wins = np.concatenate(
                 [wins, np.repeat(wins[-1:], batch_size - wins.shape[0], 0)])
+        _hp('host_window_pad', _t0)
+        _t0 = _t.perf_counter()
         # Stays on device end to end: np.asarray here would BLOCK until the
         # device drains the previous group's decode (in-order execution),
         # serializing the whole pipeline — the mel + encode must queue
         # behind it asynchronously instead.
         if pcm_exact:
             # reverse the loader's /32768 (exact — see pcm_exact above) so
-            # the upload moves int16, not float32
-            wins = (wins * 32768.0).astype(np.int16)
+            # the upload moves int16, not float32. In place + a persistent
+            # int16 buffer: fresh 60+30 MB allocations here page-fault at
+            # ~100 MB/s on first touch (~0.65 s per group, the dominant
+            # host_window_prep cost) — `wins` is group-private (read_group
+            # stacked it; grp.windows was dropped above) so clobbering is
+            # safe, and the int16 buffer persists across groups.
+            np.multiply(wins, 32768.0, out=wins)
+            # two alternating buffers: the pipeline holds at most 2 groups
+            # in flight, and the CPU backend may alias numpy buffers
+            # zero-copy into the computation — a buffer is only reused two
+            # launches later, after its group's decode was materialized
+            pcm_flip[0] ^= 1
+            key = (wins.shape, pcm_flip[0])
+            buf = pcm_bufs.get(key)
+            if buf is None:
+                buf = pcm_bufs[key] = np.empty(wins.shape, np.int16)
+            np.copyto(buf, wins, casting='unsafe')
+            wins = buf
         _hp('host_window_prep', _t0)
+        _t0 = _t.perf_counter()
         mels = log_mel_spectrogram(wins, model.dims.n_mels)[..., :N_FRAMES]
         mels_in, _ = model.shard_batch(mels)
         grp.features = model.embed_audio(mels_in)
+        # the jit arg transfer of the window batch can block synchronously
+        # on a thin host link — account it (encode itself is async)
+        _hp('host_upload_dispatch', _t0)
         if tokenizer is None:
             if language is None:
                 if model.is_multilingual:
