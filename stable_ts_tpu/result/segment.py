@@ -299,6 +299,20 @@ class Segment:
             return self
         targets = (self.words if word_level or len(self.words) == 1
                    else [self.words[0], self.words[-1]])
+        if len(silent_starts) > 8 and len(targets) > 1:
+            # One intersection pass per segment instead of three full-array
+            # mask passes per word: every clipping rule only ever reads
+            # sections that intersect the word, and clips move edges inward,
+            # so sections intersecting the segment's original span are a
+            # superset for the whole loop. Order is preserved -> identical
+            # first-hit behavior.
+            silent_starts = np.asarray(silent_starts, dtype=np.float64)
+            silent_ends = np.asarray(silent_ends, dtype=np.float64)
+            lo = min(w.start for w in targets)
+            hi = max(w.end for w in targets)
+            keep = (silent_ends > lo) & (silent_starts < hi)
+            silent_starts = silent_starts[keep]
+            silent_ends = silent_ends[keep]
         enders = get_append_punctuations()
         for i, w in enumerate(targets, 1):
             if use_word_position:
