@@ -54,6 +54,35 @@ def _moving_average_reflect(x: np.ndarray, k_size: int) -> np.ndarray:
     return acc / np.float32(k_size)
 
 
+def _kth_largest(x: np.ndarray, k: int) -> np.floating:
+    """Exact k-th largest order statistic via chunked partial selection.
+
+    ``np.partition`` on the whole array copies it first; on this host a
+    30-min waveform's fresh 115 MB copy page-faults for ~2 s. Every global
+    top-k element is inside its own chunk's top-k, so selecting within a
+    small reused scratch and then over the union of chunk tops returns the
+    identical value with no full-size allocation.
+    """
+    n = x.size
+    chunk = 1 << 22  # 16 MB float32 scratch
+    if n <= chunk or k >= n:
+        return np.partition(x, n - k)[n - k]
+    buf = np.empty(chunk, dtype=x.dtype)
+    tops = []
+    for i in range(0, n, chunk):
+        c = x[i:i + chunk]
+        m = c.size
+        kk = min(k, m)
+        view = buf if m == chunk else c.copy()
+        if view is buf:
+            np.copyto(buf, c)
+        view.partition(m - kk)
+        tops.append(view[m - kk:].copy())
+    union = np.concatenate(tops)
+    union.partition(union.size - k)
+    return union[union.size - k]
+
+
 def audio2loudness(
         audio: np.ndarray,
         samples_per_unit: Optional[int] = None,
@@ -65,7 +94,7 @@ def audio2loudness(
     k = int(loud.size * 0.001)
     if k:
         # k-th largest value = top-0.1% threshold.
-        threshold = np.partition(loud, loud.size - k)[loud.size - k]
+        threshold = _kth_largest(loud, k)
     else:
         threshold = np.quantile(loud, 0.999)
     if samples_per_unit is None:
@@ -75,7 +104,7 @@ def audio2loudness(
         return None
     if threshold < 1e-5:
         return np.zeros(token_count, dtype=loud.dtype)
-    loud = loud / min(1.0, float(threshold) * 1.75)
+    loud /= min(1.0, float(threshold) * 1.75)  # in place: loud is our abs()
     return _linear_resample(loud, token_count)
 
 
