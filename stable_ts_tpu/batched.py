@@ -149,7 +149,9 @@ class _Group:
 
     def __init__(self, metas, windows):
         self.metas = metas          # [{seek, samples, silence_timings}]
-        self.windows = windows      # (n, N_SAMPLES) float32
+        self.windows = windows      # (batch_size, N_SAMPLES) float32 view of
+                                    # a persistent buffer; rows past
+                                    # len(metas) repeat the last real window
         self.features = None        # (batch_size, 1500, d) device array
         self.pending = None         # PendingDecode
         self.results = None         # [DecodingResult] per window
@@ -463,10 +465,27 @@ def _transcribe_batched_impl(
 
     # -- pipeline stages -----------------------------------------------------------
 
-    def read_group() -> Optional[_Group]:
+    # Persistent window-stacking buffers: fresh (batch, N_SAMPLES) float32
+    # allocations page-fault at ~100 MB/s on this VM (same pathology as the
+    # int16 staging below), so rows are written straight into one of two
+    # alternating full-capacity buffers. Two, because the float batch is a
+    # live jit argument until its group's decode materializes (one pipeline
+    # iteration later); a buffer is only rewritten two groups after launch.
+    win_bufs = {}
+    # the loader rounds chunk requests UP to its divisor (VAD window
+    # alignment), so a full window row can exceed N_SAMPLES
+    _div = getattr(loader, 'chunk_divisor', None) or 1
+    win_row_len = int(-(-N_SAMPLES // _div) * _div)
+
+    def read_group(flip=[0]) -> Optional[_Group]:
         """Host: next ``batch_size`` non-silent windows from the loader."""
         import time as _t
         nonlocal seek_sample
+        flip[0] ^= 1
+        buf = win_bufs.get(flip[0])
+        if buf is None or buf.shape[0] != batch_size:
+            buf = win_bufs[flip[0]] = np.empty((batch_size, win_row_len),
+                                               np.float32)
         metas, wins = [], []
         while len(wins) < batch_size:
             _t0 = _t.perf_counter()
@@ -512,13 +531,24 @@ def _transcribe_batched_impl(
                 silence_timings=(preds['timings'] if suppress_silence
                                  else None),
                 ts_mask=(preds['mask'] if suppress_ts_tokens else None)))
-            if samples < N_SAMPLES:
-                chunk = np.pad(chunk, (0, N_SAMPLES - samples))
-            wins.append(chunk)
+            _t0 = _t.perf_counter()
+            row = buf[len(wins)]
+            row[:samples] = chunk[..., :samples]
+            if samples < win_row_len:
+                row[samples:] = 0.0
+            wins.append(None)
+            _hp('host_window_stack', _t0)
             seek_sample = next_seek
         if not wins:
             return None
-        return _Group(metas, np.stack(wins))
+        n = len(wins)
+        if n < batch_size:
+            # pad the tail group in place (repeat the last real row) so
+            # launch_decode never re-allocates to reach the device batch
+            _t0 = _t.perf_counter()
+            buf[n:] = buf[n - 1]
+            _hp('host_window_stack', _t0)
+        return _Group(metas, buf)
 
     pcm_bufs, pcm_flip = {}, [0]   # persistent int16 upload staging
 
@@ -526,13 +556,8 @@ def _transcribe_batched_impl(
         """Encode the group ONCE and dispatch its t=0 decode (async)."""
         import time as _t
         nonlocal tokenizer, language, initial_prompt_tokens, first_group
-        _t0 = _t.perf_counter()
-        wins = grp.windows
+        wins = grp.windows     # full-capacity persistent buffer, pre-padded
         grp.windows = None
-        if wins.shape[0] < batch_size:
-            wins = np.concatenate(
-                [wins, np.repeat(wins[-1:], batch_size - wins.shape[0], 0)])
-        _hp('host_window_pad', _t0)
         _t0 = _t.perf_counter()
         # Stays on device end to end: np.asarray here would BLOCK until the
         # device drains the previous group's decode (in-order execution),
@@ -543,9 +568,9 @@ def _transcribe_batched_impl(
             # the upload moves int16, not float32. In place + a persistent
             # int16 buffer: fresh 60+30 MB allocations here page-fault at
             # ~100 MB/s on first touch (~0.65 s per group, the dominant
-            # host_window_prep cost) — `wins` is group-private (read_group
-            # stacked it; grp.windows was dropped above) so clobbering is
-            # safe, and the int16 buffer persists across groups.
+            # host_window_prep cost) — `wins` is the persistent stacking
+            # buffer, consumed synchronously right here in pcm mode (the
+            # int16 staging is what uploads), so scaling it in place is safe.
             np.multiply(wins, 32768.0, out=wins)
             # two alternating buffers: the pipeline holds at most 2 groups
             # in flight, and the CPU backend may alias numpy buffers
