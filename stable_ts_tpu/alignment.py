@@ -519,57 +519,112 @@ def _refine_mel_batch(audio, frames, n_mels):
 _REFINE_MEL_FN = None
 
 
-def _refine_masked_mel(clean, t_real, lo, hi, n_mels):
-    """Device-side reconstruction of the refiner's muted rows + their mels.
+def _masked_mel_body(clean, t_real, lo, hi, n_mels):
+    """Trace-time body: muted rows -> (2S, n_mels, 3000) mels.
 
-    clean (S, T_bucket) cached span audio, t_real (S,) real sample counts,
-    lo/hi (2S, W) per-row disjoint zero intervals (lo == hi = empty slot).
+    clean (S, T_bucket) span audio, t_real (S,) real sample counts, lo/hi
+    (2S, W) per-row disjoint zero intervals (lo == hi = empty slot).
     Rebuilds each span's two muted rows exactly as the host path would have
     assembled them — zeros on the intervals, the STFT's 200-sample reflect
-    continuation of the MUTED row written into the pad — and returns
-    (2S, n_mels, 3000) mels. The interval scatter is O(T) via a +1/-1
-    boundary cumsum, so each bisection round uploads a few int32s instead
-    of every muted row's samples."""
+    continuation of the MUTED row written into the pad. The interval
+    scatter is O(T) via a +1/-1 boundary cumsum, so each bisection round
+    uploads a few int32s instead of every muted row's samples."""
+    import jax.numpy as jnp
+    s, t_pad = clean.shape
+    r = 2 * s
+    rows = jnp.repeat(clean, 2, axis=0)            # (R, T)
+    t_r = jnp.repeat(t_real, 2)                    # (R,)
+    ridx = jnp.arange(r)[:, None]
+    diff = jnp.zeros((r, t_pad + 1), jnp.int32)
+    diff = diff.at[ridx, jnp.clip(lo, 0, t_pad)].add(1)
+    diff = diff.at[ridx, jnp.clip(hi, 0, t_pad)].add(-1)
+    muted = jnp.cumsum(diff[:, :t_pad], axis=1) > 0
+    rows = jnp.where(muted, 0.0, rows)
+    # reflect continuation of the MUTED row into the pad
+    # (np.pad 'reflect': padded[t + i] = row[t - 2 - i])
+    pos = jnp.arange(t_pad)[None, :]
+    t_col = t_r[:, None]
+    refl = jnp.minimum(N_FFT // 2, t_col - 1)
+    idx = jnp.where(pos < t_col, pos, 2 * t_col - 2 - pos)
+    vals = jnp.take_along_axis(rows, jnp.clip(idx, 0, t_pad - 1),
+                               axis=1)
+    rows = jnp.where(pos < t_col + refl, vals, 0.0)
+    mel = log_mel_spectrogram(rows, n_mels)
+    frames = jnp.minimum(t_r // HOP_LENGTH, 3000)
+    mask = (jnp.arange(mel.shape[-1])[None, None, :]
+            < frames[:, None, None])
+    mel = jnp.where(mask, mel, 0.0)
+    if mel.shape[-1] >= 3000:
+        return mel[..., :3000]
+    return jnp.pad(mel, ((0, 0), (0, 0), (0, 3000 - mel.shape[-1])))
+
+
+def _refine_masked_mel(clean, t_real, lo, hi, n_mels):
+    """Device-side muted-row mel reconstruction (jitted _masked_mel_body)."""
     global _REFINE_MASK_MEL_FN
     if _REFINE_MASK_MEL_FN is None:
         import jax
         from functools import partial
-
-        @partial(jax.jit, static_argnames=('n_mels',))
-        def fn(clean, t_real, lo, hi, n_mels):
-            import jax.numpy as jnp
-            s, t_pad = clean.shape
-            r = 2 * s
-            rows = jnp.repeat(clean, 2, axis=0)            # (R, T)
-            t_r = jnp.repeat(t_real, 2)                    # (R,)
-            ridx = jnp.arange(r)[:, None]
-            diff = jnp.zeros((r, t_pad + 1), jnp.int32)
-            diff = diff.at[ridx, jnp.clip(lo, 0, t_pad)].add(1)
-            diff = diff.at[ridx, jnp.clip(hi, 0, t_pad)].add(-1)
-            muted = jnp.cumsum(diff[:, :t_pad], axis=1) > 0
-            rows = jnp.where(muted, 0.0, rows)
-            # reflect continuation of the MUTED row into the pad
-            # (np.pad 'reflect': padded[t + i] = row[t - 2 - i])
-            pos = jnp.arange(t_pad)[None, :]
-            t_col = t_r[:, None]
-            refl = jnp.minimum(N_FFT // 2, t_col - 1)
-            idx = jnp.where(pos < t_col, pos, 2 * t_col - 2 - pos)
-            vals = jnp.take_along_axis(rows, jnp.clip(idx, 0, t_pad - 1),
-                                       axis=1)
-            rows = jnp.where(pos < t_col + refl, vals, 0.0)
-            mel = log_mel_spectrogram(rows, n_mels)
-            frames = jnp.minimum(t_r // HOP_LENGTH, 3000)
-            mask = (jnp.arange(mel.shape[-1])[None, None, :]
-                    < frames[:, None, None])
-            mel = jnp.where(mask, mel, 0.0)
-            if mel.shape[-1] >= 3000:
-                return mel[..., :3000]
-            return jnp.pad(mel, ((0, 0), (0, 0), (0, 3000 - mel.shape[-1])))
-        _REFINE_MASK_MEL_FN = fn
+        _REFINE_MASK_MEL_FN = partial(jax.jit, static_argnames=('n_mels',))(
+            _masked_mel_body)
     return _REFINE_MASK_MEL_FN(clean, t_real, lo, hi, n_mels=n_mels)
 
 
 _REFINE_MASK_MEL_FN = None
+
+
+def _refine_round_fused(model, clean, t_real, slots, lo, hi, tokens, eot):
+    """ONE dispatch per bisection round: gather the still-active spans,
+    rebuild their muted rows, mel + encoder + teacher-forced decoder +
+    realized-token prob/rank reduction — all inside a single jitted
+    program returning a single (2, R, L-1) float32 array (ranks ride as
+    exact float32; vocab ids < 2**24).
+
+    The unfused path was 3 small uploads + 4 jit dispatches + 2 downloads
+    per round; on the tunneled TPU every host<->device edge costs a
+    round-trip, and refine's serial bisection pays it ~20x per step. The
+    fused round pays ONE dispatch and ONE download. ``slots`` additionally
+    gathers only spans that still have live words, so late rounds stop
+    paying the full step batch's encoder (spans collapse at different
+    rounds on real audio)."""
+    global _REFINE_ROUND_FUSED_FN
+    if _REFINE_ROUND_FUSED_FN is None:
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+        from .models.whisper.model import decoder_apply, encoder_apply
+
+        @partial(jax.jit, static_argnames=('n_mels', 'n_audio_head',
+                                           'n_text_head', 'eot'))
+        def fn(enc_params, dec_params, clean, t_real, slots, lo, hi,
+               tokens, n_mels, n_audio_head, n_text_head, eot):
+            clean = clean[slots]
+            t_real = t_real[slots]
+            mel = _masked_mel_body(clean, t_real, lo, hi, n_mels)
+            xa = encoder_apply(enc_params, mel, n_audio_head)
+            logits, _ = decoder_apply(dec_params, tokens, xa, n_text_head)
+            # realized-token prob + vocab rank, same semantics as
+            # batched._next_token_probs_and_ranks (inlined so the whole
+            # round is one program)
+            lg = logits[:, :-1, :eot].astype(jnp.float32)
+            idx = jnp.clip(tokens[:, 1:, None], 0, eot - 1)
+            v = jnp.take_along_axis(lg, idx, axis=-1)
+            vocab_iota = jnp.arange(eot, dtype=jnp.int32)
+            ranks = (jnp.sum(lg < v, axis=-1, dtype=jnp.int32)
+                     + jnp.sum((lg == v) & (vocab_iota < idx), axis=-1,
+                               dtype=jnp.int32))
+            probs = jax.nn.softmax(lg, axis=-1)
+            per_token = jnp.take_along_axis(probs, idx, axis=-1)[..., 0]
+            return jnp.stack([per_token, ranks.astype(jnp.float32)])
+        _REFINE_ROUND_FUSED_FN = fn
+    return _REFINE_ROUND_FUSED_FN(
+        model.params['encoder'], model.params['decoder'], clean, t_real,
+        slots, lo, hi, tokens, n_mels=model.dims.n_mels,
+        n_audio_head=model.dims.n_audio_head,
+        n_text_head=model.dims.n_text_head, eot=eot)
+
+
+_REFINE_ROUND_FUSED_FN = None
 
 
 def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
@@ -607,6 +662,10 @@ def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
     # so ids stay unique.
     states = {}
 
+    import os
+    fused_rounds = (os.environ.get('STABLE_TS_TPU_REFINE_FUSED', '1') != '0'
+                    and model.mesh is None)
+
     def _launch_intervals(requests, key):
         probes = [p for p, _ in requests]
         toks = [sot_seq + [tokenizer.no_timestamps] + list(t)
@@ -623,7 +682,12 @@ def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
             # (state['map'] KeyError) instead of silently re-uploading
             # every round.
             t_max = max(p.clean.shape[-1] for p in probes)
-            t_bucket = _bucket(t_max + N_FFT // 2, SAMPLE_RATE)
+            # 5-s audio buckets on the fused path: the audio length only
+            # shapes the (cheap) masked-mel prologue — the encoder always
+            # sees 3000 mel frames — but each distinct bucket compiles a
+            # full fused encoder+decoder program, so coarser is better
+            t_bucket = _bucket(t_max + N_FFT // 2,
+                               (5 if fused_rounds else 1) * SAMPLE_RATE)
             s_b = 1 << max(0, int(np.ceil(np.log2(len(probes)))))
             # on a mesh, shard_batch pads rows to a dp multiple; the masked
             # mel kernel needs lo/hi rows == 2 x clean rows, so the span
@@ -648,7 +712,6 @@ def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
                 t_real=treal_in, s_b=s_b, w_b=8,
                 max_len=_bucket(max(len(r) for r in toks), 32))
         s_b = state['s_b']
-        n_rows = 2 * s_b
         max_len = max(state['max_len'],
                       _bucket(max(len(r) for r in toks), 32))
         state['max_len'] = max_len
@@ -657,6 +720,34 @@ def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
         while state['w_b'] < w_need:
             state['w_b'] *= 2
         w_b = state['w_b']
+
+        if fused_rounds:
+            # gather ONLY the spans still holding live words: a bucketed
+            # slot vector feeds the single fused round program, so late
+            # rounds stop paying the whole step batch's encoder
+            a_b = 1 << max(0, int(np.ceil(np.log2(len(probes)))))
+            slot_list = [state['map'][id(p.clean)] for p in probes]
+            slots_pad = np.asarray(
+                slot_list + [slot_list[-1]] * (a_b - len(probes)), np.int32)
+            lo = np.zeros((2 * a_b, w_b), np.int32)
+            hi = np.zeros((2 * a_b, w_b), np.int32)
+            tok_batch = np.full((2 * a_b, max_len), tokenizer.eot, np.int32)
+            for i, (p, row_tok) in enumerate(zip(probes, toks)):
+                padded = np.pad(row_tok, (0, max_len - len(row_tok)),
+                                constant_values=tokenizer.eot)
+                tok_batch[2 * i] = padded
+                tok_batch[2 * i + 1] = padded
+                for r in (0, 1):
+                    sel = p.rows == r
+                    cnt = int(sel.sum())
+                    lo[2 * i + r, :cnt] = p.zero_lo[sel]
+                    hi[2 * i + r, :cnt] = p.zero_hi[sel]
+            stacked = _refine_round_fused(
+                model, state['clean'], state['t_real'], slots_pad, lo, hi,
+                tok_batch, tokenizer.eot)
+            return stacked, [2 * i for i in range(len(probes))], lengths
+
+        n_rows = 2 * s_b
         lo = np.zeros((n_rows, w_b), np.int32)
         hi = np.zeros((n_rows, w_b), np.int32)
         tok_batch = np.full((n_rows, max_len), tokenizer.eot, np.int32)
@@ -688,9 +779,14 @@ def _whisper_refinement_batch_func(model, tokenizer) -> Callable:
 
     def collect(handle):
         """Materialize a launched round's device arrays -> reply list."""
-        per_token, ranks, row0s, lengths = handle
-        per_token = np.asarray(per_token)
-        ranks = np.asarray(ranks)
+        if len(handle) == 3:       # fused round: ONE stacked download
+            stacked, row0s, lengths = handle
+            arr = np.asarray(stacked)
+            per_token, ranks = arr[0], arr[1].astype(np.int64)
+        else:
+            per_token, ranks, row0s, lengths = handle
+            per_token = np.asarray(per_token)
+            ranks = np.asarray(ranks)
         out = []
         for r0, n in zip(row0s, lengths):
             sl = (slice(r0, r0 + 2), slice(sot_len, sot_len + n))
