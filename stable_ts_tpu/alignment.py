@@ -541,14 +541,20 @@ def _masked_mel_body(clean, t_real, lo, hi, n_mels):
     muted = jnp.cumsum(diff[:, :t_pad], axis=1) > 0
     rows = jnp.where(muted, 0.0, rows)
     # reflect continuation of the MUTED row into the pad
-    # (np.pad 'reflect': padded[t + i] = row[t - 2 - i])
+    # (np.pad 'reflect': padded[t + i] = row[t - 2 - i]) — via a SMALL
+    # (R, 200) gather + scatter-add; the previous formulation ran a full
+    # (R, T) take_along_axis, which gathers ~31 MB/row at vector-memory
+    # speed just to move 200 samples
     pos = jnp.arange(t_pad)[None, :]
     t_col = t_r[:, None]
     refl = jnp.minimum(N_FFT // 2, t_col - 1)
-    idx = jnp.where(pos < t_col, pos, 2 * t_col - 2 - pos)
-    vals = jnp.take_along_axis(rows, jnp.clip(idx, 0, t_pad - 1),
-                               axis=1)
-    rows = jnp.where(pos < t_col + refl, vals, 0.0)
+    i = jnp.arange(N_FFT // 2)[None, :]
+    src = jnp.clip(t_col - 2 - i, 0, t_pad - 1)
+    padvals = jnp.take_along_axis(rows, src, axis=1)        # (R, 200)
+    live = (i < refl) & (t_col + i < t_pad)
+    dst = jnp.clip(t_col + i, 0, t_pad - 1)
+    base = jnp.where(pos < t_col, rows, 0.0)
+    rows = base.at[ridx, dst].add(jnp.where(live, padvals, 0.0))
     mel = log_mel_spectrogram(rows, n_mels)
     frames = jnp.minimum(t_r // HOP_LENGTH, 3000)
     mask = (jnp.arange(mel.shape[-1])[None, None, :]

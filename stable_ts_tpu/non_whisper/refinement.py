@@ -595,10 +595,16 @@ class Refiner:
         tests/test_refine_pipeline.py); only host/transfer latency leaves
         the critical path.
         """
+        import os
         launch = getattr(self.batch_inference_func, 'launch', None)
         collect = getattr(self.batch_inference_func, 'collect', None)
+        # STABLE_TS_TPU_REFINE_PIPE=0 folds every span into ONE round group
+        # (no host/device overlap, but each round is a single fatter batch —
+        # wins when the per-round host update is tiny, as on the fused path)
+        split = os.environ.get('STABLE_TS_TPU_REFINE_PIPE', '1') != '0'
         groups = ([machines] if launch is None or collect is None
-                  or len(machines) < 2 else self._split_pipeline(machines))
+                  or not split or len(machines) < 2
+                  else self._split_pipeline(machines))
         if len(groups) == 1:
             self._drive_group(groups[0], step)
             return

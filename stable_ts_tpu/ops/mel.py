@@ -6,8 +6,8 @@ centered STFT (N_FFT=400, hop=160, periodic Hann), power spectrum with the
 final frame dropped, slaney-normalized mel filterbank (80 or 128 bands),
 log10 clamped at 1e-10, dynamic-range compression to [~-1, ~1].
 
-Design: framing is a gather, the DFT is an rFFT, and the mel projection is a
-(201 x n_mels) matmul that XLA places on the MXU; the whole pipeline is one
+Design: framing is gather-free (polyphase reshape), the windowed DFT and the
+mel projection are two MXU matmuls; the whole pipeline is one
 jit-compiled fused program. The filterbank is generated analytically
 (librosa-compatible slaney scale) instead of shipping a .npz.
 """
@@ -82,8 +82,28 @@ def _hann_window(n_fft: int) -> np.ndarray:
     return (0.5 * (1 - np.cos(2 * np.pi * np.arange(n_fft) / n_fft))).astype(np.float32)
 
 
+@lru_cache(maxsize=2)
+def _windowed_dft_basis(n_fft: int) -> np.ndarray:
+    """(n_fft, 2*(n_fft//2+1)) f32: the Hann window folded into a real
+    rDFT basis — columns [0, K) are cos, [K, 2K) are sin, K = n_fft//2+1.
+
+    ``frames @ basis`` computes the windowed rFFT as ONE MXU matmul.
+    XLA lowers jnp.fft on TPU far off the roofline, and at refine's round
+    rate (the masked-mel prologue runs inside every serial bisection
+    dispatch) the FFT+framing-gather pair measured ~69 ms per 8 rows of
+    30 s audio; the matmul form is exact to float rounding (the mel parity
+    test vs torch.stft holds at the same atol) and runs at MXU speed.
+    """
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)
+    n = np.arange(n_fft, dtype=np.float64)
+    ang = -2.0 * np.pi * np.outer(n, k) / n_fft
+    win = _hann_window(n_fft).astype(np.float64)[:, None]
+    return np.concatenate([np.cos(ang) * win, np.sin(ang) * win],
+                          axis=1).astype(np.float32)
+
+
 @partial(jax.jit, static_argnames=('n_mels', 'n_fft', 'hop_length'))
-def _log_mel_impl(audio: jnp.ndarray, filters: jnp.ndarray, window: jnp.ndarray,
+def _log_mel_impl(audio: jnp.ndarray, filters: jnp.ndarray, basis: jnp.ndarray,
                   n_mels: int, n_fft: int, hop_length: int) -> jnp.ndarray:
     if audio.dtype == jnp.int16:
         # int16 PCM uploaded raw (half the host->device bytes of float32);
@@ -92,14 +112,28 @@ def _log_mel_impl(audio: jnp.ndarray, filters: jnp.ndarray, window: jnp.ndarray,
         audio = audio.astype(jnp.float32) / 32768.0
     pad = n_fft // 2
     padded = jnp.pad(audio, ((0, 0), (pad, pad)), mode='reflect')
-    n_frames = 1 + (padded.shape[-1] - n_fft) // hop_length
-    # Frame via gather: (n_frames, n_fft) indices.
-    idx = (jnp.arange(n_frames)[:, None] * hop_length
-           + jnp.arange(n_fft)[None, :])
-    frames = padded[:, idx] * window  # (batch, n_frames, n_fft)
-    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+    t = padded.shape[-1]
+    n_frames = 1 + (t - n_fft) // hop_length
+    # Polyphase framing without a gather: view the signal as hop-length
+    # rows, then each frame is `shifts` consecutive rows concatenated —
+    # all reshapes/slices, which XLA fuses, instead of an (n_frames, n_fft)
+    # gather that serializes on the TPU's vector memory.
+    shifts = -(-n_fft // hop_length)
+    rows = n_frames + shifts - 1
+    need = rows * hop_length
+    padded = (jnp.pad(padded, ((0, 0), (0, need - t))) if need > t
+              else padded[:, :need])
+    y = padded.reshape(padded.shape[0], rows, hop_length)
+    frames = jnp.concatenate([y[:, i:i + n_frames] for i in range(shifts)],
+                             axis=-1)[..., :n_fft]
+    # Windowed rDFT as ONE MXU matmul (window folded into the basis) —
+    # jnp.fft.rfft lowers far off the TPU roofline.
+    k_bins = n_fft // 2 + 1
+    spec = jnp.einsum('bfn,nk->bfk', frames.astype(jnp.float32), basis,
+                      preferred_element_type=jnp.float32)
     # Drop the final frame (Whisper convention) and take the power spectrum.
-    magnitudes = jnp.abs(spec[:, :-1, :]) ** 2  # (batch, frames, n_fft//2+1)
+    magnitudes = (spec[..., :k_bins] ** 2
+                  + spec[..., k_bins:] ** 2)[:, :-1]  # (b, frames, k_bins)
     # Mel projection on the MXU: (frames, 201) @ (201, n_mels).
     mel_spec = jnp.einsum('bfk,mk->bmf', magnitudes, filters,
                           preferred_element_type=jnp.float32)
@@ -132,8 +166,8 @@ def log_mel_windowed(audio, n_mels: int = 80,
     """
     audio = jnp.asarray(audio, jnp.float32)
     filters = jnp.asarray(mel_filterbank(n_mels))
-    window = jnp.asarray(_hann_window(N_FFT))
-    mel = _log_mel_impl(audio, filters, window, n_mels, N_FFT, HOP_LENGTH)
+    basis = jnp.asarray(_windowed_dft_basis(N_FFT))
+    mel = _log_mel_impl(audio, filters, basis, n_mels, N_FFT, HOP_LENGTH)
     f_b = mel.shape[-1]
     if f_b >= n_frames:
         return mel[..., :n_frames]
@@ -162,6 +196,6 @@ def log_mel_spectrogram(audio, n_mels: int = 80, padding: int = 0) -> jnp.ndarra
     if padding > 0:
         audio = jnp.pad(audio, ((0, 0), (0, padding)))
     filters = jnp.asarray(mel_filterbank(n_mels))
-    window = jnp.asarray(_hann_window(N_FFT))
-    out = _log_mel_impl(audio, filters, window, n_mels, N_FFT, HOP_LENGTH)
+    basis = jnp.asarray(_windowed_dft_basis(N_FFT))
+    out = _log_mel_impl(audio, filters, basis, n_mels, N_FFT, HOP_LENGTH)
     return out[0] if squeeze else out

@@ -1,32 +1,31 @@
-#!/usr/bin/env python
-"""Refine phase probe: where does a bisection round's wall time go?
+"""Per-round timing split of the refine bisection loop on the real TPU.
 
-Wraps the whisper refinement batch func's launch/collect pair with timers
-and runs the bench-shaped refine workload (BENCH_MODE=refine twin —
-~400 words @ prob 0.8 over BENCH_MINUTES of audio), printing per-round
-dispatch wall (launch = host prep + interval upload + device dispatch),
-collect wall (device wait + download), and the host gaps in between.
-
-Run on the real TPU: python tools/probe_refine.py [model] [minutes]
+Wraps the whisper glue's batch_inference_func launch/collect with wall
+timers and replays bench.py's refine workload, printing per-round
+(launch_ms, collect_ms, host_gap_ms, rows, spans) — the evidence for
+whether refine is bound by encoder FLOPs or by serial host<->device
+round-trips (the tunnel's warm RTT is ~25-40 ms and every bisection
+round is a dependent dispatch+download).
 """
+import copy
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np
 
-def main(model_name='large-v3', minutes=3.0):
-    import copy
 
-    os.environ['BENCH_MODEL'] = model_name   # before bench reads it
-    from bench import build_model, synth_speech_like
-    from stable_ts_tpu.result import WhisperResult
-
-    model = build_model()
+def main():
+    os.environ.setdefault('BENCH_MODEL', 'large-v3')
+    import bench
+    model = bench.build_model()
+    minutes = float(os.environ.get('BENCH_MINUTES', '3'))
+    audio = bench.synth_speech_like(minutes * 60.0)
     tokenizer = model.get_tokenizer(language='en', task='transcribe')
-    seconds = float(minutes) * 60.0
-    audio = synth_speech_like(seconds)
+    from stable_ts_tpu.result import WhisperResult
+    seconds = minutes * 60.0
     words, t, i = [], 0.4, 0
     while t < seconds - 1.0:
         w = f' w{i % 97:02d}'
@@ -34,64 +33,72 @@ def main(model_name='large-v3', minutes=3.0):
                           probability=0.8, tokens=tokenizer.encode(w)))
         t += 0.45
         i += 1
-    segments = [dict(start=c[0]['start'], end=c[-1]['end'],
-                     text=''.join(w['word'] for w in c), words=c)
-                for c in (words[j:j + 12] for j in range(0, len(words), 12))]
-    base = WhisperResult(dict(text=''.join(w['word'] for w in words),
-                              segments=segments, language='en'))
+    segments = [dict(start=chunk[0]['start'], end=chunk[-1]['end'],
+                     text=''.join(w['word'] for w in chunk), words=chunk)
+                for chunk in (words[j:j + 12]
+                              for j in range(0, len(words), 12))]
+    base = WhisperResult(dict(
+        text=''.join(w['word'] for w in words), segments=segments,
+        language='en'))
 
-    import stable_ts_tpu.alignment as al
-    orig = al._whisper_refinement_batch_func
-    ev = []   # (kind, key, n_reqs, t_start, t_end)
+    from stable_ts_tpu import alignment as al
+    orig_make = al._whisper_refinement_batch_func
 
-    def wrapped(model, tokenizer):
-        f = orig(model, tokenizer)
-        ol, oc = f.launch, f.collect
+    events = []
 
-        def launch(reqs, key=0):
+    def make(model_, tokenizer_):
+        fn = orig_make(model_, tokenizer_)
+        launch0, collect0 = fn.launch, fn.collect
+        last_done = [None]
+
+        def launch(requests, key=0):
             t0 = time.perf_counter()
-            h = ol(reqs, key=key)
-            ev.append(('launch', key, len(reqs), t0, time.perf_counter()))
+            gap = 0.0 if last_done[0] is None else t0 - last_done[0]
+            h = launch0(requests, key=key)
+            t1 = time.perf_counter()
+            rows = sum(2 for _ in requests)
+            events.append(['launch', key, t1 - t0, gap, len(requests), rows])
             return h
 
-        def collect(h):
+        def collect(handle):
             t0 = time.perf_counter()
-            r = oc(h)
-            ev.append(('collect', None, 0, t0, time.perf_counter()))
-            return r
+            out = collect0(handle)
+            t1 = time.perf_counter()
+            last_done[0] = t1
+            events.append(['collect', None, t1 - t0, 0.0, len(out), None])
+            return out
 
-        f.launch, f.collect = launch, collect
-        return f
+        fn.launch, fn.collect = launch, collect
+        return fn
 
-    al._whisper_refinement_batch_func = wrapped
+    al._whisper_refinement_batch_func = make
 
-    for it in range(3):
-        ev.clear()
-        t0 = time.perf_counter()
-        model.refine(audio, copy.deepcopy(base), verbose=None)
-        wall = time.perf_counter() - t0
-        launches = [e for e in ev if e[0] == 'launch']
-        collects = [e for e in ev if e[0] == 'collect']
-        t_launch = sum(e[4] - e[3] for e in launches)
-        t_collect = sum(e[4] - e[3] for e in collects)
-        covered = sorted((e[3], e[4]) for e in ev)
-        span = covered[-1][1] - covered[0][0] if covered else 0.0
-        gaps = span - sum(b - a for a, b in covered)
-        print(f'iter {it}: wall={wall:.2f}s xRT={seconds / wall:.1f} '
-              f'rounds={len(launches)} rows={sum(e[2] for e in launches)} '
-              f'launch={t_launch:.2f}s collect(dev wait+dl)={t_collect:.2f}s '
-              f'host gaps={gaps:.2f}s outside={wall - span:.2f}s')
-        if it == 2:
-            per = {}
-            for e in collects:
-                per.setdefault('collect', []).append(e[4] - e[3])
-            cs = sorted(per.get('collect', []))
-            if cs:
-                import statistics
-                print(f'  collect percentiles: min={cs[0]:.3f} '
-                      f'med={statistics.median(cs):.3f} max={cs[-1]:.3f}')
+    # warm (compile)
+    t0 = time.perf_counter()
+    model.refine(audio, copy.deepcopy(base), verbose=None)
+    print(f'warm pass {time.perf_counter() - t0:.2f}s '
+          f'({len(events)} events)', flush=True)
+    events.clear()
+
+    t0 = time.perf_counter()
+    model.refine(audio, copy.deepcopy(base), verbose=None)
+    wall = time.perf_counter() - t0
+    n_l = sum(1 for e in events if e[0] == 'launch')
+    n_c = sum(1 for e in events if e[0] == 'collect')
+    t_l = sum(e[2] for e in events if e[0] == 'launch')
+    t_c = sum(e[2] for e in events if e[0] == 'collect')
+    t_gap = sum(e[3] for e in events if e[0] == 'launch')
+    print(f'wall {wall:.3f}s  launches {n_l} ({t_l:.3f}s)  '
+          f'collects {n_c} ({t_c:.3f}s)  host-gaps {t_gap:.3f}s  '
+          f'unaccounted {wall - t_l - t_c - t_gap:.3f}s')
+    for e in events:
+        kind, key, dur, gap, n, rows = e
+        if kind == 'launch':
+            print(f'  launch key={key} {dur*1e3:7.1f}ms gap={gap*1e3:6.1f}ms '
+                  f'spans={n}')
+        else:
+            print(f'  collect          {dur*1e3:7.1f}ms n={n}')
 
 
 if __name__ == '__main__':
-    args = sys.argv[1:]
-    main(*(args[:1] + [float(a) for a in args[1:2]]))
+    main()
