@@ -535,10 +535,27 @@ def _masked_mel_body(clean, t_real, lo, hi, n_mels):
     rows = jnp.repeat(clean, 2, axis=0)            # (R, T)
     t_r = jnp.repeat(t_real, 2)                    # (R,)
     ridx = jnp.arange(r)[:, None]
-    diff = jnp.zeros((r, t_pad + 1), jnp.int32)
-    diff = diff.at[ridx, jnp.clip(lo, 0, t_pad)].add(1)
-    diff = diff.at[ridx, jnp.clip(hi, 0, t_pad)].add(-1)
-    muted = jnp.cumsum(diff[:, :t_pad], axis=1) > 0
+    diff = jnp.zeros((r, t_pad + 1), jnp.float32)
+    diff = diff.at[ridx, jnp.clip(lo, 0, t_pad)].add(1.0)
+    diff = diff.at[ridx, jnp.clip(hi, 0, t_pad)].add(-1.0)
+    # prefix-sum of the +1/-1 boundaries as a TWO-LEVEL scan whose inner
+    # level is a triangular-ones matmul on the MXU: XLA's native cumsum
+    # along a ~500k-sample lane axis lowers to a slow cross-lane ladder
+    # (it was most of this prologue's device time). Counts are bounded by
+    # the interval slot count (<= W « 2**24), so f32 accumulation is exact
+    # and the mask is bit-identical to jnp.cumsum(diff) > 0.
+    seg = 512
+    t_c = -(-t_pad // seg)
+    d3 = jnp.pad(diff[:, :t_pad],
+                 ((0, 0), (0, t_c * seg - t_pad))).reshape(r, t_c, seg)
+    tri = jnp.asarray(np.triu(np.ones((seg, seg), np.float32)))
+    inner = jnp.einsum('rcs,si->rci', d3, tri,
+                       preferred_element_type=jnp.float32)
+    tot = jnp.cumsum(inner[..., -1], axis=1)
+    carry = jnp.concatenate([jnp.zeros((r, 1), jnp.float32),
+                             tot[:, :-1]], axis=1)
+    muted = ((inner + carry[..., None]).reshape(r, t_c * seg)[:, :t_pad]
+             > 0.5)
     rows = jnp.where(muted, 0.0, rows)
     # reflect continuation of the MUTED row into the pad
     # (np.pad 'reflect': padded[t + i] = row[t - 2 - i]) — via a SMALL
